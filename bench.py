@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect).  Wall time includes planning; the session build is
+excluded (it's amortized in any real deployment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_assigment3_spark import get_spark, query_fns  # noqa: E402
+
+# Headline set: the flagship + the heaviest representatives of each
+# operator family (join-heavy, window-heavy, agg-heavy).
+HEADLINE = [
+    "frequent_pairs",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "order_priority_check",
+    "window_topk_orders",
+    "window_running_total",
+    "rate_limit_window",
+    "segment_derive",
+    "json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+    fns = query_fns()
+    names = [n for n in HEADLINE if n in fns]
+
+    # Warm the JVM/codegen once on the cheapest query so per-query times
+    # measure the plan, not first-run JIT.
+    fns["features_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,401 @@
+"""Relational proof queries over the TPC-H-ish star schema.
+
+The reference has no real joins/windows/set-ops (SURVEY.md §2.3/2.5/2.7
+"absent" rows) — single-table ORM queries only.  These queries prove
+the engine covers those categories with idiomatic Spark plans:
+broadcast joins for dims, sort-merge for facts, window specs, rollup/
+cube, and set operations, all DuckDB-oracle-checked.
+
+Cross-engine exactness: money math runs in DECIMAL (association-order
+independent), final outputs are DOUBLE/BIGINT so schemas line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table, register_views
+
+_DEC_EXT = "decimal(12,2)"
+_DEC_PCT = "decimal(6,4)"
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 3) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 3) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))), 3) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))), 3) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_quantity), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE)
+                 / COUNT(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical wide hash aggregate.
+
+    Filter is pushed to the parquet scan; 8 aggregates run
+    partial+final over a 2-column grouping key (a handful of groups,
+    so the shuffle is tiny regardless of input size: the map-side
+    combine is what makes this 100 TB-safe).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC_EXT)
+    ext = F.col("l_extendedprice").cast(_DEC_EXT)
+    disc = F.col("l_discount").cast(_DEC_PCT)
+    tax = F.col("l_tax").cast(_DEC_PCT)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 3).cast("double").alias("sum_qty"),
+            F.round(F.sum(ext), 3).cast("double").alias("sum_base_price"),
+            F.round(F.sum(ext * (F.lit(1) - disc)), 3).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(ext * (F.lit(1) - disc) * (F.lit(1) + tax)), 3).cast("double").alias("sum_charge"),
+            # avg as exact-decimal-sum / count: float avg is association-
+            # order dependent and drifts 1 ulp across engines/runs.
+            F.round(F.sum(qty).cast("double") / F.count("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum(ext).cast("double") / F.count("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 3) AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim filter -> fact joins -> agg -> top-k.
+
+    customer is filtered then broadcast (no shuffle of orders on the
+    dim side); orders⋈lineitem is the one real shuffle, on orderkey.
+    Top-10 runs as TakeOrdered, never a global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(_DEC_EXT)
+           * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT)))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate"))
+        .agg(F.round(F.sum(rev), 3).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 3) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a correlated supplier condition.
+
+    region/nation/supplier/customer are broadcast (dim-sized); the
+    only big shuffle is orders⋈lineitem on orderkey.  Catalyst
+    reorders the joins; AQE re-plans if a side turns out small.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast(_DEC_EXT)
+           * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT)))
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev), 3).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    GROUP BY 1
+    """,
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) — the uniqueness-guard shape (ref app/routers.py:86-91)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) — the delete shape (ref app/routers.py:152-153)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "window_topk_orders",
+    oracle="""
+    SELECT custkey, orderkey, totalprice, rn FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (SURVEY W4; ref top-K=40 contours,
+    hough_heart_detector2.py:306-308).
+
+    One shuffle on the partition key; orderkey tie-break keeps rank
+    deterministic.  At scale this beats groupBy+collect_list by never
+    materializing a group in memory.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — frame-based window aggregate (SURVEY W2)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC_EXT)).over(w), 3).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(date_diff('day',
+                LAG(CAST(o_orderdate AS DATE)) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def q_window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() offset window — the as-of/previous-row shape (SURVEY J2/W1;
+    ref frames[i-1] access, motion_codec.py:243-245)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "set_operations",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS union_n,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS intersect_n,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS except_n
+    """,
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT (SURVEY §2.7; ref set(codes) dedup,
+    app/services.py:20).  Spark set-ops compile to aggregate/join plans."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION
+             SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS union_n,
+          (SELECT COUNT(*) FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS intersect_n,
+          (SELECT COUNT(*) FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS except_n
+    """)
+
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 3) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4 'absent' row — free in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast(_DEC_EXT)), 3).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (SURVEY §2.4 'absent' row)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "part_brand_stats",
+    oracle="""
+    SELECT p_brand AS brand,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_type) AS n_types,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate dimension profile (min/max/avg/count-distinct)."""
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.min(price.cast(_DEC_EXT)).cast("decimal(38,3)").cast("double").alias("min_price"),
+        F.max(price.cast(_DEC_EXT)).cast("decimal(38,3)").cast("double").alias("max_price"),
+        F.round(F.sum(price.cast(_DEC_EXT)).cast("double") / F.count("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> left_semi with extra predicate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

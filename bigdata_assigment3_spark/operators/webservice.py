@@ -1,0 +1,373 @@
+"""Event-analytics operators (reference: Rest_webservice/).
+
+Re-expresses the REST service's analytics over the driver's ``events``
+table (event_id, ts, user_id, event_type, value, props-JSON).  The
+reference's "basket" was one event's ``payload.symptom_codes`` list
+(Rest_webservice/app/services.py:16-23); here a basket is the set of
+event_types one user produced in one day — the same market-basket
+shape on the actual testdata schema.
+
+Scale notes: every query below is one declarative plan — Catalyst
+pushes filters/pruning into the parquet scan, aggregations run
+partial+final (map-side combine), and the only shuffles are on the
+grouping/join keys.  Skewed users/types are handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+MIN_SUPPORT = 5
+BURST = 5
+
+
+@query(
+    "frequent_pairs",
+    oracle=f"""
+    WITH base AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+    )
+    SELECT a.event_type || ',' || b.event_type AS pair,
+           COUNT(*) AS support
+    FROM base a
+    JOIN base b ON a.user_id = b.user_id AND a.d = b.d
+               AND a.event_type < b.event_type
+    GROUP BY 1
+    HAVING COUNT(*) >= {MIN_SUPPORT}
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs (flagship; ref app/services.py:16-23).
+
+    explode-to-baskets -> dedup -> theta self-join (a<b) -> hash agg ->
+    HAVING -> key format.  The reference materialized all events in
+    Python and Counter-aggregated pairs; here the same computation is a
+    self-equi-join on the basket key that Spark shuffles on
+    (user_id, d) — bounded fan-out per basket (|event_type| is small),
+    AQE handles hot users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.to_date("ts").alias("d"), "event_type").distinct()
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return (
+        pairs.groupBy(F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .select(F.concat_ws(",", "ta", "tb").alias("pair"), "support")
+    )
+
+
+@query(
+    "features_topk",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 5
+    """,
+)
+def q_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 event types by occurrence (ref app/services.py:25-30 most_common(5)).
+
+    groupBy.count + orderBy desc + limit — Spark executes this as a
+    TakeOrdered (per-partition top-k, no full sort).  Tie-break on
+    event_type keeps the result deterministic for hashing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@query(
+    "event_totals",
+    oracle="""
+    SELECT COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def q_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct/count/sum stats (ref app/services.py:31-32).
+
+    Exact count-distinct here (oracle-checked); at 100 TB swap in
+    approx_count_distinct — exposed separately so the checked query
+    stays deterministic.  Sum runs in DECIMAL so the oracle hash
+    can't drift on float association order, then returns DOUBLE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "segment_derive",
+    oracle="""
+    SELECT 'type:' || event_type || '|geo:' ||
+           COALESCE(CASE WHEN user_id % 7 = 0 THEN NULL
+                         ELSE 'G' || CAST(user_id % 3 AS VARCHAR) END, 'UNK') ||
+           '|val:' || (CASE WHEN value < 30 THEN 'y'
+                            WHEN value < 100 THEN 'm'
+                            ELSE 's' END) AS segment,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_segment_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-string derivation (ref app/services.py:8-14 build_segment).
+
+    coalesce-defaulting + CASE bucketing + concat, exactly the
+    reference's role/geo/age recipe; NULL geo branch exercises the
+    COALESCE default ('UNK').  Pure column expressions — whole-stage
+    codegen, no UDF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    geo = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("G"), (F.col("user_id") % 3).cast("string"))
+    )
+    val_bucket = (
+        F.when(F.col("value") < 30, "y").when(F.col("value") < 100, "m").otherwise("s")
+    )
+    segment = F.concat(
+        F.lit("type:"), F.col("event_type"),
+        F.lit("|geo:"), F.coalesce(geo, F.lit("UNK")),
+        F.lit("|val:"), val_bucket,
+    )
+    return ev.select(segment.alias("segment")).groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id = 123
+    """,
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK point lookup + projection (ref app/routers.py:105 get-by-id).
+
+    The equality predicate reaches the parquet scan (PushedFilters:
+    [EqualTo(event_id,123)]) so at scale only row groups whose
+    min/max straddle 123 are read; projection prunes to 4 columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 123).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+
+@query(
+    "delete_anti_join",
+    oracle="""
+    WITH doomed AS (
+        SELECT user_id FROM events
+        WHERE event_type = 'error'
+        GROUP BY user_id HAVING COUNT(*) >= 16
+    )
+    SELECT e.event_type, COUNT(*) AS n
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM doomed d WHERE d.user_id = e.user_id)
+    GROUP BY e.event_type
+    """,
+)
+def q_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-as-anti-join (ref app/routers.py:152-153 db.delete).
+
+    "Delete every event of users with >= 16 error events" — the
+    delete-key set is a DataFrame, removal is a left_anti join (the
+    Spark-native form of DELETE WHERE IN).  The key set is small ->
+    broadcast; no full shuffle of the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doomed = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 16)
+        .select("user_id")
+    )
+    kept = ev.join(F.broadcast(doomed), "user_id", "left_anti")
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "upsert_merge",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    )
+    SELECT CASE WHEN u.o_custkey IS NOT NULL THEN 'VIP'
+                ELSE c.c_mktsegment END AS segment,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 3) AS DOUBLE) AS acctbal
+    FROM customer c LEFT JOIN u ON c.c_custkey = u.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style partial update (ref app/routers.py:124-136 PUT /users).
+
+    Emulates MERGE INTO without Delta: left-join target to the update
+    set, per-column ``when(matched, new).otherwise(old)``.  Update set
+    (high-order-count customers) is aggregated first so the join side
+    is small -> broadcast.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+    merged = cust.join(F.broadcast(updates), cust.c_custkey == updates.o_custkey, "left")
+    segment = F.when(F.col("o_custkey").isNotNull(), "VIP").otherwise(F.col("c_mktsegment"))
+    return (
+        merged.select(segment.alias("segment"), "c_acctbal")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 3).cast("double").alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "rate_limit_window",
+    oracle=f"""
+    WITH w AS (
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+               user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n,
+           CASE WHEN n > {BURST} THEN n - {BURST} ELSE 0 END AS rejected
+    FROM w
+    WHERE n > {BURST}
+    """,
+)
+def q_rate_limit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rate limiting, batch form (ref app/rate_limit.py:31-53).
+
+    The reference's fixed window ``now // per`` with burst cap is a
+    tumbling-window count per key; rows over the cap are the rejects.
+    The streaming variant (streaming/queries.py) adds the watermark =
+    the reference's ``per*2`` key TTL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("window_start"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return w.filter(F.col("n") > BURST).select(
+        "window_start",
+        "user_id",
+        "n",
+        (F.col("n") - BURST).alias("rejected"),
+    )
+
+
+@query(
+    "request_metrics",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(value), 4) AS avg_value,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_request_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route latency metrics (ref app/middleware.py:18-29 request_logs).
+
+    Exact percentiles for the oracle check; the 100 TB path uses
+    percentile_approx (single-pass sketch, no sort) — same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction (ref app/services.py:20 payload JSON).
+
+    get_json_object pulls the field without a Python UDF; bucketing +
+    aggregation stays in codegen.  (DuckDB INTEGER/10 truncates toward
+    zero; k >= 0 here so floor == trunc.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.floor(k / 10).cast("bigint").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "daily_activity",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed activity counts (ref app/rate_limit.py:33 window = now//per).
+
+    Date-grain tumbling buckets; at scale this is the query you'd
+    partition the table by (partition pruning on d).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

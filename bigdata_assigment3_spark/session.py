@@ -1,0 +1,61 @@
+"""SparkSession construction + per-session config hardening.
+
+Every config here is chosen for the 100 TB target, not just local
+tests: AQE re-plans shuffles at runtime (skew joins, partition
+coalescing), Arrow keeps the Python<->JVM boundary vectorized, and
+UTC session time keeps results comparable across engines/clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic SQL confs that queries rely on.  Applied defensively at query
+# entry too (ensure_session_conf) because the driver may hand us a
+# session it built itself.
+_SQL_CONF = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+    # parquet reader rejects by default; read as long and convert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB (the correctness oracle) is UTC-naive; pin Spark to UTC.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to an existing session (driver-owned or ours)."""
+    for k, v in _SQL_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — best effort
+    return spark
+
+
+def get_spark(app_name: str = "bigdata_assigment3_spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        # shuffle partitions ~ cores for local; a real cluster would
+        # size this to 2-3x total cores (AQE coalesces the excess).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in _SQL_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return ensure_session_conf(spark)

@@ -1,0 +1,45 @@
+"""t2 mirror: every oracle-declared query must match DuckDB exactly at
+the oracle scale factor (driver uses sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_assigment3_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare
+
+_load_all()
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    problems = compare(sdf, duck.sql(spec.oracle), name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_alignment():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) == len(REGISTRY)
