@@ -1,1 +1,339 @@
-"""(placeholder — filled in as operators land)"""
+"""HMRF-EM brain segmentation as voxel-table analytics
+(reference: Hidden_MarkovModels/brain_segmentation.py).
+
+The reference loads a DICOM series into a dense (Z,Y,X) float volume
+and runs: robust percentile normalization → K-means init → iterative
+ICM label updates (Potts spatial prior, 6-neighborhood) + per-class
+Gaussian M-step → convergence on changed-label ratio.
+
+Here the volume is a DataFrame ``voxels(z, y, x, inten_m, in_mask)``
+(intensity in integer milli-units so every energy comparison is exact
+integer math in both engines).  Fixture: three concentric ellipsoidal
+shells whose means mirror the reference report (WM=0.34, GM=0.46,
+CSF=0.70 — outputs_best/report.pdf) plus deterministic integer noise.
+
+ICM note (SURVEY §7.4): the reference's Gauss-Seidel sweep updates
+labels in-place mid-sweep (brain_segmentation.py:142-170) — inherently
+sequential.  We run Jacobi steps (all voxels update from the previous
+labeling): same fixed points, parallelizable, and the *single step* is
+exactly SQL-checkable.
+
+Scale notes: the neighbor join shuffles on (z,y,x) once per step; at
+real scale you'd partition by z-slab so the 6-neighbor join is
+node-local except the two halo faces.  The EM loop is driver-side
+control flow over distributed actions with per-iteration
+localCheckpoint to truncate lineage (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+
+Z, Y, X = 16, 32, 32
+NVOX = Z * Y * X
+BETA_NUM, BETA_DEN = 8, 5          # beta = 1.6 (report.pdf best run)
+VAR_M = 2500                        # fixed class variance (50 milli)^2
+MEANS_M = (340, 460, 700)           # planted ~ report's sorted means
+# energy*10v = 5*(inten-mu)^2 + 16*v*(#neighbors with label != k)
+_POTTS_W = 2 * VAR_M * BETA_NUM // BETA_DEN  # 16*v/10v scaling -> 8000... see _energy
+
+# Deterministic voxel volume, runnable verbatim on Spark SQL and DuckDB.
+VOXELS_SQL = f"""
+SELECT z, y, x,
+       CASE WHEN d2 < 64 THEN 340 WHEN d2 < 144 THEN 460
+            WHEN d2 < 256 THEN 700 ELSE 80 END
+       + (z * 73856093 + y * 19349663 + x * 83492791) % 97 - 48 AS inten_m,
+       d2 < 256 AS in_mask
+FROM (
+  SELECT z, y, x,
+         (z - 8) * (z - 8) * 4 + (y - 16) * (y - 16) + (x - 16) * (x - 16) AS d2
+  FROM (
+    SELECT CAST(FLOOR(id / {Y * X}) AS BIGINT) AS z,
+           CAST(FLOOR(id / {X}) AS BIGINT) % {Y} AS y,
+           id % {X} AS x
+    FROM range({NVOX}) AS r(id)
+  )
+)
+"""
+
+# Threshold init (stand-in for K-means labels so the ICM step is
+# deterministic and SQL-checkable; K-means itself is q_kmeans_init).
+_INIT_LABEL = "CASE WHEN inten_m < 400 THEN 0 WHEN inten_m < 580 THEN 1 ELSE 2 END"
+
+_NBR_OFFS = "(VALUES (1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1)) AS o(dz, dy, dx)"
+
+
+def _voxels(spark: SparkSession) -> DataFrame:
+    return spark.sql(VOXELS_SQL)
+
+
+@query(
+    "voxel_normalize",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL}),
+    m AS (SELECT * FROM vox WHERE in_mask),
+    p AS (
+      SELECT PERCENTILE_CONT(0.02) WITHIN GROUP (ORDER BY inten_m) AS p2,
+             PERCENTILE_CONT(0.98) WITHIN GROUP (ORDER BY inten_m) AS p98
+      FROM m
+    )
+    SELECT ROUND(FLOOR(((LEAST(GREATEST(CAST(inten_m AS DOUBLE), p2), p98) - p2)
+                 / (p98 - p2)) * 20) / 20, 2) AS norm_bucket,
+           COUNT(*) AS n
+    FROM m, p
+    GROUP BY 1
+    """,
+)
+def q_voxel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust 2-98% percentile clip + min-max normalize, as a histogram
+    (SURVEY F8/A7; ref brain_segmentation.py:67-73 robust_normalize).
+
+    The percentiles are two scalars (one reduce); the remap is pure
+    column arithmetic.  Bucketed output keeps the oracle compact.
+    """
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    p = vox.agg(
+        F.expr("percentile(inten_m, 0.02)").alias("p2"),
+        F.expr("percentile(inten_m, 0.98)").alias("p98"),
+    )
+    j = vox.crossJoin(F.broadcast(p))
+    clipped = F.least(F.greatest(F.col("inten_m").cast("double"), F.col("p2")), F.col("p98"))
+    norm = (clipped - F.col("p2")) / (F.col("p98") - F.col("p2"))
+    return (
+        j.select(F.round(F.floor(norm * 20) / 20, 2).alias("norm_bucket"))
+        .groupBy("norm_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "mstep_class_stats",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL})
+    SELECT {_INIT_LABEL} AS label,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(inten_m) AS DOUBLE) / COUNT(*), 6) AS mean_m,
+           ROUND(CAST(COUNT(*) * SUM(inten_m * inten_m) - SUM(inten_m) * SUM(inten_m) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)), 6) AS var_m
+    FROM vox WHERE in_mask
+    GROUP BY 1
+    """,
+)
+def q_mstep_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-step: per-class mean/variance (SURVEY A9; ref
+    brain_segmentation.py:174-186).  Variance via the integer identity
+    (n*Σx² - (Σx)²)/n² — exact rational, engine-independent."""
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    lbl = F.expr(_INIT_LABEL).alias("label")
+    n = F.count(F.lit(1))
+    s = F.sum("inten_m")
+    ss = F.sum(F.col("inten_m") * F.col("inten_m"))
+    return vox.groupBy(lbl).agg(
+        n.alias("n"),
+        F.round(s.cast("double") / n, 6).alias("mean_m"),
+        F.round((n * ss - s * s).cast("double") / (n.cast("double") * n), 6).alias("var_m"),
+    )
+
+
+_ICM_ORACLE = f"""
+WITH vox AS ({VOXELS_SQL}),
+lab AS (
+  SELECT z, y, x, inten_m, {_INIT_LABEL} AS label
+  FROM vox WHERE in_mask
+),
+nbr AS (
+  SELECT l.z, l.y, l.x,
+         COUNT(n.label) AS n_nbr,
+         COUNT(n.label) FILTER (WHERE n.label = 0) AS c0,
+         COUNT(n.label) FILTER (WHERE n.label = 1) AS c1,
+         COUNT(n.label) FILTER (WHERE n.label = 2) AS c2
+  FROM lab l
+  CROSS JOIN {_NBR_OFFS}
+  LEFT JOIN lab n ON n.z = l.z + o.dz AND n.y = l.y + o.dy AND n.x = l.x + o.dx
+  GROUP BY 1, 2, 3
+),
+energy AS (
+  SELECT l.z, l.y, l.x, l.label AS old_label,
+         5 * (l.inten_m - 340) * (l.inten_m - 340) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c0) AS e0,
+         5 * (l.inten_m - 460) * (l.inten_m - 460) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c1) AS e1,
+         5 * (l.inten_m - 700) * (l.inten_m - 700) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c2) AS e2
+  FROM lab l JOIN nbr b ON b.z = l.z AND b.y = l.y AND b.x = l.x
+)
+SELECT old_label,
+       CASE WHEN e0 <= e1 AND e0 <= e2 THEN 0
+            WHEN e1 <= e2 THEN 1 ELSE 2 END AS new_label,
+       COUNT(*) AS n
+FROM energy
+GROUP BY 1, 2
+"""
+
+
+@query("icm_step_transitions", oracle=_ICM_ORACLE)
+def q_icm_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Jacobi ICM step: MAP label update with Potts prior over the
+    6-neighborhood, reported as an old->new transition matrix
+    (SURVEY J3/U7; ref brain_segmentation.py:124-171).
+
+    Energy argmin multiplied through by 10*var so the comparison is
+    pure integer: 5*(I-mu_k)^2 + 2*var*beta_num*(#nbrs != k).  The
+    neighbor counts come from a 6-offset explode + self-equi-join —
+    the relational form of the reference's shifted-array sums.
+    """
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
+    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
+    l, nb = lab.alias("l"), lab.alias("n")
+    joined = (
+        l.crossJoin(F.broadcast(offs.alias("o")))
+        .join(
+            nb,
+            (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
+            & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
+            & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
+            "left",
+        )
+    )
+    cnt = joined.groupBy("l.z", "l.y", "l.x").agg(
+        F.count("n.label").alias("n_nbr"),
+        F.count(F.when(F.col("n.label") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("n.label") == 1, 1)).alias("c1"),
+        F.count(F.when(F.col("n.label") == 2, 1)).alias("c2"),
+    )
+    e = lab.alias("v").join(cnt.alias("b"), ["z", "y", "x"])
+    pw = 2 * VAR_M * BETA_NUM
+    es = []
+    for k, (mu, ck) in enumerate(zip(MEANS_M, ["c0", "c1", "c2"])):
+        d = F.col("inten_m") - mu
+        es.append((5 * d * d + pw * (F.col("n_nbr") - F.col(ck))).alias(f"e{k}"))
+    e = e.select(F.col("label").alias("old_label"), *es)
+    new_lbl = (
+        F.when((F.col("e0") <= F.col("e1")) & (F.col("e0") <= F.col("e2")), 0)
+        .when(F.col("e1") <= F.col("e2"), 1)
+        .otherwise(2)
+    )
+    return (
+        e.select("old_label", new_lbl.alias("new_label"))
+        .groupBy("old_label", "new_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "segmentation_convergence",
+    oracle=f"""
+    WITH t AS ({_ICM_ORACLE})
+    SELECT CAST(SUM(CASE WHEN old_label <> new_label THEN n ELSE 0 END) AS BIGINT) AS changed,
+           CAST(SUM(n) AS BIGINT) AS total,
+           ROUND(CAST(SUM(CASE WHEN old_label <> new_label THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n), 6) AS change_ratio
+    FROM t
+    """,
+)
+def q_segmentation_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence metric: changed-label count/ratio after one step
+    (SURVEY A15; ref brain_segmentation.py:307-315 stop_ratio)."""
+    t = q_icm_step_transitions(spark, sf_dir)
+    changed = F.sum(F.when(F.col("old_label") != F.col("new_label"), F.col("n")).otherwise(0))
+    total = F.sum("n")
+    return t.agg(
+        changed.cast("bigint").alias("changed"),
+        total.cast("bigint").alias("total"),
+        F.round(changed.cast("double") / total, 6).alias("change_ratio"),
+    )
+
+
+@query("kmeans_init")  # rows-only: iterative ML, not SQL-expressible
+def q_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means intensity init, classes ordered by mean (SURVEY U6/O3;
+    ref brain_segmentation.py:100-116 — sklearn KMeans(n_init=4,
+    random_state=0) there, pyspark.ml KMeans(seed=0) here).
+
+    Returns per-class (rank, center, n) with rank assigned ascending
+    by center so labels are order-stable like the reference's argsort
+    remap (brain_segmentation.py:109-116).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    feat = VectorAssembler(inputCols=["inten_m"], outputCol="features").transform(
+        vox.select(F.col("inten_m").cast("double"))
+    )
+    model = KMeans(k=3, seed=0, maxIter=20).fit(feat)
+    pred = model.transform(feat)
+    stats = (
+        pred.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("inten_m").alias("center"))
+        .orderBy("center")
+        .collect()
+    )
+    # tiny (K rows) driver-side remap, then back to a DataFrame
+    rows = [(rank, float(r.center), int(r.n)) for rank, r in enumerate(stats)]
+    return spark.createDataFrame(rows, "rank INT, center DOUBLE, n BIGINT")
+
+
+def hmrf_em(spark: SparkSession, n_iters: int = 3, stop_ratio: float = 0.01) -> DataFrame:
+    """Full HMRF-EM loop (ref brain_segmentation.py:274-318): driver-side
+    iteration over distributed Jacobi-ICM + M-step, with per-iteration
+    localCheckpoint to truncate lineage and an aggregate-driven early
+    stop — the Spark shape of the reference's convergence loop.
+    """
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
+    lab = lab.localCheckpoint()
+    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
+    params = list(MEANS_M)
+    total = lab.count()
+    for _ in range(n_iters):
+        l, nb = lab.alias("l"), lab.alias("n")
+        cnt = (
+            l.crossJoin(F.broadcast(offs.alias("o")))
+            .join(
+                nb,
+                (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
+                & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
+                & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
+                "left",
+            )
+            .groupBy("l.z", "l.y", "l.x")
+            .agg(
+                F.count("n.label").alias("n_nbr"),
+                *[F.count(F.when(F.col("n.label") == k, 1)).alias(f"c{k}") for k in range(3)],
+            )
+        )
+        e = lab.join(cnt, ["z", "y", "x"])
+        pw = 2 * VAR_M * BETA_NUM
+        es = [
+            (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
+             + pw * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
+            for k, mu in enumerate(params)
+        ]
+        e = e.select("z", "y", "x", "inten_m", "label", *es)
+        new_lbl = (
+            F.when((F.col("e0") <= F.col("e1")) & (F.col("e0") <= F.col("e2")), 0)
+            .when(F.col("e1") <= F.col("e2"), 1)
+            .otherwise(2)
+        )
+        nxt = e.select("z", "y", "x", "inten_m", F.col("label").alias("old"), new_lbl.alias("label"))
+        nxt = nxt.localCheckpoint()  # truncate lineage per iteration
+        changed = nxt.filter(F.col("old") != F.col("label")).count()
+        # M-step: re-estimate class means from the new labeling
+        stats = nxt.groupBy("label").agg(F.avg("inten_m").alias("m")).collect()
+        got = {int(r.label): float(r.m) for r in stats}
+        params = [got.get(k, params[k]) for k in range(3)]
+        lab = nxt.drop("old")
+        if changed / total < stop_ratio:
+            break
+    return lab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("inten_m"), 3).alias("mean_m"),
+    )
+
+
+@query("hmrf_em_segmentation")  # rows-only: iterative, driver-controlled loop
+def q_hmrf_em_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HMRF-EM (3 iterations or converged) — final per-class
+    voxel counts + means (the reference report's summary table)."""
+    return hmrf_em(spark)

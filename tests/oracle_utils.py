@@ -53,6 +53,12 @@ def compare(spark_df, duck_rel, name: str) -> list[str]:
     if sorted(sp.columns) != sorted(dk.columns):
         problems.append(f"{name}: schema mismatch spark={sorted(sp.columns)} duck={sorted(dk.columns)}")
         return problems
+    # dtype-kind parity: the driver's value-hash may be type-sensitive
+    # (int64 '22' vs float64 '22.0'), so don't let _canon paper over it.
+    for c in sp.columns:
+        ks, kd = sp[c].dtype.kind, dk[c].dtype.kind
+        if ks != kd and not sp[c].isna().any() and not dk[c].isna().any():
+            problems.append(f"{name}: dtype kind mismatch col={c} spark={sp[c].dtype} duck={dk[c].dtype}")
     if len(sp) != len(dk):
         problems.append(f"{name}: row count spark={len(sp)} duck={len(dk)}")
     a, b = normalize(sp), normalize(dk)

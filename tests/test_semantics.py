@@ -1,0 +1,119 @@
+"""Self-oracle semantic checks (SURVEY §5: planted ground truth).
+
+The reference's only real correctness oracle is synthetic data with an
+analytically known answer (demo_synthetic.py: planted motion must be
+recovered).  These tests assert the same invariants on our fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_assigment3_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_ORACLE
+
+_load_all()
+
+
+def test_block_match_recovers_planted_motion(spark):
+    """'moderate' clip square moves at (vy,vx)=(1,2) — full-search block
+    matching must find exactly that vector for blocks containing the
+    square (ref demo_synthetic.py:14-23 + motion_codec.py:83-90)."""
+    bm = REGISTRY["block_match_full"].fn(spark, SF_ORACLE)
+    # Compensation vector points back to the previous frame: the square
+    # translates by (vy,vx)=(1,2), so square blocks must win at exactly
+    # (dy,dx)=(-1,-2) with cost 0 (texture rides with the square);
+    # static background blocks must stay at (0,0) with cost 0.
+    rows = bm.collect()
+    moving = [r for r in rows if (r.dy, r.dx) != (0, 0)]
+    assert len(moving) > 0, "no moving blocks detected"
+    exact = [r for r in moving if r.cost == 0]
+    assert len(exact) > 0, "square interior should match exactly somewhere"
+    assert all((r.dy, r.dx) == (-1, -2) for r in exact), exact[:5]
+    # pure-background blocks match themselves exactly at (0,0); blocks
+    # straddling the square boundary may also settle at (0,0) with cost>0.
+    static_exact = [r for r in rows if (r.dy, r.dx) == (0, 0) and r.cost == 0]
+    assert len(static_exact) >= 200, len(static_exact)
+
+
+def test_psnr_high_on_exact_compensation(spark):
+    """Compensation with recovered vectors reconstructs the clip almost
+    exactly -> PSNR at/near the 99 dB clamp (ref motion_codec.py:270)."""
+    rows = REGISTRY["motion_psnr"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 15
+    assert sum(1 for r in rows if r.psnr >= 40) >= 10, sorted(r.psnr for r in rows)
+
+
+def test_illum_norm_kills_flicker(spark):
+    """Mean-normalized MAD must collapse on the flicker clip while raw
+    MAD sees the brightness flash (ref motion_codec.py:44-52 intent)."""
+    df = REGISTRY["illum_invariant_mad"].fn(spark, SF_ORACLE)
+    flick = df.filter(F.col("video_id") == "flicker").agg(
+        F.avg("mad_raw").alias("raw"), F.avg("mad_norm").alias("norm")
+    ).collect()[0]
+    assert flick.raw > 10, flick
+    assert flick.norm < 0.5, flick
+
+
+def test_decision_counts_route_by_motion(spark):
+    """Static clip pairs must not be HIGH; every clip classifies all
+    15 pairs (ref motion_codec.py:215-221)."""
+    rows = REGISTRY["motion_decision_counts"].fn(spark, SF_ORACLE).collect()
+    per_video = {}
+    for r in rows:
+        per_video.setdefault(r.video_id, {})[r.motion_class] = r.n
+    assert set(per_video) == {"low", "moderate", "high", "flicker"}
+    for vid, counts in per_video.items():
+        assert sum(counts.values()) == 15, (vid, counts)
+    assert per_video["low"].get("HIGH", 0) == 0, per_video["low"]
+
+
+def test_hough_peak_finds_planted_centers(spark):
+    """Vote peak must land on the planted circle center (±1 px) for the
+    five circle images and report NO_CIRCLE for the noise-only image
+    (ref hough_heart_detector.py:116-157 + FIXTURES.md §6)."""
+    rows = {r.image_id: r for r in REGISTRY["hough_peak"].fn(spark, SF_ORACLE).collect()}
+    assert len(rows) == 6
+    for img in range(5):
+        r = rows[img]
+        assert r.status == "OK", r
+        assert abs(r.cy - (20 + img * 2)) <= 1 and abs(r.cx - (24 + img * 3)) <= 1, r
+    assert rows[5].status == "NO_CIRCLE", rows[5]
+
+
+def test_candidate_score_recovers_circle_params(spark):
+    """Best-scoring candidate must be the planted (cy, cx, r=14) for
+    circle images (ref hough_heart_detector2.py:259-271 argmax)."""
+    rows = {r.image_id: r for r in REGISTRY["circle_candidate_score"].fn(spark, SF_ORACLE).collect()}
+    for img in range(5):
+        r = rows[img]
+        assert (r.cy0, r.cx0, r.r0) == (20 + img * 2, 24 + img * 3, 14), r
+
+
+def test_kmeans_recovers_planted_means(spark):
+    """K-means on the 3-shell volume must recover centers near the
+    planted milli-means 340/460/700, ordered ascending (ref
+    brain_segmentation.py:100-116 + report.pdf means)."""
+    rows = REGISTRY["kmeans_init"].fn(spark, SF_ORACLE).collect()
+    centers = [r.center for r in sorted(rows, key=lambda r: r.rank)]
+    assert len(centers) == 3
+    for got, want in zip(centers, (340, 460, 700)):
+        assert abs(got - want) < 30, (centers,)
+
+
+def test_hmrf_em_converges_to_planted_classes(spark):
+    """Full EM loop: final class means near planted values and all
+    three classes populated (report.pdf summary table shape)."""
+    rows = {r.label: r for r in REGISTRY["hmrf_em_segmentation"].fn(spark, SF_ORACLE).collect()}
+    assert set(rows) == {0, 1, 2}
+    for k, want in enumerate((340, 460, 700)):
+        assert abs(rows[k].mean_m - want) < 30, rows
+        assert rows[k].n > 100, rows
+
+
+def test_icm_step_denoises(spark):
+    """The Potts prior must flip some noisy labels but preserve the
+    bulk labeling (one step changes a small fraction)."""
+    r = REGISTRY["segmentation_convergence"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.total > 3000
+    assert 0 < r.changed < r.total * 0.2, r
