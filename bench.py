@@ -34,6 +34,13 @@ HEADLINE = [
     "rate_limit_window",
     "segment_derive",
     "json_extract",
+    "sessionize",
+    "block_match_full",
+    "hough_peak",
+    "icm_step_transitions",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
 ]
 
 

@@ -1,1 +1,273 @@
-"""(placeholder — filled in as operators land)"""
+"""Deduplication operators over ``documents`` — the LLM-data-pipeline
+dedup suite (BASELINE.json north star): exact, n-gram Jaccard,
+MinHash+LSH banding, and SimHash.
+
+All four are oracle-checked end-to-end because every hash is the
+portable md5-int56 (functions/hashing.py) and every score is an
+integer/integer rational.
+
+Scale design (the point of each variant):
+- exact: one hash-groupBy — the cheapest pass, runs first at 100 TB.
+- jaccard: char-16-gram shingles (stride 4) + shingle equi-join.
+  Frequent shingles (df > DF_CAP) are dropped before the join — the
+  standard guard that keeps the self-join from exploding on boilerplate.
+- minhash-LSH: J=8 signatures banded 4x2; only band-collision pairs
+  are verified — the sub-quadratic path; the band groupBy is the only
+  shuffle that grows with corpus size.
+- simhash: per-doc 24-bit sketch via bitwise majority vote of word
+  hashes; equal sketches = near-dup bucket, a pure groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5_int56_duck, md5_int56_spark
+from ..registry import query
+from ..sources import load_table
+
+K = 16        # char-shingle length
+STRIDE = 4
+MAXPOS = 150  # covers texts up to ~600 chars
+DF_CAP = 50   # drop shingles appearing in more docs than this
+J_HASH = 8    # minhash functions
+P = 1_000_000_007
+JACC_T = 0.5
+SIM_BITS = 24
+
+# ---- shared DuckDB CTEs ----------------------------------------------------
+_DUCK_SHINGLES = f"""
+positions AS (SELECT id AS i FROM range({MAXPOS}) AS r(id)),
+sh_all AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, 1 + p.i * {STRIDE}, {K}) AS sh
+  FROM documents d
+  JOIN positions p ON 1 + p.i * {STRIDE} + {K - 1} <= LEN(d.text)
+),
+sh_df AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {DF_CAP}),
+shingles AS (SELECT a.doc_id, a.sh FROM sh_all a JOIN sh_df USING (sh)),
+doc_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+_DUCK_JACCARD_PAIRS = f"""
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+  FROM common c
+  JOIN doc_sizes sa ON sa.doc_id = c.doc_a
+  JOIN doc_sizes sb ON sb.doc_id = c.doc_b
+)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct char-shingles with frequent-shingle pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
+    sh_all = (
+        docs.join(F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text"))
+        .select("doc_id", F.substring("text", F.lit(1) + F.col("i") * STRIDE, K).alias("sh"))
+        .distinct()
+    )
+    sh_df = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP)
+    return sh_all.join(sh_df.select("sh"), "sh")
+
+
+def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct_text,
+           COUNT(DISTINCT md5(substr(text, 1, 40))) AS n_distinct_prefix40,
+           COUNT(*) - COUNT(DISTINCT md5(substr(text, 1, 40))) AS n_prefix_dups
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/prefix dedup stats via hash count-distinct (the
+    dropDuplicates pass an LLM pipeline runs first).  The prefix-40
+    column exposes the planted near-duplicate groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.countDistinct(F.md5(F.substring("text", 1, 40))).alias("n_distinct_prefix40"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.substring("text", 1, 40)))).alias(
+            "n_prefix_dups"
+        ),
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_JACCARD_PAIRS}
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(jaccard, 6) AS jaccard
+    FROM jacc WHERE jaccard >= {JACC_T}
+    """,
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by char-16-gram Jaccard >= 0.5 — the
+    ground-truth (quadratic-ish) dedup the LSH variant approximates.
+    The shingle equi-join only pairs docs sharing an infrequent
+    shingle, so cost tracks true overlap, not corpus^2."""
+    jc = _jaccard_pairs_df(spark, sf_dir)
+    return jc.filter(F.col("jaccard") >= JACC_T).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_DUCK_MINHASH = f"""
+hashes AS (SELECT id AS j FROM range({J_HASH}) AS r(id)),
+sig AS (
+  SELECT s.doc_id, h.j,
+         MIN(((2 * h.j + 3) * {md5_int56_duck('s.sh')} + 7 * h.j + 1) % {P}) AS mh
+  FROM shingles s CROSS JOIN hashes h
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 2) AS BIGINT) AS band,
+         MIN(CASE WHEN j % 2 = 0 THEN mh END) * {P}
+         + MIN(CASE WHEN j % 2 = 1 THEN mh END) AS band_sig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH}, {_DUCK_JACCARD_PAIRS.lstrip().lstrip(',')}
+    SELECT c.doc_a, c.doc_b, ROUND(COALESCE(j.jaccard, 0), 6) AS jaccard,
+           COALESCE(j.jaccard, 0) >= {JACC_T} AS is_dup
+    FROM cand c LEFT JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(J=8) + LSH banding (4 bands x 2 rows): candidate pairs
+    from band collisions, then exact-Jaccard verification of only the
+    candidates — the sub-quadratic scale path for 100 TB dedup.
+
+    Signature: mh_j = min over shingles of ((2j+3)*h56(sh) + 7j+1) mod P.
+    All integer math -> bit-identical across engines.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    hashes = spark.range(J_HASH).select(F.col("id").alias("j"))
+    sh_int = F.expr(md5_int56_spark("sh"))
+    sig = (
+        sh.crossJoin(F.broadcast(hashes))
+        .select("doc_id", "j", (((2 * F.col("j") + 3) * sh_int + 7 * F.col("j") + 1) % P).alias("hv"))
+        .groupBy("doc_id", "j")
+        .agg(F.min("hv").alias("mh"))
+    )
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("j") / 2).cast("bigint").alias("band")
+    ).agg(
+        (
+            F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))) * P
+            + F.min(F.when(F.col("j") % 2 == 1, F.col("mh")))
+        ).alias("band_sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jacc = _jaccard_pairs_df(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    return cand.join(jacc, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
+        (F.coalesce("jaccard", F.lit(0.0)) >= JACC_T).alias("is_dup"),
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '),
+                     x -> x <> ''))) AS word
+      FROM documents
+    ),
+    bits AS (SELECT id AS b, CAST(POWER(2, id) AS BIGINT) AS p2
+             FROM range({SIM_BITS}) AS r(id)),
+    votes AS (
+      SELECT w.doc_id, bits.b, bits.p2,
+             SUM(CASE WHEN {md5_int56_duck('w.word')} % (2 * bits.p2) >= bits.p2
+                      THEN 1 ELSE -1 END) AS v
+      FROM w CROSS JOIN bits
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit SimHash per document: bitwise majority vote over word
+    hashes.  Near-dups land in equal buckets — dedup becomes a plain
+    groupBy on the sketch (constant state per doc at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = docs.select("doc_id", F.explode(words).alias("word"))
+    bits = spark.range(SIM_BITS).select(
+        F.col("id").alias("b"), F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("p2")
+    )
+    h = F.expr(md5_int56_spark("word"))
+    # exact bit test: h % 2^(b+1) >= 2^b (double division would lose
+    # low bits of a 56-bit hash)
+    bit = (h % (2 * F.col("p2"))) >= F.col("p2")
+    votes = (
+        w.crossJoin(F.broadcast(bits))
+        .select("doc_id", "b", "p2", F.when(bit, 1).otherwise(-1).alias("vote"))
+        .groupBy("doc_id", "b", "p2")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.col("p2")).otherwise(0)).cast("bigint").alias("simhash")
+    )

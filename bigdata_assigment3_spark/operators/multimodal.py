@@ -1,1 +1,156 @@
-"""(placeholder — filled in as operators land)"""
+"""Multimodal-column operators: opaque binary payloads + typed
+metadata, decode / feature-extract as Arrow-batched pandas UDFs over
+``mapInPandas`` (BASELINE.json north star; SURVEY S7/S8/U1-U4).
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic STUB (_fake_decode) — but the Spark-side
+plumbing is real and tested: binaryFile directory scan with glob
+filter + path exclusion + ordering (the reference's folder scan,
+hough_heart_detector.py:227-236), BinaryType columns with metadata
+structs, Arrow batch iteration, and partition-parallel feature
+extraction.  Swapping _fake_decode for cv2/pydicom is a one-function
+change (ref hough_heart_detector.py:34-84 raster/DICOM decode).
+
+Scale notes: binaryFile splits by file; mapInPandas streams Arrow
+batches so a 10 TB image corpus never materializes per-executor; the
+feature aggregation is an ordinary groupBy afterwards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ..sources import load_table
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: derives deterministic (height, width, channels)
+    from the payload hash.  Replace with cv2.imdecode / pydicom
+    (ref hough_heart_detector.py:36-80) in a codec-equipped image.
+    """
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 48, 16 + h[1] % 48, (1, 3)[h[2] % 2]
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+
+@query("multimodal_decode")  # rows-only: pandas-UDF pipeline, not SQL
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingestion + batch decode: documents' text re-encoded as
+    an opaque BinaryType payload (stand-in for image bytes), decoded
+    per Arrow batch via mapInPandas into typed metadata (SURVEY S8/U1).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+
+    # NOTE: the closure must be fully self-contained (stdlib-only refs):
+    # Spark Python workers don't have this repo on their sys.path when
+    # the driver imports us via a path hack, so referencing any
+    # module-level symbol of this package breaks unpickling there.
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_decode(payload: bytes) -> tuple[int, int, int]:
+            # mirrors module-level _fake_decode (the documented stub)
+            h = _hl.md5(payload).digest()
+            return 16 + h[0] % 48, 16 + h[1] % 48, (1, 3)[h[2] % 2]
+
+        for pdf in batches:
+            metas = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "height": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "content_hash": [
+                        hashlib.md5(bytes(p)).hexdigest()[:16] for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+@query("multimodal_features")  # rows-only: pandas-UDF pipeline
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature extraction (byte-histogram entropy-ish
+    stats, the stand-in for resize/embed), then relational
+    aggregation per source — UDF only where SQL can't reach, agg
+    stays JVM-side (SURVEY U2-U4 shape)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_distinct_bytes", IntegerType()),
+            StructField("max_byte_freq", IntegerType()),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source, p in zip(pdf["doc_id"], pdf["source"], pdf["payload"]):
+                b = bytes(p)
+                counts: dict[int, int] = {}
+                for ch in b:
+                    counts[ch] = counts.get(ch, 0) + 1
+                rows.append(
+                    (int(doc_id), source, len(counts), max(counts.values()) if counts else 0)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "source", "n_distinct_bytes", "max_byte_freq"])
+
+    f = docs.mapInPandas(feats, schema)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_distinct_bytes"), 4).alias("avg_distinct_bytes"),
+        F.max("max_byte_freq").alias("max_byte_freq"),
+    )
+
+
+@query("binary_dir_scan")  # rows-only: filesystem-dependent
+def q_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory scan as a source: binaryFile over the sf_dir parquet
+    files with glob filter, name-token exclusion, and path ordering —
+    the reference's folder-scan semantics (SURVEY S7;
+    hough_heart_detector.py:227-236) on a real filesystem."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .filter(~F.col("path").rlike("panel|bestsofar|overlay"))  # ref's skip tokens
+        .orderBy("path")
+    )
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.length(F.col("content")).cast("bigint").alias("content_len"),
+    )

@@ -1,1 +1,192 @@
-"""(placeholder — filled in as operators land)"""
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: array<float>, label) — ANN for LLM-data pipelines
+(BASELINE.json north star).
+
+Brute-force cosine top-k is the oracle-checked baseline; the scale
+paths are LSH-bucketed variants (pyspark.ml BucketedRandomProjection,
+rows-only — iterative/model-based, not SQL-expressible).
+
+Cross-engine exactness trick: elements are quantized to integer
+milli-units (round(x*1000)) so dot products and norms are exact
+BIGINTs in both engines; only the final cosine division is floating
+point, on identical inputs.
+
+Scale notes: brute force is queries x corpus — fine for a broadcast
+query set (the common "probe batch vs 100 TB corpus" shape: corpus
+scan stays embarrassingly parallel, no shuffle).  For corpus x corpus
+use the LSH variant: bucketing turns the cross join into a per-bucket
+join, the classic IVF/LSH trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % STRIDE == 0 -> probe set scales with corpus
+
+_QUANT_SPARK = "transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))"
+
+_DUCK_QUANT_PAIRS = f"""
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
+         unnest(list_transform(q.embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))) AS ea,
+         unnest(list_transform(v.embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))) AS eb
+  FROM q, embeddings v
+  WHERE q.vec_id <> v.vec_id
+),
+dots AS (
+  SELECT query_id, cand_id,
+         SUM(ea * eb) AS dot, SUM(ea * ea) AS na2, SUM(eb * eb) AS nb2
+  FROM pairs GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_DUCK_QUANT_PAIRS}
+    SELECT query_id, cand_id, rank, cosine FROM (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2) DESC,
+                           cand_id) AS BIGINT) AS rank,
+             ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
+      FROM dots WHERE na2 > 0 AND nb2 > 0
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: probe set (vec_id % 50 = 0) against
+    the full corpus, exact integer dot products, rank window with
+    deterministic tie-break.
+
+    The corpus side never shuffles — dot products are computed where
+    the data lives; only the tiny (query, cand, score) triples move.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+    q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("eq")
+    )
+    v = quant.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"))
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("cand_id"))
+    dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+    na2 = F.expr("aggregate(transform(eq, x -> x * x), 0L, (a, b) -> a + b)")
+    nb2 = F.expr("aggregate(transform(ev, x -> x * x), 0L, (a, b) -> a + b)")
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (dot.cast("double") / F.sqrt(na2.cast("double") * nb2)).alias("cos_raw"),
+    ).filter(F.col("cos_raw").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "embedding_cluster_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(list_sum(list_transform(embedding,
+                x -> CAST(ROUND(x * 1000) AS BIGINT)
+                     * CAST(ROUND(x * 1000) AS BIGINT)))) AS BIGINT) AS sum_norm2_milli,
+           CAST(SUM(CAST(ROUND(embedding[1] * 1000) AS BIGINT)) AS BIGINT) AS sum_dim0_milli
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster profile over the planted labels: counts, exact
+    integer norm sums — the sanity stats an ANN index build logs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.expr(
+        "aggregate(transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)"
+        " * CAST(ROUND(x * 1000) AS BIGINT)), 0L, (a, b) -> a + b)"
+    )
+    dim0 = F.expr("CAST(ROUND(element_at(embedding, 1) * 1000) AS BIGINT)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(norm2).cast("bigint").alias("sum_norm2_milli"),
+        F.sum(dim0).cast("bigint").alias("sum_dim0_milli"),
+    )
+
+
+@query("ann_lsh_bucketed")  # rows-only: model-based (random hyperplanes)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate neighbor join via pyspark.ml
+    BucketedRandomProjectionLSH (seeded): the sub-quadratic scale path.
+    Returns per-query candidate counts + best Euclidean distance;
+    verified against brute force in tests (recall check), rows-only
+    for the driver (model-based, not SQL-expressible).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    joined = model.approxSimilarityJoin(q, emb, 1.5, distCol="dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("cand_id"),
+            F.col("dist"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.round(F.min("dist"), 4).alias("best_dist"),
+        )
+    )
+
+
+@query("embedding_kmeans_purity")  # rows-only: iterative ML
+def q_embedding_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over embeddings vs the planted labels: per-cluster size
+    and majority-label purity — the clustering-quality report of an
+    IVF index build (rows-only; iterative)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    feat = emb.select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_labels, seed=0, maxIter=20).fit(feat)
+    pred = model.transform(feat)
+    per = pred.groupBy("prediction", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("prediction").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .groupBy("prediction")
+        .agg(
+            F.sum("n").alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("majority_n"),
+            F.max(F.when(F.col("rn") == 1, F.col("label"))).alias("majority_label"),
+        )
+        .select(
+            F.col("prediction").cast("bigint").alias("cluster"),
+            "cluster_size",
+            "majority_label",
+            F.round(F.col("majority_n").cast("double") / F.col("cluster_size"), 4).alias("purity"),
+        )
+    )

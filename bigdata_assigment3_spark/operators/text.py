@@ -1,1 +1,185 @@
-"""(placeholder — filled in as operators land)"""
+"""Text-analysis operators over the ``documents`` table — the
+LLM-data-pipeline surface (BASELINE.json north star): quality scoring,
+token counting, language profiling, document fingerprinting.
+
+No reference analog (the reference has no text analytics); designed
+Spark-first: everything is column expressions / lambda higher-order
+functions (filter/aggregate over split arrays) — JVM-side, no Python
+UDFs, so the hot path whole-stage-codegens and scales linearly with
+document count.
+
+Cross-engine exactness: ratios are integer/integer rationals; word
+hashes use the portable md5-int56 (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5_int56_duck, md5_int56_spark
+from ..registry import query
+from ..sources import load_table
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             LEN(text) AS n_chars_actual,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars_actual,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+           ROUND(CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                 / len(words), 6) AS stop_ratio,
+           ROUND(CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE) / len(words), 6) AS avg_word_len
+    FROM w WHERE len(words) > 0
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, word count, stopword
+    ratio, mean word length — the standard LLM-corpus quality gates.
+
+    Higher-order functions (filter over the split array) keep this
+    JVM-side; at 100 TB it's a pure map stage, no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(words, lambda x: x.isin(*_STOPWORDS))
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(stops).cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+    ).filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars_actual",
+        "n_words",
+        "n_stop",
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6).alias("stop_ratio"),
+        F.round(F.col("n_nonspace").cast("double") / F.col("n_words"), 6).alias("avg_word_len"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_tokens,
+           CAST(SUM(LEN(text)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(LEN(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text, '[a-z0-9]+'))), 6) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization + per-language token accounting (the
+    BPE-ish pre-tokenizer pass of an LLM pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    return (
+        docs.select("lang", F.length("text").alias("len"), toks.alias("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("len").cast("bigint").alias("n_chars"),
+            F.round(F.sum("len").cast("double") / F.sum("toks"), 6).alias("chars_per_token"),
+        )
+    )
+
+
+@query(
+    "lang_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_declared_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile per language (coverage/mixing stats
+    a pretraining pipeline reports before sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_declared_chars"
+        ),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+@query(
+    "langid_heuristic",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(list_filter(string_split(text, ' '),
+                            x -> x <> ''), x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '), x -> x <> '')) >= 0.08
+                  THEN 'en_like' ELSE 'other' END AS pred
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    )
+    SELECT lang, pred, COUNT(*) AS n FROM s GROUP BY lang, pred
+    """,
+)
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic (n-gram/stopword scoring
+    — the cheap first-pass filter before a real classifier), reported
+    as a (declared lang x predicted) contingency table."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(words, lambda x: x.isin(*_STOPWORDS))
+    ratio = F.size(stops).cast("double") / F.size(words)
+    pred = F.when(ratio >= 0.08, "en_like").otherwise("other")
+    return (
+        docs.filter(F.size(words) > 0)
+        .select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '),
+                     x -> x <> ''))) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM({md5_int56_duck('word')} % 1000003) % 1000000007 AS BIGINT) AS fingerprint
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint (content hash for
+    cheap dedup bucketing): sum of word hashes mod a prime.  Uses the
+    portable md5-int56 so Spark and DuckDB agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    exploded = docs.select("doc_id", F.explode(words).alias("word"))
+    h = F.expr(md5_int56_spark("word"))
+    return exploded.groupBy("doc_id").agg(
+        (F.sum(h % 1000003) % 1000000007).cast("bigint").alias("fingerprint")
+    )

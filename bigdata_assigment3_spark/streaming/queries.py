@@ -1,1 +1,169 @@
-"""(placeholder)"""
+"""Structured Streaming operators (SURVEY §2.9; reference:
+Rest_webservice/app/middleware.py + app/rate_limit.py).
+
+The reference's streaming-shaped components — the per-request append
+log (ST1) and the fixed-window rate limiter with key TTL (ST2) — are
+expressed as real Structured Streaming jobs: parquet readStream →
+windowed aggregation (+ watermark = the reference's ``per*2`` TTL,
+app/rate_limit.py:40) → memory sink, driven to completion with an
+availableNow trigger so results are deterministic and oracle-checked
+against the batch semantics.
+
+Sessionization (ST3's ordered-stateful shape) ships as the batch
+window form (lag + gap-cumsum); `session_window` is its streaming
+twin.
+
+Scale notes: in production the source is Kafka/files-on-arrival and
+the sink is parquet append; state size is bounded by the watermark
+horizon exactly like the reference's TTL bounds its bucket dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+_SESSION_GAP_S = 7200  # 2h
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source (schema from a batch probe)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    _ = batch  # schema parity anchor
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_window_counts",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+           user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-user counts as a real streaming job
+    (ST1/ST2; ref app/rate_limit.py:31-53).  availableNow drains the
+    source and terminates, so the complete-mode result equals the
+    batch window aggregation — which is exactly the oracle."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "2 days")
+    agg = ev.groupBy(F.window("ts", "1 day"), "user_id").agg(F.count(F.lit(1)).alias("n"))
+    _run_to_memory(agg, "stream_window_counts_sink")
+    out = spark.table("stream_window_counts_sink")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "user_id",
+        "n",
+    )
+
+
+@query(
+    "stream_type_totals",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type totals as a streaming aggregation (ST1 metrics
+    over the request log; ref app/middleware.py:18-29)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3)
+        .cast("double")
+        .alias("total_value"),
+    )
+    _run_to_memory(agg, "stream_type_totals_sink")
+    return spark.table("stream_type_totals_sink")
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT)
+                     > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM l
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           CAST(MAX(cnt) AS BIGINT) AS max_session_events
+    FROM (
+      SELECT user_id, session_id, COUNT(*) AS cnt
+      FROM sessions GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 2h starts a new session (lag + cumulative
+    sum — the batch form of ST3's per-key ordered state; streaming
+    twin is session_window/applyInPandasWithState)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > _SESSION_GAP_S
+            ),
+            1,
+        ).otherwise(0)
+    )
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("cnt").cast("bigint").alias("max_session_events"),
+    )

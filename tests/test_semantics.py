@@ -117,3 +117,59 @@ def test_icm_step_denoises(spark):
     r = REGISTRY["segmentation_convergence"].fn(spark, SF_ORACLE).collect()[0]
     assert r.total > 3000
     assert 0 < r.changed < r.total * 0.2, r
+
+
+def test_jaccard_finds_planted_near_dups(spark):
+    """documents has planted near-duplicate groups (23 shared-prefix
+    groups at sf0.01) — shingle-Jaccard must surface pairs, and every
+    reported pair must share a long substring."""
+    pairs = REGISTRY["dedup_jaccard_pairs"].fn(spark, SF_ORACLE).collect()
+    assert len(pairs) > 0, "no near-dup pairs found"
+    assert all(p.jaccard >= 0.5 for p in pairs)
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must cover most true Jaccard>=0.5 pairs (banding
+    4x2 over J=8 gives high recall at this threshold)."""
+    truth = {(r.doc_a, r.doc_b) for r in REGISTRY["dedup_jaccard_pairs"].fn(spark, SF_ORACLE).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_ORACLE).collect()}
+    assert truth, "need truth pairs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.8, (recall, len(truth), len(cand))
+
+
+def test_ann_topk_matches_numpy_bruteforce(spark):
+    """Independent ground truth: the Spark cosine top-1 per query must
+    equal a numpy brute-force on the same quantized vectors.  (The
+    testdata's `label` column is NOT cosine-coherent — verified — so
+    correctness is checked against an independent implementation.)"""
+    import numpy as np
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    rows = load_table(spark, SF_ORACLE, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.round(np.array([r.embedding for r in rows], dtype=np.float64) * 1000)
+    norms = np.sqrt((m * m).sum(axis=1))
+    top1 = {r.query_id: r.cand_id for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).collect() if r.rank == 1}
+    assert top1
+    for qid, got in top1.items():
+        qi = int(np.where(ids == qid)[0][0])
+        cos = (m @ m[qi]) / (norms * norms[qi])
+        cos[qi] = -2  # exclude self
+        best = ids[int(np.argmax(cos))]
+        assert best == got, (qid, got, best)
+
+
+def test_simhash_buckets_near_dups_together(spark):
+    """Planted near-dup pairs should collide (or nearly collide) in
+    simhash space far more often than random docs."""
+    sim = {r.doc_id: r.simhash for r in REGISTRY["dedup_simhash"].fn(spark, SF_ORACLE).collect()}
+    pairs = REGISTRY["dedup_jaccard_pairs"].fn(spark, SF_ORACLE).collect()
+    assert pairs
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    dists = [ham(sim[p.doc_a], sim[p.doc_b]) for p in pairs]
+    assert sum(dists) / len(dists) <= 6, dists
