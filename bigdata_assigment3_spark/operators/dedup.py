@@ -21,6 +21,7 @@ Scale design (the point of each variant):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
@@ -36,10 +37,15 @@ JACC_T = 0.5
 SIM_BITS = 24
 
 # ---- shared DuckDB CTEs ----------------------------------------------------
+# Shingles are hashed to int56 at creation: all downstream set ops
+# (distinct, df-prune, intersection counts, minhash) run on integers,
+# which shuffles ~3x less than 16-char strings.  56-bit space makes
+# collisions irrelevant at any realistic corpus size.
 _DUCK_SHINGLES = f"""
 positions AS (SELECT id AS i FROM range({MAXPOS}) AS r(id)),
 sh_all AS (
-  SELECT DISTINCT d.doc_id, substr(d.text, 1 + p.i * {STRIDE}, {K}) AS sh
+  SELECT DISTINCT d.doc_id,
+         {md5_int56_duck(f"substr(d.text, 1 + p.i * {STRIDE}, {K})")} AS sh
   FROM documents d
   JOIN positions p ON 1 + p.i * {STRIDE} + {K - 1} <= LEN(d.text)
 ),
@@ -65,16 +71,28 @@ jacc AS (
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) distinct char-shingles with frequent-shingle pruning."""
+    """(doc_id, sh:int56) distinct hashed shingles, df-pruned.
+
+    Shingles hash to integers immediately (see _DUCK_SHINGLES note);
+    the df-prune is a window count (one shuffle, no join-back).
+    Persisted: minhash reuses this subtree for signatures + both
+    sides of the candidate-verify join.
+    """
     docs = load_table(spark, sf_dir, "documents")
     pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
+    shingle_str = f"substring(text, 1 + i * {STRIDE}, {K})"
     sh_all = (
         docs.join(F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text"))
-        .select("doc_id", F.substring("text", F.lit(1) + F.col("i") * STRIDE, K).alias("sh"))
+        .select("doc_id", F.expr(md5_int56_spark(shingle_str)).alias("sh"))
         .distinct()
     )
-    sh_df = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP)
-    return sh_all.join(sh_df.select("sh"), "sh")
+    w = Window.partitionBy("sh")
+    return (
+        sh_all.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
+        .persist()
+    )
 
 
 def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +172,7 @@ _DUCK_MINHASH = f"""
 hashes AS (SELECT id AS j FROM range({J_HASH}) AS r(id)),
 sig AS (
   SELECT s.doc_id, h.j,
-         MIN(((2 * h.j + 3) * {md5_int56_duck('s.sh')} + 7 * h.j + 1) % {P}) AS mh
+         MIN(((2 * h.j + 3) * s.sh + 7 * h.j + 1) % {P}) AS mh
   FROM shingles s CROSS JOIN hashes h
   GROUP BY 1, 2
 ),
@@ -191,10 +209,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles_df(spark, sf_dir)
     hashes = spark.range(J_HASH).select(F.col("id").alias("j"))
-    sh_int = F.expr(md5_int56_spark("sh"))
     sig = (
         sh.crossJoin(F.broadcast(hashes))
-        .select("doc_id", "j", (((2 * F.col("j") + 3) * sh_int + 7 * F.col("j") + 1) % P).alias("hv"))
+        .select(
+            "doc_id",
+            "j",
+            (((2 * F.col("j") + 3) * F.col("sh") + 7 * F.col("j") + 1) % P).alias("hv"),
+        )
         .groupBy("doc_id", "j")
         .agg(F.min("hv").alias("mh"))
     )
@@ -217,7 +238,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jacc = _jaccard_pairs_df(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    # Verify ONLY candidate pairs (the point of LSH: never touch the
+    # full pair space).  cand is small -> broadcast both verify joins.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        F.broadcast(cand)
+        .join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
     return cand.join(jacc, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",

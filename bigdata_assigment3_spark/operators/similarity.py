@@ -71,19 +71,22 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data lives; only the tiny (query, cand, score) triples move.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+    norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
+    # norms are per-vector, not per-pair: compute them once on each
+    # side before the join (halves the per-pair flops vs naive).
+    quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e")).withColumn("n2", norm2)
     q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("eq")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("eq"), F.col("n2").alias("na2")
     )
-    v = quant.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"))
+    v = quant.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"), F.col("n2").alias("nb2")
+    )
     pairs = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("cand_id"))
     dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
-    na2 = F.expr("aggregate(transform(eq, x -> x * x), 0L, (a, b) -> a + b)")
-    nb2 = F.expr("aggregate(transform(ev, x -> x * x), 0L, (a, b) -> a + b)")
     scored = pairs.select(
         "query_id",
         "cand_id",
-        (dot.cast("double") / F.sqrt(na2.cast("double") * nb2)).alias("cos_raw"),
+        (dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))).alias("cos_raw"),
     ).filter(F.col("cos_raw").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
     return (

@@ -1,0 +1,44 @@
+"""Physical-plan inspection helpers.
+
+The judge of an operator isn't "returns right rows" but "returns right
+rows with the plan you'd want at 100 TB": filters pushed into the
+scan, dim tables broadcast, no accidental cartesian products, wide
+whole-stage-codegen spans.  These helpers make those properties
+assertable in tests instead of eyeballed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def plan_summary(df: DataFrame) -> dict[str, int | bool]:
+    """Counts of the plan features that matter for scale review."""
+    plan = formatted_plan(df)
+    return {
+        "broadcast_joins": plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffles": plan.count("Exchange"),
+        "cartesian": plan.count("CartesianProduct"),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan.split("PushedFilters: [", 1)[0],
+        "codegen_stages": plan.count("WholeStageCodegen"),
+        "python_eval": plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython")
+        + plan.count("MapInPandas"),
+    }
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if some scan's PushedFilters contains ``fragment``."""
+    plan = formatted_plan(df)
+    for part in plan.split("PushedFilters: [")[1:]:
+        if fragment in part.split("]", 1)[0]:
+            return True
+    return False

@@ -116,7 +116,7 @@ def q_stream_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN prev IS NULL
-                  OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT)
+                  OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev)) AS BIGINT)
                      > {_SESSION_GAP_S}
                   THEN 1 ELSE 0 END AS new_sess
       FROM l

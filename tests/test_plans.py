@@ -1,0 +1,77 @@
+"""Physical-plan assertions: correctness tests prove the rows; these
+prove the rows are produced by a plan that survives a 100x scale-up
+(SURVEY §4.3 / task brief 'explain and iterate')."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_assigment3_spark.plans.explain import formatted_plan, has_pushed_filter, plan_summary
+from bigdata_assigment3_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_ORACLE
+
+_load_all()
+
+
+def _plan(spark, name):
+    return REGISTRY[name].fn(spark, SF_ORACLE)
+
+
+def test_point_lookup_pushes_predicate(spark):
+    """The PK equality must reach the parquet scan (row-group skipping)."""
+    assert has_pushed_filter(_plan(spark, "point_lookup"), "EqualTo(event_id,123)")
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    df = _plan(spark, "pricing_summary")
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_dim_joins_broadcast(spark):
+    """Q3/Q5 shapes: dimension sides must broadcast — a shuffled dim
+    join at 100 TB wastes a full fact-table exchange."""
+    for name in ("top_revenue_orders", "region_revenue", "upsert_merge", "delete_anti_join"):
+        s = plan_summary(_plan(spark, name))
+        assert s["broadcast_joins"] >= 1, (name, s)
+        assert s["cartesian"] == 0, (name, s)
+
+
+def test_no_cartesian_anywhere(spark):
+    """No registered relational query may degrade to CartesianProduct
+    (broadcast nested-loop against a tiny generator table is fine)."""
+    for name, spec in REGISTRY.items():
+        if name in ("hmrf_em_segmentation", "kmeans_init", "ann_lsh_bucketed",
+                    "embedding_kmeans_purity", "stream_window_counts", "stream_type_totals",
+                    "multimodal_decode", "multimodal_features", "binary_dir_scan"):
+            continue  # iterative/streaming/UDF paths checked elsewhere
+        s = plan_summary(spec.fn(spark, SF_ORACLE))
+        assert s["cartesian"] == 0, (name, s)
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject, not a
+    global sort."""
+    plan = formatted_plan(_plan(spark, "features_topk"))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_aggregates_are_partial(spark):
+    """Hash aggregates must run partial+final (map-side combine):
+    two HashAggregate nodes per aggregation."""
+    plan = formatted_plan(_plan(spark, "pricing_summary"))
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_text_hot_path_stays_jvm_side(spark):
+    """Text analytics must not fall back to Python eval — higher-order
+    functions keep it in codegen."""
+    for name in ("text_quality", "token_counts", "doc_fingerprint", "dedup_simhash"):
+        s = plan_summary(_plan(spark, name))
+        assert s["python_eval"] == 0, (name, s)
+
+
+def test_projection_prunes_scan(spark):
+    """A 4-column projection must not read all 6 event columns."""
+    plan = formatted_plan(_plan(spark, "point_lookup"))
+    scan = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in scan and "ts" not in scan, scan
