@@ -175,3 +175,90 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     back = spark.read.parquet(out_dir)
     return back.select("event_type", "n", "total")
+
+
+@query(
+    "correlated_above_brand_avg",
+    oracle="""
+    SELECT p.p_partkey AS partkey, p.p_brand AS brand,
+           CAST(p.p_retailprice AS DOUBLE) AS price
+    FROM part p
+    WHERE p.p_retailprice > 1.15 * (
+        SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def q_correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2/Q17 shape): parts priced
+    >15% above their brand average.  Catalyst decorrelates this into
+    an aggregate + equi-join — asserting the declarative form is
+    enough; no manual two-phase rewrite needed."""
+    register_views = __import__(
+        "bigdata_assigment3_spark.sources", fromlist=["register_views"]
+    ).register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p.p_partkey AS partkey, p.p_brand AS brand,
+               CAST(p.p_retailprice AS DOUBLE) AS price
+        FROM part p
+        WHERE p.p_retailprice > 1.15 * (
+            SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+    """)
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 3) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated average over the fact table itself
+    (decorrelated by Catalyst into a partial agg + join — the manual
+    alternative would double-scan lineitem)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 3) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+    """)
+
+
+@query("csv_json_roundtrip")  # rows-only: writes local temp files
+def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage (SURVEY S13 + sources table): the same
+    aggregate written to CSV (header, explicit schema on read — never
+    inferSchema in production) and JSON lines, read back and joined;
+    returns rows where the two round-trips agree (must be all)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    base = os.path.join(tempfile.gettempdir(), "bd3_fmt_roundtrip")
+    agg.write.mode("overwrite").option("header", True).csv(base + "_csv")
+    agg.write.mode("overwrite").json(base + "_json")
+    csv_back = spark.read.option("header", True).schema("event_type STRING, n BIGINT").csv(
+        base + "_csv"
+    )
+    json_back = spark.read.schema("event_type STRING, n BIGINT").json(base + "_json")
+    return (
+        csv_back.alias("c")
+        .join(json_back.alias("j"), "event_type")
+        .filter(F.col("c.n") == F.col("j.n"))
+        .select("event_type", F.col("c.n").alias("n"))
+    )

@@ -337,3 +337,92 @@ def q_hmrf_em_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end HMRF-EM (3 iterations or converged) — final per-class
     voxel counts + means (the reference report's summary table)."""
     return hmrf_em(spark)
+
+
+_POSTERIOR_ORACLE = f"""
+WITH vox AS ({VOXELS_SQL}),
+lab AS (
+  SELECT z, y, x, inten_m, {_INIT_LABEL} AS label
+  FROM vox WHERE in_mask
+),
+nbr AS (
+  SELECT l.z, l.y, l.x,
+         COUNT(n.label) AS n_nbr,
+         COUNT(n.label) FILTER (WHERE n.label = 0) AS c0,
+         COUNT(n.label) FILTER (WHERE n.label = 1) AS c1,
+         COUNT(n.label) FILTER (WHERE n.label = 2) AS c2
+  FROM lab l
+  CROSS JOIN {_NBR_OFFS}
+  LEFT JOIN lab n ON n.z = l.z + o.dz AND n.y = l.y + o.dy AND n.x = l.x + o.dx
+  GROUP BY 1, 2, 3
+),
+energy AS (
+  SELECT l.z, l.y, l.x,
+         (5 * (l.inten_m - 340) * (l.inten_m - 340) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c0)) AS e0,
+         (5 * (l.inten_m - 460) * (l.inten_m - 460) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c1)) AS e1,
+         (5 * (l.inten_m - 700) * (l.inten_m - 700) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c2)) AS e2
+  FROM lab l JOIN nbr b ON b.z = l.z AND b.y = l.y AND b.x = l.x
+),
+soft AS (
+  SELECT z, y, x,
+         EXP(-CAST(e0 - LEAST(e0, e1, e2) AS DOUBLE) / {10.0 * VAR_M * 1000}) AS w0,
+         EXP(-CAST(e1 - LEAST(e0, e1, e2) AS DOUBLE) / {10.0 * VAR_M * 1000}) AS w1,
+         EXP(-CAST(e2 - LEAST(e0, e1, e2) AS DOUBLE) / {10.0 * VAR_M * 1000}) AS w2
+  FROM energy
+)
+SELECT z, y, x,
+       ROUND(w0 / (w0 + w1 + w2), 5) AS p0,
+       ROUND(w1 / (w0 + w1 + w2), 5) AS p1,
+       ROUND(w2 / (w0 + w1 + w2), 5) AS p2
+FROM soft
+"""
+
+
+@query("posterior_softmax", oracle=_POSTERIOR_ORACLE)
+def q_posterior_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-voxel class posterior (SURVEY U9/F9; ref
+    brain_segmentation.py:213-244 posterior maps): softmax of the
+    negated ICM energies, max-shifted for numerical stability.
+
+    Pure column expressions (exp/normalize) — no UDF; the only
+    cross-engine risk is 1-ulp libm exp drift, absorbed by round(5)
+    at the row level (no float aggregation anywhere).
+    """
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
+    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
+    l, nb = lab.alias("l"), lab.alias("n")
+    cnt = (
+        l.crossJoin(F.broadcast(offs.alias("o")))
+        .join(
+            nb,
+            (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
+            & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
+            & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
+            "left",
+        )
+        .groupBy("l.z", "l.y", "l.x")
+        .agg(
+            F.count("n.label").alias("n_nbr"),
+            *[F.count(F.when(F.col("n.label") == k, 1)).alias(f"c{k}") for k in range(3)],
+        )
+    )
+    e = lab.join(cnt, ["z", "y", "x"])
+    pw = 2 * VAR_M * BETA_NUM
+    es = [
+        (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
+         + pw * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
+        for k, (mu, _) in enumerate(zip(MEANS_M, range(3)))
+    ]
+    e = e.select("z", "y", "x", *es)
+    emin = F.least("e0", "e1", "e2")
+    scale = 10.0 * VAR_M * 1000
+    ws = [F.exp(-(F.col(f"e{k}") - emin).cast("double") / scale).alias(f"w{k}") for k in range(3)]
+    soft = e.select("z", "y", "x", *ws)
+    tot = F.col("w0") + F.col("w1") + F.col("w2")
+    return soft.select(
+        "z", "y", "x",
+        F.round(F.col("w0") / tot, 5).alias("p0"),
+        F.round(F.col("w1") / tot, 5).alias("p1"),
+        F.round(F.col("w2") / tot, 5).alias("p2"),
+    )

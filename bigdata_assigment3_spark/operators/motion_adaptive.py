@@ -1,0 +1,151 @@
+"""Adaptive block-matching searches (SURVEY U5; reference:
+Motion_estimation/motion_codec.py:92-171 diamond / three-step search).
+
+Diamond and TSS are data-dependent walks — each probe position depends
+on the previous winner — so they are not relational.  They run as
+``applyInPandas`` per frame pair: the group carries both frames'
+pixels (aligned by coordinate), numpy reconstructs the 2-D arrays and
+walks the pattern per block.  The *full* search stays relational
+(operators/motion.py block_match_full) and is the optimality bound the
+adaptive results are verified against (cost_adaptive >= cost_full,
+exact recovery on the planted clip — SURVEY §7.4).
+
+Scale notes: one group = one frame pair — the natural parallel grain
+(a 10^6-frame corpus fans out to 10^6 independent tasks).  Arrow
+moves each group once; the walk is O(blocks x pattern-steps), ~10-20x
+fewer SAD evaluations than full search (the reference's measured
+speedup).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from .motion import BLK, H, SEARCH, W, _px
+
+_OUT_SCHEMA = (
+    "frame_idx BIGINT, by BIGINT, bx BIGINT, dy BIGINT, dx BIGINT, "
+    "cost BIGINT, n_probes BIGINT"
+)
+
+
+def _paired_pixels(spark: SparkSession) -> DataFrame:
+    """(frame_idx, y, x, vc, vp): current + previous frame values of the
+    'moderate' clip aligned by coordinate — enough for the UDF to
+    rebuild both 2-D frames."""
+    px = _px(spark).filter(F.col("video_id") == "moderate")
+    c, p = px.alias("c"), px.alias("p")
+    return c.join(
+        p,
+        (F.col("p.frame_idx") == F.col("c.frame_idx") - 1)
+        & (F.col("p.y") == F.col("c.y"))
+        & (F.col("p.x") == F.col("c.x")),
+    ).select(
+        F.col("c.frame_idx").alias("frame_idx"),
+        F.col("c.y").alias("y"),
+        F.col("c.x").alias("x"),
+        F.col("c.v").alias("vc"),
+        F.col("p.v").alias("vp"),
+    )
+
+
+def _make_search(kind: str):
+    """Build the per-group pandas function (self-contained closure —
+    Spark workers don't have this repo on sys.path)."""
+    blk, search, h, w = BLK, SEARCH, H, W
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = int(pdf["frame_idx"].iloc[0])
+        cur = np.zeros((h, w), dtype=np.int64)
+        prv = np.zeros((h, w), dtype=np.int64)
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        cur[ys, xs] = pdf["vc"].to_numpy()
+        prv[ys, xs] = pdf["vp"].to_numpy()
+
+        def sad(top: int, left: int, oy: int, ox: int) -> int:
+            ty, tx = top + oy, left + ox
+            if ty < 0 or tx < 0 or ty + blk > h or tx + blk > w:
+                return None
+            block = cur[top : top + blk, left : left + blk]
+            cand = prv[ty : ty + blk, tx : tx + blk]
+            return int(np.abs(block - cand).sum())
+
+        rows = []
+        for by in range(h // blk):
+            for bx in range(w // blk):
+                top, left = by * blk, bx * blk
+                best_y = best_x = 0
+                best = sad(top, left, 0, 0)
+                probes = 1
+                if kind == "diamond":
+                    # large diamond until center wins, then small diamond
+                    # (motion_codec.py diamond search)
+                    ldp = [(-2, 0), (2, 0), (0, -2), (0, 2), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+                    sdp = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+                    moved = True
+                    while moved:
+                        moved = False
+                        for oy, ox in ldp:
+                            ny, nx = best_y + oy, best_x + ox
+                            if abs(ny) > search or abs(nx) > search:
+                                continue
+                            c = sad(top, left, ny, nx)
+                            probes += 1
+                            if c is not None and c < best:
+                                best, best_y, best_x, moved = c, ny, nx, True
+                    for oy, ox in sdp:
+                        ny, nx = best_y + oy, best_x + ox
+                        if abs(ny) > search or abs(nx) > search:
+                            continue
+                        c = sad(top, left, ny, nx)
+                        probes += 1
+                        if c is not None and c < best:
+                            best, best_y, best_x = c, ny, nx
+                else:  # three-step search (motion_codec.py TSS)
+                    step = max(1, search // 2)
+                    while step >= 1:
+                        improved_y, improved_x = best_y, best_x
+                        for oy in (-step, 0, step):
+                            for ox in (-step, 0, step):
+                                if oy == 0 and ox == 0:
+                                    continue
+                                ny, nx = best_y + oy, best_x + ox
+                                if abs(ny) > search or abs(nx) > search:
+                                    continue
+                                c = sad(top, left, ny, nx)
+                                probes += 1
+                                if c is not None and c < best:
+                                    best, improved_y, improved_x = c, ny, nx
+                        best_y, best_x = improved_y, improved_x
+                        step //= 2
+                if best is None:
+                    best, best_y, best_x = 0, 0, 0
+                rows.append((t, by, bx, best_y, best_x, best, probes))
+        return pd.DataFrame(
+            rows, columns=["frame_idx", "by", "bx", "dy", "dx", "cost", "n_probes"]
+        )
+
+    return run
+
+
+@query("block_match_diamond")  # rows-only: data-dependent walk (U5)
+def q_block_match_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond search per frame pair via applyInPandas — the ~10-20x
+    cheaper adaptive search; optimality checked against the relational
+    full search in tests (cost_diamond >= cost_full, planted motion
+    recovered exactly)."""
+    paired = _paired_pixels(spark)
+    return paired.groupBy("frame_idx").applyInPandas(_make_search("diamond"), _OUT_SCHEMA)
+
+
+@query("block_match_tss")  # rows-only: data-dependent walk (U5)
+def q_block_match_tss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step search per frame pair via applyInPandas (same harness
+    as diamond, log-step probe pattern)."""
+    paired = _paired_pixels(spark)
+    return paired.groupBy("frame_idx").applyInPandas(_make_search("tss"), _OUT_SCHEMA)

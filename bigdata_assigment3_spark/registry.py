@@ -47,6 +47,7 @@ def _load_all() -> None:
         hmrf,
         hough,
         motion,
+        motion_adaptive,
         multimodal,
         relational,
         similarity,

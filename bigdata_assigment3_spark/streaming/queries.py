@@ -167,3 +167,72 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.max("cnt").cast("bigint").alias("max_session_events"),
     )
+
+
+@query(
+    "stream_stateful_rate_limit",
+    oracle="""
+    WITH per_day AS (
+      SELECT user_id, date_trunc('day', ts) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           CAST(SUM(LEAST(n, 5)) AS BIGINT) AS n_allowed,
+           CAST(SUM(GREATEST(n - 5, 0)) AS BIGINT) AS n_rejected
+    FROM per_day GROUP BY user_id
+    """,
+)
+def q_stream_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key custom stateful operator: the reference's token-bucket
+    rate limiter (app/rate_limit.py:31-53 — fixed day window, burst=5)
+    as ``applyInPandasWithState`` over a streaming source (SURVEY ST2/
+    ST3/U-surface).  Counts are order-insensitive, so the single
+    availableNow batch makes the result deterministic and equal to the
+    batch-SQL oracle.
+
+    At scale the state store holds one small dict per active user,
+    evicted by watermark/timeout — the streaming twin of the
+    reference's ``per*2`` TTL.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts")
+
+    def limiter(key, pdfs, state):
+        import pandas as pd
+
+        burst = 5
+        counts: dict = dict(zip(*state.get)) if state.exists else {}
+        for pdf in pdfs:
+            days = pdf["ts"].dt.floor("D").astype("int64")
+            for d in days:
+                counts[d] = counts.get(d, 0) + 1
+        state.update((list(counts.keys()), list(counts.values())))
+        n_allowed = sum(min(c, burst) for c in counts.values())
+        n_rejected = sum(max(c - burst, 0) for c in counts.values())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_days": [len(counts)],
+                "n_allowed": [n_allowed],
+                "n_rejected": [n_rejected],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        limiter,
+        outputStructType="user_id BIGINT, n_days BIGINT, n_allowed BIGINT, n_rejected BIGINT",
+        stateStructType="days ARRAY<BIGINT>, counts ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_stateful_rl_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_stateful_rl_sink")

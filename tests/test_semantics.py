@@ -173,3 +173,29 @@ def test_simhash_buckets_near_dups_together(spark):
 
     dists = [ham(sim[p.doc_a], sim[p.doc_b]) for p in pairs]
     assert sum(dists) / len(dists) <= 6, dists
+
+
+def test_adaptive_search_bounded_by_full(spark):
+    """Diamond/TSS are heuristics: per-block cost must be >= the full
+    search optimum, with far fewer probes; on the planted clip the
+    exact-match blocks must still be found (SURVEY §7.4 resolution)."""
+    full = {(r.frame_idx, r.by, r.bx): r.cost
+            for r in REGISTRY["block_match_full"].fn(spark, SF_ORACLE).collect()}
+    for name in ("block_match_diamond", "block_match_tss"):
+        rows = REGISTRY[name].fn(spark, SF_ORACLE).collect()
+        assert len(rows) == len(full), (name, len(rows), len(full))
+        worse = 0
+        for r in rows:
+            opt = full[(r.frame_idx, r.by, r.bx)]
+            assert r.cost >= opt, (name, r, opt)
+            if r.cost > opt:
+                worse += 1
+        # heuristic may miss some optima but not most
+        assert worse / len(rows) < 0.5, (name, worse, len(rows))
+        # planted motion blocks (cost 0 at (-1,-2)) must be recovered
+        exact = [r for r in rows if r.cost == 0 and (r.dy, r.dx) != (0, 0)]
+        assert all((r.dy, r.dx) == (-1, -2) for r in exact), (name, exact[:5])
+        assert len(exact) > 0, name
+        # and it must actually probe fewer positions than full search
+        avg_probes = sum(r.n_probes for r in rows) / len(rows)
+        assert avg_probes < (2 * 4 + 1) ** 2 / 2, (name, avg_probes)
