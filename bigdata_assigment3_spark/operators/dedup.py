@@ -21,7 +21,6 @@ Scale design (the point of each variant):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
@@ -70,41 +69,53 @@ jacc AS (
 """
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh:int56) distinct hashed shingles, df-pruned.
+def _inverted_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sh:int56, docs: sorted array<doc_id>) — the inverted shingle
+    index, df-pruned.
 
-    Shingles hash to integers immediately (see _DUCK_SHINGLES note);
-    the df-prune is a window count (one shuffle, no join-back).
-    Persisted: minhash reuses this subtree for signatures + both
-    sides of the candidate-verify join.
+    Shingles hash to integers immediately (see _DUCK_SHINGLES note).
+    collect_set both dedups (doc, shingle) repeats and builds the
+    posting list in ONE shuffle; the df-prune is a size() filter on
+    the array (no second shuffle, no join-back).  Persisted: every
+    dedup variant derives from this index.
     """
     docs = load_table(spark, sf_dir, "documents")
     pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
     shingle_str = f"substring(text, 1 + i * {STRIDE}, {K})"
-    sh_all = (
-        docs.join(F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text"))
-        .select("doc_id", F.expr(md5_int56_spark(shingle_str)).alias("sh"))
-        .distinct()
-    )
-    w = Window.partitionBy("sh")
+    sh_all = docs.join(
+        F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text")
+    ).select("doc_id", F.expr(md5_int56_spark(shingle_str)).alias("sh"))
     return (
-        sh_all.withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= DF_CAP)
-        .drop("df")
+        sh_all.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= DF_CAP)
         .persist()
     )
 
 
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) exploded view of the inverted index."""
+    inv = _inverted_index_df(spark, sf_dir)
+    return inv.select("sh", F.explode("docs").alias("doc_id"))
+
+
 def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    """Pairs via in-array expansion of each posting list — the classic
+    inverted-index pattern: fan-out per shingle is bounded by
+    DF_CAP^2/2, and there's no shingle self-join at all (the pair
+    generation happens inside the already-grouped array)."""
+    inv = _inverted_index_df(spark, sf_dir)
+    pair_expr = F.expr(
+        "flatten(transform(docs, (a, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        inv.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    sizes = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
