@@ -46,6 +46,7 @@ def _load_all() -> None:
         dedup,
         hmrf,
         hough,
+        imagekernels,
         motion,
         motion_adaptive,
         multimodal,

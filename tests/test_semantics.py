@@ -199,3 +199,18 @@ def test_adaptive_search_bounded_by_full(spark):
         # and it must actually probe fewer positions than full search
         avg_probes = sum(r.n_probes for r in rows) / len(rows)
         assert avg_probes < (2 * 4 + 1) ** 2 / 2, (name, avg_probes)
+
+
+def test_largest_component_is_whole_square(spark):
+    """The thresholded square (144 px, 4-connected) must come back as
+    exactly one component of size 144 (ref keep-largest-CC,
+    brain_segmentation.py:88-92)."""
+    rows = REGISTRY["largest_component"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 1 and rows[0].size == 144, rows
+
+
+def test_otsu_separates_square_from_background(spark):
+    """Otsu's threshold (class0 = v <= t) on the bimodal clip must
+    separate background (10..20) from square (>=200): t in [20, 200)."""
+    r = REGISTRY["otsu_threshold"].fn(spark, SF_ORACLE).collect()[0]
+    assert 20 <= r.threshold < 200, r
