@@ -47,6 +47,7 @@ def _load_all() -> None:
         hmrf,
         hough,
         imagekernels,
+        imagekernels2,
         motion,
         motion_adaptive,
         multimodal,

@@ -236,3 +236,33 @@ def q_stream_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_stateful_rl_sink")
+
+
+@query("stream_etl_append")  # rows-only: writes local files (streaming sink)
+def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL to a file sink (SURVEY S6/ST1: the per-request
+    append log): parquet stream -> projection/enrichment -> parquet
+    append sink with checkpoint (exactly-once via the commit log),
+    then read the sink back.  availableNow drains and stops."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "bd3_stream_etl")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", base + "/data")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(base + "/data")
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
