@@ -262,3 +262,38 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c.n") == F.col("j.n"))
         .select("event_type", F.col("c.n").alias("n"))
     )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT k,
+           ROUND(SQRT(CAST(k AS DOUBLE)), 6) AS sqrt_k,
+           ROUND(LOG10(CAST(k + 1 AS DOUBLE)), 6) AS log10_k1,
+           ROUND(EXP(CAST(-k AS DOUBLE) / 16), 6) AS exp_nk,
+           ROUND(ATAN2(CAST(k AS DOUBLE), 8.0), 6) AS atan2_k8,
+           CAST(FLOOR(CAST(k AS DOUBLE) / 3) AS BIGINT) AS floordiv3,
+           ABS(8 - k) AS absdiff,
+           GREATEST(k, 8) AS clip_lo,
+           LEAST(k, 8) AS clip_hi
+    FROM range(16) AS r(k)
+    """,
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface (SURVEY F7: abs/clip/sqrt/log10/exp/atan2/
+    floor/round — motion_codec.py:31-38, brain_segmentation.py:119-121).
+    Round(6) absorbs the <=1-ulp libm differences between the JVM and
+    DuckDB implementations of the transcendentals."""
+    k = F.col("id").alias("k")
+    kd = F.col("id").cast("double")
+    return spark.range(16).select(
+        k,
+        F.round(F.sqrt(kd), 6).alias("sqrt_k"),
+        F.round(F.log10(kd + 1), 6).alias("log10_k1"),
+        F.round(F.exp(-kd / 16), 6).alias("exp_nk"),
+        F.round(F.atan2(kd, F.lit(8.0)), 6).alias("atan2_k8"),
+        F.floor(kd / 3).cast("bigint").alias("floordiv3"),
+        F.abs(F.lit(8) - F.col("id")).alias("absdiff"),
+        F.greatest(F.col("id"), F.lit(8)).alias("clip_lo"),
+        F.least(F.col("id"), F.lit(8)).alias("clip_hi"),
+    )
