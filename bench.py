@@ -56,11 +56,16 @@ def main() -> None:
     # measure the plan, not first-run JIT.
     fns["features_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Median of 3 runs per query: single-run numbers swing 2-3x on a
+    # shared box, which would read as phantom regressions round-over-round.
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
 
     total = round(sum(per_query.values()), 3)
     print(

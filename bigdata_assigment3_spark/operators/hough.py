@@ -281,3 +281,51 @@ def q_circle_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("image_id", "cy0", "cx0", "r0", "hits", F.round("score", 6).alias("score"))
     )
+
+
+@query("hough_peak_udf")  # rows-only: per-image numpy accumulator (U3 vehicle)
+def q_hough_peak_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image dense-accumulator Hough via applyInPandas — the
+    cost-based ALTERNATIVE to the relational vote pipeline (SURVEY
+    §4.2b): for dense edge maps the per-image numpy accumulator wins;
+    for sparse maps / gigapixel images the relational form wins.
+    Verified equal to `hough_peak` in tests.
+
+    The closure is self-contained (numpy only) — workers lack this
+    repo on sys.path.
+    """
+    edge = _edge_df(spark)
+    size, r, acc_thresh = SIZE, R, ACC_THRESH
+
+    def detect(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["image_id"].iloc[0])
+        acc = np.zeros((size, size), dtype=np.int32)
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        dxs = np.arange(-r, r + 1)
+        dy = np.round(np.sqrt(float(r * r) - dxs.astype(float) ** 2)).astype(int)
+        for y, x in zip(ys, xs):
+            x0 = x - dxs
+            for yy in (y - dy, y + dy):
+                ok = (yy >= 0) & (yy < size) & (x0 >= 0) & (x0 < size)
+                np.add.at(acc, (yy[ok], x0[ok]), 1)
+        # 3x3 NMS + scan-order argmax (same tie-break as relational)
+        peak_v = int(acc.max())
+        if peak_v < acc_thresh:
+            return pd.DataFrame(
+                {"image_id": [img], "status": ["NO_CIRCLE"],
+                 "cy": [None], "cx": [None], "peak_votes": [peak_v]}
+            )
+        cy, cx = np.unravel_index(int(np.argmax(acc)), acc.shape)
+        return pd.DataFrame(
+            {"image_id": [img], "status": ["OK"],
+             "cy": [int(cy)], "cx": [int(cx)], "peak_votes": [peak_v]}
+        )
+
+    return edge.groupBy("image_id").applyInPandas(
+        detect,
+        "image_id BIGINT, status STRING, cy BIGINT, cx BIGINT, peak_votes BIGINT",
+    )

@@ -149,3 +149,43 @@ def q_block_match_tss(spark: SparkSession, sf_dir: str) -> DataFrame:
     as diamond, log-step probe pattern)."""
     paired = _paired_pixels(spark)
     return paired.groupBy("frame_idx").applyInPandas(_make_search("tss"), _OUT_SCHEMA)
+
+
+@query("block_match_routed")  # rows-only: routing + data-dependent walk
+def q_block_match_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full cheap-first pipeline (motion_codec.py:
+    252-289): classify every frame pair LOW/MEDIUM/HIGH from MAD
+    thresholds, then run block matching ONLY on MEDIUM pairs — the
+    class filter is manual predicate pushdown below the expensive UDF
+    (SURVEY §4.1 'cheap-first routing').  LOW/HIGH pairs short-circuit
+    with no motion vectors, exactly like the reference."""
+    from .motion import _mad_df, _thresholds_df
+
+    mad = _mad_df(spark)
+    th = _thresholds_df(spark)
+    cls = mad.join(F.broadcast(th), "video_id").select(
+        "video_id",
+        "frame_idx",
+        F.when(F.col("mad") < F.col("t_low"), "LOW")
+        .when(F.col("mad") > F.col("t_high"), "HIGH")
+        .otherwise("MEDIUM")
+        .alias("motion_class"),
+    )
+    medium = cls.filter(
+        (F.col("video_id") == "moderate") & (F.col("motion_class") == "MEDIUM")
+    ).select("frame_idx")
+    paired = _paired_pixels(spark).join(F.broadcast(medium), "frame_idx")
+    vectors = paired.groupBy("frame_idx").applyInPandas(_make_search("diamond"), _OUT_SCHEMA)
+    return (
+        cls.filter(F.col("video_id") == "moderate")
+        .join(vectors, "frame_idx", "left")
+        .select(
+            "frame_idx",
+            "motion_class",
+            "by",
+            "bx",
+            "dy",
+            "dx",
+            "cost",
+        )
+    )

@@ -214,3 +214,17 @@ def test_otsu_separates_square_from_background(spark):
     separate background (10..20) from square (>=200): t in [20, 200)."""
     r = REGISTRY["otsu_threshold"].fn(spark, SF_ORACLE).collect()[0]
     assert 20 <= r.threshold < 200, r
+
+
+def test_hough_udf_agrees_with_relational(spark):
+    """The per-image numpy accumulator (U3 vehicle) must find the same
+    peaks as the relational vote pipeline on every image."""
+    rel = {r.image_id: r for r in REGISTRY["hough_peak"].fn(spark, SF_ORACLE).collect()}
+    udf = {r.image_id: r for r in REGISTRY["hough_peak_udf"].fn(spark, SF_ORACLE).collect()}
+    assert set(rel) == set(udf)
+    for img in rel:
+        a, b = rel[img], udf[img]
+        assert a.status == b.status, (img, a, b)
+        if a.status == "OK":
+            assert a.peak_votes == b.peak_votes, (img, a, b)
+            assert abs(a.cy - b.cy) <= 1 and abs(a.cx - b.cx) <= 1, (img, a, b)
