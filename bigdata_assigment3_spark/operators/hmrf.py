@@ -426,3 +426,94 @@ def q_posterior_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w1") / tot, 5).alias("p1"),
         F.round(F.col("w2") / tot, 5).alias("p2"),
     )
+
+
+@query("icm_step_slab")  # rows-only: mapInPandas halo-slab variant of J3
+def q_icm_step_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-out form of the ICM neighbor join (SURVEY §4.3): the
+    volume splits into z-slabs, each voxel is duplicated into the
+    neighboring slab when it sits on a boundary plane (1-voxel halo
+    exchange), and each slab computes its Jacobi step densely in numpy
+    via applyInPandas — node-local neighborhoods, no global shuffle of
+    the 6-way join.  Verified equal to the relational
+    `icm_step_transitions` in tests.
+
+    At 100 TB this is the plan you want: slab partitioning makes the
+    neighbor access pattern local, and the halo is 2/SLAB_Z of the
+    data instead of a 6x explode.
+    """
+    slab_z = 4
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
+    own = lab.withColumn("slab", F.floor(F.col("z") / slab_z).cast("bigint")).withColumn(
+        "is_halo", F.lit(False)
+    )
+    up = (
+        lab.filter(F.col("z") % slab_z == 0)
+        .withColumn("slab", (F.floor(F.col("z") / slab_z) - 1).cast("bigint"))
+        .withColumn("is_halo", F.lit(True))
+        .filter(F.col("slab") >= 0)
+    )
+    down = (
+        lab.filter(F.col("z") % slab_z == slab_z - 1)
+        .withColumn("slab", (F.floor(F.col("z") / slab_z) + 1).cast("bigint"))
+        .withColumn("is_halo", F.lit(True))
+    )
+    haloed = own.unionByName(up).unionByName(down)
+
+    yy, xx, means, pw = Y, X, MEANS_M, 2 * VAR_M * BETA_NUM
+
+    def step(pdf):
+        import numpy as np
+        import pandas as pd
+
+        zs = pdf["z"].to_numpy()
+        z0, z1 = int(zs.min()), int(zs.max())
+        dz = z1 - z0 + 1
+        inten = np.zeros((dz, yy, xx), dtype=np.int64)
+        labs = np.full((dz, yy, xx), -1, dtype=np.int64)
+        zi = zs - z0
+        yi = pdf["y"].to_numpy()
+        xi = pdf["x"].to_numpy()
+        inten[zi, yi, xi] = pdf["inten_m"].to_numpy()
+        labs[zi, yi, xi] = pdf["label"].to_numpy()
+        present = labs >= 0
+        # 6-neighbor label counts via shifted arrays (the dense twin of
+        # the offset-explode join)
+        cnt = np.zeros((3, dz, yy, xx), dtype=np.int64)
+        nnbr = np.zeros((dz, yy, xx), dtype=np.int64)
+        shifts = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+        for sz, sy, sx in shifts:
+            sh_lab = np.full_like(labs, -1)
+            src = [slice(None)] * 3
+            dst = [slice(None)] * 3
+            for ax, s in enumerate((sz, sy, sx)):
+                if s == 1:
+                    src[ax], dst[ax] = slice(0, -1), slice(1, None)
+                elif s == -1:
+                    src[ax], dst[ax] = slice(1, None), slice(0, -1)
+            sh_lab[tuple(dst)] = labs[tuple(src)]
+            ok = sh_lab >= 0
+            nnbr += ok
+            for k in range(3):
+                cnt[k] += ok & (sh_lab == k)
+        energies = [
+            5 * (inten - mu) ** 2 + pw * (nnbr - cnt[k]) for k, mu in enumerate(means)
+        ]
+        e = np.stack(energies)
+        new_lab = np.argmin(e, axis=0)  # ties -> lowest k, same as SQL CASE
+        interior = pdf["is_halo"].to_numpy() == False  # noqa: E712
+        out = pd.DataFrame(
+            {
+                "old_label": pdf["label"].to_numpy()[interior],
+                "new_label": new_lab[zi[interior], yi[interior], xi[interior]],
+            }
+        )
+        return out.groupby(["old_label", "new_label"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    partials = haloed.groupBy("slab").applyInPandas(
+        step, "old_label BIGINT, new_label BIGINT, n BIGINT"
+    )
+    return partials.groupBy("old_label", "new_label").agg(F.sum("n").alias("n"))

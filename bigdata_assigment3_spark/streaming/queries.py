@@ -266,3 +266,40 @@ def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     back = spark.read.parquet(base + "/data")
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                  OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev)) AS BIGINT)
+                     >= {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM l
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in Structured Streaming (SURVEY §2.9
+    'absent' row): ``session_window(ts, gap)`` merges events closer
+    than the gap into one window — the built-in form of the
+    lag+cumsum sessionization, checked against that batch oracle.
+    Note the boundary convention: session_window treats a gap of
+    exactly ``gap`` as a NEW session (window is [start, start+gap)),
+    so the oracle uses ``>=``."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "30 days")
+    agg = ev.groupBy(F.session_window("ts", "2 hours"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    _run_to_memory(agg, "stream_session_window_sink")
+    out = spark.table("stream_session_window_sink")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))

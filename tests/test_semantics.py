@@ -228,3 +228,14 @@ def test_hough_udf_agrees_with_relational(spark):
         if a.status == "OK":
             assert a.peak_votes == b.peak_votes, (img, a, b)
             assert abs(a.cy - b.cy) <= 1 and abs(a.cx - b.cx) <= 1, (img, a, b)
+
+
+def test_slab_icm_equals_relational(spark):
+    """The halo-slab mapInPandas ICM step must produce exactly the
+    relational neighbor-join step's transition matrix (same Jacobi
+    semantics, different physical plan — SURVEY §4.3)."""
+    rel = {(r.old_label, r.new_label): r.n
+           for r in REGISTRY["icm_step_transitions"].fn(spark, SF_ORACLE).collect()}
+    slab = {(r.old_label, r.new_label): r.n
+            for r in REGISTRY["icm_step_slab"].fn(spark, SF_ORACLE).collect()}
+    assert rel == slab, (rel, slab)
