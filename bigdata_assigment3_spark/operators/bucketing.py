@@ -1,0 +1,91 @@
+"""Bucketed-write co-located join (SURVEY §4.3 / task-brief shuffle
+minimization): persist both fact tables bucketed + sorted on the join
+key, then join them with ZERO exchanges — the plan a recurring 100 TB
+join pipeline should run.
+
+The one-time bucketed write pays the shuffle ONCE; every subsequent
+join/groupBy on the bucket key reuses the on-disk distribution
+(Spark's `outputPartitioning` from the bucket spec satisfies the
+join's `requiredChildDistribution`).  At a 1000-executor scale this
+turns the nightly orders-x-lineitem join from two full-table
+exchanges into a local merge per bucket.
+
+Plan-asserted in tests/test_plans.py: SortMergeJoin present,
+Exchange count == 0 (including the groupBy, which reuses the bucket
+distribution because it groups on the bucket key).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+N_BUCKETS = 8
+
+_DEC_EXT = "decimal(12,2)"
+_DEC_PCT = "decimal(6,4)"
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem bucketed by orderkey (once per sf_dir per
+    session) into a scratch dir; return the catalog table names."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    if spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_lineitem):
+        return t_orders, t_lineitem
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{tag}")
+    for name, table, key in (
+        ("orders", t_orders, "o_orderkey"),
+        ("lineitem", t_lineitem, "l_orderkey"),
+    ):
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, table))
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    return t_orders, t_lineitem
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 3) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1, 2
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order revenue over the bucketed tables: scan -> merge ->
+    aggregate with no Exchange anywhere.  The `merge` hint keeps the
+    demo honest at test scale (small lineitem would otherwise
+    broadcast, hiding the co-location); at 100 TB neither side
+    broadcasts and this IS the chosen plan.
+    """
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).filter(F.col("o_totalprice") > 400000)
+    li = spark.table(t_lineitem)
+    rev = F.col("l_extendedprice").cast(_DEC_EXT) * (
+        1 - F.col("l_discount").cast(_DEC_PCT)
+    )
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 3).cast("double").alias("revenue"),
+        )
+    )

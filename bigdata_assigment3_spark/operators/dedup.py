@@ -69,6 +69,9 @@ jacc AS (
 """
 
 
+_INV_CACHE: dict = {}
+
+
 def _inverted_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sh:int56, docs: sorted array<doc_id>) — the inverted shingle
     index, df-pruned.
@@ -76,21 +79,35 @@ def _inverted_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles hash to integers immediately (see _DUCK_SHINGLES note).
     collect_set both dedups (doc, shingle) repeats and builds the
     posting list in ONE shuffle; the df-prune is a size() filter on
-    the array (no second shuffle, no join-back).  Persisted: every
-    dedup variant derives from this index.
+    the array (no second shuffle, no join-back).  Persisted and
+    memoized per (session, sf_dir): every dedup variant derives from
+    this index, so repeat queries reuse one cached copy instead of
+    stacking a new persist per call; stale entries (other sessions /
+    scale factors) are unpersisted on miss.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _INV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_INV_CACHE):
+        if k[0] == key[0]:
+            _INV_CACHE.pop(k).unpersist()
+        else:
+            del _INV_CACHE[k]  # dead session: blocks are already gone
     docs = load_table(spark, sf_dir, "documents")
     pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
     shingle_str = f"substring(text, 1 + i * {STRIDE}, {K})"
     sh_all = docs.join(
         F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text")
     ).select("doc_id", F.expr(md5_int56_spark(shingle_str)).alias("sh"))
-    return (
+    built = (
         sh_all.groupBy("sh")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") <= DF_CAP)
         .persist()
     )
+    _INV_CACHE[key] = built
+    return built
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,4 +344,78 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return votes.groupBy("doc_id").agg(
         F.sum(F.when(F.col("v") > 0, F.col("p2")).otherwise(0)).cast("bigint").alias("simhash")
+    )
+
+
+COS_T = 0.95   # near-dup cosine threshold
+COS_DIMS = 256  # hashed feature space; at 100 TB use 2^20 for sparsity
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH positions AS (SELECT id AS i FROM range({MAXPOS}) AS r(id)),
+    feat AS (
+      SELECT d.doc_id,
+             {md5_int56_duck(f"substr(d.text, 1 + p.i * {STRIDE}, {K})")} % {COS_DIMS} AS dim,
+             COUNT(*) AS cnt
+      FROM documents d JOIN positions p ON 1 + p.i * {STRIDE} + {K - 1} <= LEN(d.text)
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, SUM(cnt * cnt) AS n2 FROM feat GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.cnt * b.cnt) AS dot
+      FROM feat a JOIN feat b ON a.dim = b.dim AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2) >= {COS_T}
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the fifth dedup family member,
+    BASELINE.json north star): each document becomes a hashed
+    char-16-gram count vector (integer "embedding"), and near-dup
+    pairs are cosine >= 0.95 via a sparse dot-product join on the
+    nonzero dims — dot/norms are exact BIGINTs, only the final
+    division is float, so both engines agree bit-for-bit.
+
+    Scale shape: `feat` is (doc, dim, cnt) — the self-join on `dim`
+    only pairs docs sharing a nonzero dim, the classic sparse
+    similarity join.  At 256 dims everything collides; at corpus
+    scale use 2^20 dims plus a df-cap on hot dims (same guard as the
+    shingle join) so fan-out tracks true overlap, not corpus^2.
+    Learned float embeddings slot into the same plan after
+    milli-quantization (see similarity.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
+    shingle_str = f"substring(text, 1 + i * {STRIDE}, {K})"
+    feat = (
+        docs.join(
+            F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text")
+        )
+        .select("doc_id", (F.expr(md5_int56_spark(shingle_str)) % COS_DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    norms = feat.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    a, b = feat.alias("a"), feat.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(cos >= COS_T)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )

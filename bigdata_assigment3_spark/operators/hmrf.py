@@ -517,3 +517,92 @@ def q_icm_step_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
         step, "old_label BIGINT, new_label BIGINT, n BIGINT"
     )
     return partials.groupBy("old_label", "new_label").agg(F.sum("n").alias("n"))
+
+
+SLAB_Z_CC = 8
+# ~26% random speckle: below the 3-D site-percolation threshold, so the
+# volume fragments into many components, several crossing slab faces.
+_SPECKLE = "(z * 73856093 + y * 19349663 + x * 83492791) % 97 < 25"
+
+
+@query("largest_component_3d")  # rows-only: BSP local-CC + boundary merge
+def q_largest_component_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D connected components at scale (SURVEY A14 / §8 open item):
+    the distributed BSP pattern — label each z-slab locally (dense
+    numpy min-propagation inside applyInPandas, no cross-slab
+    traffic), then union-find ONLY the slab-face adjacencies on the
+    driver.  Local roots compress each component to one row, and the
+    faces are 2/SLAB_Z of the voxels, so the merge input is tiny
+    relative to the volume; at extreme scale the same merge runs as
+    an iterative reduce instead of a driver pass.  Verified against a
+    whole-volume numpy labeling in tests.  Returns the top component
+    sizes (6-connectivity)."""
+    vox = _voxels(spark).filter(F.expr(_SPECKLE)).select("z", "y", "x")
+    slabbed = vox.withColumn("slab", F.floor(F.col("z") / SLAB_Z_CC).cast("bigint"))
+    yy, xx = Y, X
+
+    def local_cc(pdf):
+        import numpy as np
+        import pandas as pd
+
+        zs = pdf["z"].to_numpy()
+        z0 = int(zs.min())
+        dz = int(zs.max()) - z0 + 1
+        zi, yi, xi = zs - z0, pdf["y"].to_numpy(), pdf["x"].to_numpy()
+        lab = np.full((dz, yy, xx), -1, dtype=np.int64)
+        lab[zi, yi, xi] = (zs * yy + yi) * xx + xi  # global voxel id
+        present = lab >= 0
+        big = np.iinfo(np.int64).max
+        while True:
+            cur = np.where(present, lab, big)
+            nbr_min = np.full_like(cur, big)
+            for ax in (0, 1, 2):
+                for s in (1, -1):
+                    sh = np.full_like(cur, big)
+                    src = [slice(None)] * 3
+                    dst = [slice(None)] * 3
+                    src[ax], dst[ax] = (
+                        (slice(0, -1), slice(1, None)) if s == 1 else (slice(1, None), slice(0, -1))
+                    )
+                    sh[tuple(dst)] = cur[tuple(src)]
+                    nbr_min = np.minimum(nbr_min, sh)
+            new = np.where(present, np.minimum(lab, nbr_min), lab)
+            if (new == lab).all():
+                break
+            lab = new
+        return pd.DataFrame({"z": zs, "y": yi, "x": xi, "root": lab[zi, yi, xi]})
+
+    roots = slabbed.groupBy("slab").applyInPandas(
+        local_cc, "z BIGINT, y BIGINT, x BIGINT, root BIGINT"
+    )
+    sizes = {r["root"]: r["n"] for r in roots.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    face = roots.filter(
+        (F.col("z") % SLAB_Z_CC == 0) | (F.col("z") % SLAB_Z_CC == SLAB_Z_CC - 1)
+    ).collect()
+    coord = {(r["z"], r["y"], r["x"]): r["root"] for r in face}
+
+    parent: dict = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    for (z, y, x), ra in coord.items():
+        if z % SLAB_Z_CC == SLAB_Z_CC - 1:
+            rb = coord.get((z + 1, y, x))
+            if rb is not None:
+                fa, fb = find(ra), find(rb)
+                if fa != fb:
+                    parent[max(fa, fb)] = min(fa, fb)
+
+    merged: dict = {}
+    for root, n in sizes.items():
+        g = find(root)
+        merged[g] = merged.get(g, 0) + n
+    top = sorted(merged.values(), reverse=True)[:10]
+    return spark.createDataFrame(
+        [(i + 1, int(s)) for i, s in enumerate(top)], "rank BIGINT, size BIGINT"
+    )

@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     """Import every operator module so decorators run."""
     from .operators import (  # noqa: F401
+        bucketing,
         coverage,
         dedup,
         hmrf,

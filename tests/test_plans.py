@@ -75,3 +75,12 @@ def test_projection_prunes_scan(spark):
     plan = formatted_plan(_plan(spark, "point_lookup"))
     scan = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "props" not in scan and "ts" not in scan, scan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The bucketed-write co-located join must run end-to-end without
+    a single Exchange: bucket spec satisfies both the join and the
+    groupBy-on-bucket-key distribution."""
+    s = plan_summary(_plan(spark, "bucketed_colocated_join"))
+    assert s["sortmerge_joins"] >= 1, s
+    assert s["shuffles"] == 0, s

@@ -239,3 +239,38 @@ def test_slab_icm_equals_relational(spark):
     slab = {(r.old_label, r.new_label): r.n
             for r in REGISTRY["icm_step_slab"].fn(spark, SF_ORACLE).collect()}
     assert rel == slab, (rel, slab)
+
+
+def test_largest_component_3d_matches_numpy(spark):
+    """The slab-local CC + boundary union-find must produce exactly
+    the whole-volume component sizes (6-connectivity), computed here
+    by a single-array numpy reference."""
+    import numpy as np
+    from bigdata_assigment3_spark.operators.hmrf import X, Y, Z
+
+    z, y, x = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+    mask = (z * 73856093 + y * 19349663 + x * 83492791) % 97 < 25
+    lab = np.where(mask, (z * Y + y) * X + x, -1).astype(np.int64)
+    big = np.iinfo(np.int64).max
+    while True:
+        cur = np.where(mask, lab, big)
+        nbr = np.full_like(cur, big)
+        for ax in (0, 1, 2):
+            for s in (1, -1):
+                sh = np.full_like(cur, big)
+                src = [slice(None)] * 3
+                dst = [slice(None)] * 3
+                src[ax], dst[ax] = (
+                    (slice(0, -1), slice(1, None)) if s == 1 else (slice(1, None), slice(0, -1))
+                )
+                sh[tuple(dst)] = cur[tuple(src)]
+                nbr = np.minimum(nbr, sh)
+        new = np.where(mask, np.minimum(lab, nbr), lab)
+        if (new == lab).all():
+            break
+        lab = new
+    _, counts = np.unique(lab[mask], return_counts=True)
+    expect = sorted(counts.tolist(), reverse=True)[:10]
+    got = [r.size for r in REGISTRY["largest_component_3d"].fn(spark, SF_ORACLE)
+           .orderBy("rank").collect()]
+    assert got == expect, (got, expect)
