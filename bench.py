@@ -39,6 +39,7 @@ HEADLINE = [
     "hough_peak",
     "icm_step_transitions",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
 ]
