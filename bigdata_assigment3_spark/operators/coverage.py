@@ -297,3 +297,112 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("id"), F.lit(8)).alias("clip_lo"),
         F.least(F.col("id"), F.lit(8)).alias("clip_hi"),
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 3) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.4 'absent' row, alongside
+    cube/rollup): three aggregation levels in ONE pass — Spark
+    expands the sets with a single Expand node over one shuffle
+    instead of three scans, exactly what a 100 TB reporting rollup
+    wants.  GROUPING() flags disambiguate NULL-as-total from
+    NULL-as-value in both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 3) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS quarter,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           CAST(FLOOR(epoch(o_orderdate)) / 86400 AS BIGINT) AS epoch_day
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage (SURVEY F5/F6 family): trunc,
+    extract, ISO weekday, last_day, interval arithmetic, epoch-day —
+    all JVM-side expressions.  Cross-engine notes: Spark dayofweek is
+    1=Sun..7=Sat while DuckDB isodow is 1=Mon..7=Sun, so the ISO form
+    is derived explicitly; dates leave as strings (exactness rule)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.quarter(d).cast("bigint").alias("quarter"),
+        (((F.dayofweek(d) + 5) % 7) + 1).cast("bigint").alias("iso_dow"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.floor(F.unix_timestamp(d) / 86400).cast("bigint").alias("epoch_day"),
+    )
+
+
+# Shared fixture (runs verbatim on both engines): price bands as an
+# inline VALUES table — the interval/range-join shape the reference
+# lacks (SURVEY §2.3 'absent' row).
+PRICE_BANDS_SQL = """
+SELECT * FROM (VALUES
+  (0, 100000, 'low'), (100000, 300000, 'mid'),
+  (300000, 450000, 'high'), (450000, 10000000, 'top')
+) AS b(lo, hi, band)
+"""
+
+
+@query(
+    "range_band_join",
+    oracle=f"""
+    WITH bands AS ({PRICE_BANDS_SQL})
+    SELECT b.band, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 3) AS DOUBLE) AS total
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: orders against price bands on
+    lo <= price < hi.  The band table is tiny -> broadcast
+    nested-loop with the range predicate, which is exactly the right
+    physical plan (the fact side never shuffles for the join; the
+    groupBy shuffles 4 rows per partition after partial agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.sql(PRICE_BANDS_SQL)
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 3)
+            .cast("double")
+            .alias("total"),
+        )
+    )

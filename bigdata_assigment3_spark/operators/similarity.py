@@ -193,3 +193,75 @@ def q_embedding_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("majority_n").cast("double") / F.col("cluster_size"), 4).alias("purity"),
         )
     )
+
+
+N_LISTS = 8   # IVF coarse-quantizer cells
+N_PROBE = 2   # cells searched per query
+
+
+@query("ann_ivf_probe")  # rows-only: model-based (KMeans coarse quantizer)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the other classic scale
+    path next to LSH (`ann_lsh_bucketed`): a seeded KMeans coarse
+    quantizer partitions the corpus into N_LISTS inverted lists; each
+    query probes only its N_PROBE nearest lists, so the scored
+    fraction is ~N_PROBE/N_LISTS of the corpus while recall stays
+    high for clustered data (recall vs `ann_cosine_topk` asserted in
+    tests).
+
+    Scale shape: the corpus is partitioned BY list (at 100 TB:
+    parquet partitioned on list_id, so probing prunes partitions at
+    the scan); the centroid table is tiny and broadcast; the only
+    shuffle is the final per-query top-k."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=N_LISTS, seed=0, maxIter=20).fit(feat)
+    quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e")).withColumn(
+        "n2", F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
+    )
+    assigned = (
+        model.transform(feat)
+        .select("vec_id", F.col("prediction").alias("list_id"))
+        .join(quant, "vec_id")
+        .select("list_id", F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"),
+                F.col("n2").alias("nb2"))
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("eq"), F.col("n2").alias("na2")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(eq, centroid, (x, c) -> (x / 1000.0 - c) * (x / 1000.0 - c)),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "list_id", "eq", "na2")
+    )
+    pairs = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))).alias("cos_raw"),
+    ).filter(F.col("cos_raw").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -274,3 +274,15 @@ def test_largest_component_3d_matches_numpy(spark):
     got = [r.size for r in REGISTRY["largest_component_3d"].fn(spark, SF_ORACLE)
            .orderBy("rank").collect()]
     assert got == expect, (got, expect)
+
+
+def test_ann_ivf_recall(spark):
+    """IVF with nprobe=2 of 8 lists must beat the probed-fraction
+    baseline by a wide margin (seeded KMeans -> deterministic):
+    measured recall@5 vs brute force is 0.64 on this corpus."""
+    brute = {(r.query_id, r.cand_id)
+             for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).collect()}
+    ivf = {(r.query_id, r.cand_id)
+           for r in REGISTRY["ann_ivf_probe"].fn(spark, SF_ORACLE).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.55, recall
