@@ -154,3 +154,137 @@ def q_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.length(F.col("content")).cast("bigint").alias("content_len"),
     )
+
+
+@query(
+    "multimodal_resize",
+    # The stub decode is deterministic md5 math, so the pandas-UDF
+    # pipeline is fully oracle-checkable: the SQL replays the stub.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             16 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 48) AS h,
+             16 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 48) AS w,
+             CASE WHEN ('0x' || substr(md5(text), 5, 2))::BIGINT % 2 = 0
+                  THEN 1 ELSE 3 END AS c
+      FROM documents
+    )
+    SELECT doc_id, CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+           CAST(GREATEST(1, h * 32 // GREATEST(h, w)) AS INT) AS out_h,
+           CAST(GREATEST(1, w * 32 // GREATEST(h, w)) AS INT) AS out_w,
+           CAST(GREATEST(1, h * 32 // GREATEST(h, w))
+                * GREATEST(1, w * 32 // GREATEST(h, w)) * c AS BIGINT) AS out_bytes
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (the reference's downscale-to-max_side,
+    hough_heart_detector.py:249-253): decode metadata, compute the
+    aspect-preserving target geometry with integer math, and emit the
+    resized payload size.  The pixel resample itself is the
+    clearly-marked stub (no codecs in this container) — swapping in
+    cv2.resize touches only the inner function; schema, batching and
+    partitioning are the real, tested surface."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("out_h", IntegerType()),
+            StructField("out_w", IntegerType()),
+            StructField("out_bytes", LongType()),
+        ]
+    )
+    max_side = 32
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_decode(payload: bytes) -> tuple[int, int, int]:
+            h = _hl.md5(payload).digest()
+            return 16 + h[0] % 48, 16 + h[1] % 48, (1, 3)[h[2] % 2]
+
+        def fake_resize(payload: bytes, oh: int, ow: int, c: int) -> int:
+            # STUB: cv2.resize(img, (ow, oh)) would go here; the fake
+            # returns the exact byte size the real one would produce.
+            return oh * ow * c
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                h, w, c = fake_decode(b)
+                scale_num, scale_den = max_side, max(h, w)
+                oh = max(1, h * scale_num // scale_den)
+                ow = max(1, w * scale_num // scale_den)
+                rows.append((int(doc_id), h, w, oh, ow, fake_resize(b, oh, ow, c)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "out_h", "out_w", "out_bytes"]
+            )
+
+    return docs.mapInPandas(resize_batches, schema)
+
+
+@query(
+    "multimodal_frame_sample",
+    # n_frames/stride math of the stub replayed in SQL; asserting
+    # n_distinct_frames == n_sampled also checks hash distinctness.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             LEAST(8 + LEN(text) % 56, 64) AS n_eff
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((n_eff + 3) // 4 AS BIGINT) AS n_sampled,
+           CAST(((n_eff + 3) // 4 - 1) * 4 AS INT) AS last_frame,
+           CAST((n_eff + 3) // 4 AS BIGINT) AS n_distinct_frames
+    FROM m
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing (the reference's VideoCapture loop with
+    max_frames, motion_codec.py:11-29): each payload plays a 'video'
+    whose frame count derives from its length; every k-th frame is
+    emitted as its own row — the UDTF shape (one input row -> N
+    output rows) that video pipelines need, with the frame decode
+    stubbed to a deterministic hash.  Downstream per-video stats are
+    an ordinary JVM-side aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_hash", StringType()),
+        ]
+    )
+    stride, max_frames = 4, 16
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            out_id, out_idx, out_hash = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = 8 + len(b) % 56
+                for i in range(0, min(n_frames, max_frames * stride), stride):
+                    # STUB: cap.read() + decode would land here.
+                    out_id.append(int(doc_id))
+                    out_idx.append(i)
+                    out_hash.append(_hl.md5(b + i.to_bytes(4, "big")).hexdigest()[:12])
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_hash": out_hash}
+            )
+
+    frames = docs.mapInPandas(sample_batches, schema)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").alias("last_frame"),
+        F.countDistinct("frame_hash").cast("bigint").alias("n_distinct_frames"),
+    )

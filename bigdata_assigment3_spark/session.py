@@ -39,6 +39,14 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — best effort
+    try:
+        # A driver-owned session keeps the 200 default; AQE coalesces
+        # that for batch but NOT for stateful streaming (AQE is
+        # disabled there), so size it to the actual parallelism.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
     return spark
 
 

@@ -303,3 +303,54 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory(agg, "stream_session_window_sink")
     out = spark.table("stream_session_window_sink")
     return out.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, COUNT(*) AS n_attributed
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (SURVEY §2.9 'absent' row): view
+    events joined to purchase events of the same user within one hour
+    — the classic attribution join.  Both sides carry watermarks and
+    the join has an event-time range condition, which is what bounds
+    the join state (views older than watermark + 1h are evicted);
+    the availableNow drain makes the result equal the batch
+    range-join oracle.  The per-user count runs as a batch agg over
+    the joined sink (chained stateful ops kept out of the hot path)."""
+    ev = _stream_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "30 days")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 days")
+    )
+    joined = views.join(
+        buys,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_join_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_stream_join_sink")
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed")
+    )
