@@ -183,16 +183,21 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_partkey AS partkey, p.p_brand AS brand,
            CAST(p.p_retailprice AS DOUBLE) AS price
     FROM part p
-    WHERE p.p_retailprice > 1.15 * (
-        SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    WHERE CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 * (
+        SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand
+    ) > 105 * (
+        SELECT SUM(CAST(p3.p_retailprice AS DECIMAL(12,2)))
+        FROM part p3 WHERE p3.p_brand = p.p_brand
     )
     """,
 )
 def q_correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (TPC-H Q2/Q17 shape): parts priced
-    >15% above their brand average.  Catalyst decorrelates this into
-    an aggregate + equi-join — asserting the declarative form is
-    enough; no manual two-phase rewrite needed."""
+    """Correlated scalar subqueries (TPC-H Q2/Q17 shape): parts
+    priced >5% above their brand average, written as the exact
+    integer/decimal cross-multiplication (price*100*count > 105*sum)
+    so the boundary never depends on float-avg association order.
+    Catalyst decorrelates both subqueries into aggregates +
+    equi-joins — the declarative form is enough."""
     register_views = __import__(
         "bigdata_assigment3_spark.sources", fromlist=["register_views"]
     ).register_views
@@ -201,8 +206,11 @@ def q_correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.p_partkey AS partkey, p.p_brand AS brand,
                CAST(p.p_retailprice AS DOUBLE) AS price
         FROM part p
-        WHERE p.p_retailprice > 1.15 * (
-            SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        WHERE CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 * (
+            SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand
+        ) > 105 * (
+            SELECT SUM(CAST(p3.p_retailprice AS DECIMAL(12,2)))
+            FROM part p3 WHERE p3.p_brand = p.p_brand
         )
     """)
 

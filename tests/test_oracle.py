@@ -20,13 +20,16 @@ def test_oracle_match(spark, duck, name):
     sdf = spec.fn(spark, SF_ORACLE)
     problems = compare(sdf, duck.sql(spec.oracle), name)
     assert not problems, "\n".join(problems)
+    # an empty result matches an empty oracle trivially — require rows
+    # so a dead predicate can't silently pass the gate
+    assert sdf.limit(1).count() == 1, f"{name}: 0 rows at oracle SF"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_ORACLE)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: 0 rows at oracle SF"
     assert df.schema is not None
 
 
