@@ -414,3 +414,103 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "window_trailing_range",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ), 3) AS DOUBLE) AS trailing_90d
+    FROM orders
+    """,
+)
+def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY §2.5 'sliding frames' absent row):
+    trailing 90-day spend per customer — the frame is VALUE-based
+    (epoch seconds), so same-timestamp rows always share a frame and
+    the result is order-tie-proof, unlike a ROWS frame.  One shuffle
+    on the partition key; the frame scan is a per-partition sliding
+    sum."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch_s = F.unix_timestamp("o_orderdate").cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        epoch_s.alias("epoch_s"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).over(w), 3)
+        .cast("double")
+        .alias("trailing_90d"),
+    )
+
+
+@query(
+    "window_edge_values",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_order,
+           CAST(LAST_VALUE(o_orderkey) OVER w AS BIGINT) AS last_order,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS second_order
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_edge_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit
+    unbounded-both frame (the default frame would make last_value the
+    current row — the classic window footgun, pinned here on purpose).
+    Ordering carries the orderkey tie-break so both engines agree."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("first_order"),
+        F.last("o_orderkey").over(w).cast("bigint").alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).cast("bigint").alias("second_order"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 3) AS DOUBLE) AS qty,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 3) AS DOUBLE) AS price,
+             CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(6,4))), 3) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, 'qty' AS metric, qty AS value FROM base
+    UNION ALL SELECT flag, 'price', price FROM base
+    UNION ALL SELECT flag, 'disc', disc FROM base
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of `pivot_type_by_day`): wide metric
+    columns to (metric, value) rows via df.unpivot — an Expand node,
+    no extra scan or shuffle beyond the aggregation's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 3).cast("double").alias("qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 3)
+        .cast("double")
+        .alias("price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(6,4)")), 3).cast("double").alias("disc"),
+    )
+    return base.unpivot("flag", ["qty", "price", "disc"], "metric", "value")
