@@ -89,3 +89,46 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 3).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           o_orderpriority AS priority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 3) AS DOUBLE) AS total
+    FROM orders
+    WHERE date_trunc('month', o_orderdate) >= TIMESTAMP '1997-01-01'
+      AND date_trunc('month', o_orderdate) < TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2
+    """,
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning (SURVEY §4.1
+    'index hints' row — the 100 TB answer to the reference's
+    ``index=True`` columns): orders land partitioned by month on
+    disk, and a month-range query reads ONLY those directories — the
+    scan's PartitionFilters prune at planning time, before any I/O
+    (plan-asserted in tests).  At scale this is the difference
+    between scanning 6/84 months and scanning everything."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_part_{tag}", "orders_by_month")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("order_month")
+            .parquet(base)
+        )
+    part = spark.read.parquet(base)
+    return (
+        part.filter((F.col("order_month") >= "1997-01") & (F.col("order_month") < "1997-07"))
+        .groupBy("order_month", F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 3)
+            .cast("double")
+            .alias("total"),
+        )
+    )

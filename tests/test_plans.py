@@ -84,3 +84,14 @@ def test_bucketed_join_has_no_exchange(spark):
     s = plan_summary(_plan(spark, "bucketed_colocated_join"))
     assert s["sortmerge_joins"] >= 1, s
     assert s["shuffles"] == 0, s
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """The month-range filter must appear as PartitionFilters on the
+    scan (directory-level pruning, zero I/O for other months)."""
+    plan = formatted_plan(_plan(spark, "partitioned_write_prune"))
+    for frag in plan.split("PartitionFilters: [")[1:]:
+        if "order_month" in frag.split("]", 1)[0]:
+            break
+    else:
+        raise AssertionError(plan[:3000])
