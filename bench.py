@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_cosine_topk_vec",
     "text_quality",
 ]
 
