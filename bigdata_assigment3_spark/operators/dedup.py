@@ -254,25 +254,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer math -> bit-identical across engines.
     """
     sh = _shingles_df(spark, sf_dir)
-    hashes = spark.range(J_HASH).select(F.col("id").alias("j"))
-    sig = (
-        sh.crossJoin(F.broadcast(hashes))
-        .select(
-            "doc_id",
-            "j",
-            (((2 * F.col("j") + 3) * F.col("sh") + 7 * F.col("j") + 1) % P).alias("hv"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("hv").alias("mh"))
+    # All J signatures in per-doc array math: ONE shuffle (the
+    # doc_id groupBy) instead of a J-fat crossJoin + (doc, j)
+    # groupBy — the shuffled bytes drop J-fold and the min runs
+    # inside codegen over the shingle array.
+    sh_by_doc = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    sig = sh_by_doc.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {J_HASH - 1}),"
+            f" j -> array_min(transform(shs, s -> ((2*j+3)*s + 7*j+1) % {P})))"
+        ).alias("mh"),
     )
-    bands = sig.groupBy(
-        "doc_id", F.floor(F.col("j") / 2).cast("bigint").alias("band")
-    ).agg(
-        (
-            F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))) * P
-            + F.min(F.when(F.col("j") % 2 == 1, F.col("mh")))
-        ).alias("band_sig")
-    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, {J_HASH // 2 - 1}),"
+            f" b -> struct(CAST(b AS BIGINT) AS band,"
+            f" element_at(mh, 2*b+1) * {P} + element_at(mh, 2*b+2) AS band_sig)))"
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_sig")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
