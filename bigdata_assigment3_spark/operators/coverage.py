@@ -514,3 +514,41 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_discount").cast("decimal(6,4)")), 3).cast("double").alias("disc"),
     )
     return base.unpivot("flag", ["qty", "price", "disc"], "metric", "value")
+
+
+@query("csv_malformed_handling")  # rows-only: writes local temp files
+def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced CSV ingestion with corrupt-record capture
+    (SURVEY S13's read side, hardened): PERMISSIVE mode routes rows
+    that fail the declared schema into _corrupt_record instead of
+    failing the job or silently dropping — at 100 TB some malformed
+    rows are a certainty, and quarantining them IS the pipeline
+    contract.  Returns per-disposition counts plus the parsed sum
+    (proving bad rows never pollute the aggregate)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_badcsv_{tag}")
+    path = os.path.join(base, "input.csv")
+    if not os.path.exists(path):
+        os.makedirs(base, exist_ok=True)
+        with open(path, "w") as f:
+            f.write("id,amount\n")
+            for i in range(100):
+                f.write(f"{i},{i * 10}\n")
+            f.write("oops,not_a_number\n")
+            f.write("42\n")  # too few columns
+            f.write("7,77,extra\n")  # too many columns
+    schema = "id BIGINT, amount BIGINT, _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # required: corrupt-record column + derived filters
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("amount"))).alias("good_amount_sum"),
+    )
