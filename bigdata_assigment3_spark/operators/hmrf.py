@@ -319,9 +319,15 @@ def hmrf_em(spark: SparkSession, n_iters: int = 3, stop_ratio: float = 0.01) -> 
         nxt = e.select("z", "y", "x", "inten_m", F.col("label").alias("old"), new_lbl.alias("label"))
         nxt = nxt.localCheckpoint()  # truncate lineage per iteration
         changed = nxt.filter(F.col("old") != F.col("label")).count()
-        # M-step: re-estimate class means from the new labeling
-        stats = nxt.groupBy("label").agg(F.avg("inten_m").alias("m")).collect()
-        got = {int(r.label): float(r.m) for r in stats}
+        # M-step: re-estimate class means from the new labeling.
+        # Exact integer sum / count, NOT float avg: float avg is
+        # association-order dependent, so two physical plans of the
+        # same EM (relational vs slab) would drift apart on knife-edge
+        # energy ties.  sum(long)/count is bit-deterministic.
+        stats = nxt.groupBy("label").agg(
+            F.sum("inten_m").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()
+        got = {int(r.label): float(r.s) / float(r.c) for r in stats}
         params = [got.get(k, params[k]) for k in range(3)]
         lab = nxt.drop("old")
         if changed / total < stop_ratio:
@@ -605,4 +611,112 @@ def q_largest_component_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sorted(merged.values(), reverse=True)[:10]
     return spark.createDataFrame(
         [(i + 1, int(s)) for i, s in enumerate(top)], "rank BIGINT, size BIGINT"
+    )
+
+
+def _slab_label_step(spark: SparkSession, lab: DataFrame, means, slab_z: int = 4) -> DataFrame:
+    """One Jacobi-ICM step on the halo-slab physical plan, emitting
+    per-voxel (z, y, x, inten_m, old, label) — the building block of
+    the slab-path EM loop (same semantics as the relational step in
+    ``hmrf_em``; equality asserted in tests)."""
+    own = lab.withColumn("slab", F.floor(F.col("z") / slab_z).cast("bigint")).withColumn(
+        "is_halo", F.lit(False)
+    )
+    up = (
+        lab.filter(F.col("z") % slab_z == 0)
+        .withColumn("slab", (F.floor(F.col("z") / slab_z) - 1).cast("bigint"))
+        .withColumn("is_halo", F.lit(True))
+        .filter(F.col("slab") >= 0)
+    )
+    down = (
+        lab.filter(F.col("z") % slab_z == slab_z - 1)
+        .withColumn("slab", (F.floor(F.col("z") / slab_z) + 1).cast("bigint"))
+        .withColumn("is_halo", F.lit(True))
+    )
+    haloed = own.unionByName(up).unionByName(down)
+    yy, xx, pw = Y, X, 2 * VAR_M * BETA_NUM
+    mus = [float(m) for m in means]
+
+    def step(pdf):
+        import numpy as np
+        import pandas as pd
+
+        zs = pdf["z"].to_numpy()
+        z0 = int(zs.min())
+        dz = int(zs.max()) - z0 + 1
+        zi, yi, xi = zs - z0, pdf["y"].to_numpy(), pdf["x"].to_numpy()
+        inten = np.zeros((dz, yy, xx), dtype=np.int64)
+        labs = np.full((dz, yy, xx), -1, dtype=np.int64)
+        inten[zi, yi, xi] = pdf["inten_m"].to_numpy()
+        labs[zi, yi, xi] = pdf["label"].to_numpy()
+        cnt = np.zeros((3, dz, yy, xx), dtype=np.int64)
+        nnbr = np.zeros((dz, yy, xx), dtype=np.int64)
+        for sz, sy, sx in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+            sh_lab = np.full_like(labs, -1)
+            src = [slice(None)] * 3
+            dst = [slice(None)] * 3
+            for ax, s in enumerate((sz, sy, sx)):
+                if s == 1:
+                    src[ax], dst[ax] = slice(0, -1), slice(1, None)
+                elif s == -1:
+                    src[ax], dst[ax] = slice(1, None), slice(0, -1)
+            sh_lab[tuple(dst)] = labs[tuple(src)]
+            ok = sh_lab >= 0
+            nnbr += ok
+            for k in range(3):
+                cnt[k] += ok & (sh_lab == k)
+        # float means (M-step updated) -> same double expr as the
+        # relational plan: 5*(i-mu)*(i-mu) + pw*(nnbr - cnt_k)
+        e = np.stack(
+            [5.0 * (inten - mu) * (inten - mu) + pw * (nnbr - cnt[k]) for k, mu in enumerate(mus)]
+        )
+        new_lab = np.argmin(e, axis=0)  # ties -> lowest k, same as SQL CASE
+        keep = pdf["is_halo"].to_numpy() == False  # noqa: E712
+        return pd.DataFrame(
+            {
+                "z": zs[keep],
+                "y": yi[keep],
+                "x": xi[keep],
+                "inten_m": pdf["inten_m"].to_numpy()[keep],
+                "old": pdf["label"].to_numpy()[keep],
+                "label": new_lab[zi[keep], yi[keep], xi[keep]],
+            }
+        )
+
+    return haloed.groupBy("slab").applyInPandas(
+        step, "z BIGINT, y BIGINT, x BIGINT, inten_m BIGINT, old BIGINT, label BIGINT"
+    )
+
+
+@query("hmrf_em_slab")  # rows-only: iterative, slab physical plan
+def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL EM loop on the halo-slab physical plan (SURVEY §4.3's
+    cluster-deploy refinement, end-to-end): per iteration one
+    applyInPandas slab pass replaces the 6-way neighbor join, the
+    M-step re-estimates means with exact integer sums, and the driver
+    early-stops on the changed-voxel ratio.  Produces EXACTLY the
+    relational ``hmrf_em_segmentation`` result (asserted in tests) —
+    same Jacobi trajectory, different shuffle geometry: per-iteration
+    traffic is slab-local + two halo faces instead of a full
+    coordinate-join shuffle."""
+    n_iters, stop_ratio = 3, 0.01
+    vox = _voxels(spark).filter(F.col("in_mask"))
+    lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
+    lab = lab.localCheckpoint()
+    params = list(MEANS_M)
+    total = lab.count()
+    for _ in range(n_iters):
+        nxt = _slab_label_step(spark, lab, params).localCheckpoint()
+        changed = nxt.filter(F.col("old") != F.col("label")).count()
+        stats = nxt.groupBy("label").agg(
+            F.sum("inten_m").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()
+        got = {int(r.label): float(r.s) / float(r.c) for r in stats}
+        params = [got.get(k, params[k]) for k in range(3)]
+        lab = nxt.drop("old")
+        if changed / total < stop_ratio:
+            break
+    return lab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("inten_m"), 3).alias("mean_m"),
     )

@@ -286,3 +286,14 @@ def test_ann_ivf_recall(spark):
            for r in REGISTRY["ann_ivf_probe"].fn(spark, SF_ORACLE).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.55, recall
+
+
+def test_slab_em_equals_relational_em(spark):
+    """The full EM loop on the halo-slab plan must reproduce the
+    relational EM loop exactly (same Jacobi trajectory, deterministic
+    integer M-step)."""
+    rel = {(r.label): (r.n, r.mean_m)
+           for r in REGISTRY["hmrf_em_segmentation"].fn(spark, SF_ORACLE).collect()}
+    slab = {(r.label): (r.n, r.mean_m)
+            for r in REGISTRY["hmrf_em_slab"].fn(spark, SF_ORACLE).collect()}
+    assert rel == slab, (rel, slab)
