@@ -348,7 +348,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
            strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
            strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
-           CAST(FLOOR(epoch(o_orderdate)) / 86400 AS BIGINT) AS epoch_day
+           CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS epoch_day
     FROM orders WHERE o_orderkey % 100 = 0
     """,
 )

@@ -36,8 +36,8 @@ NVOX = Z * Y * X
 BETA_NUM, BETA_DEN = 8, 5          # beta = 1.6 (report.pdf best run)
 VAR_M = 2500                        # fixed class variance (50 milli)^2
 MEANS_M = (340, 460, 700)           # planted ~ report's sorted means
-# energy*10v = 5*(inten-mu)^2 + 16*v*(#neighbors with label != k)
-_POTTS_W = 2 * VAR_M * BETA_NUM // BETA_DEN  # 16*v/10v scaling -> 8000... see _energy
+# energy scaled by 10v: 5*(inten-mu)^2 + 2*v*beta_num*(#neighbors with label != k)
+_POTTS_W = 2 * VAR_M * BETA_NUM  # Potts weight in the 10v-scaled energy (40000)
 
 # Deterministic voxel volume, runnable verbatim on Spark SQL and DuckDB.
 VOXELS_SQL = f"""
@@ -156,9 +156,9 @@ nbr AS (
 ),
 energy AS (
   SELECT l.z, l.y, l.x, l.label AS old_label,
-         5 * (l.inten_m - 340) * (l.inten_m - 340) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c0) AS e0,
-         5 * (l.inten_m - 460) * (l.inten_m - 460) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c1) AS e1,
-         5 * (l.inten_m - 700) * (l.inten_m - 700) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c2) AS e2
+         5 * (l.inten_m - 340) * (l.inten_m - 340) + {_POTTS_W} * (b.n_nbr - b.c0) AS e0,
+         5 * (l.inten_m - 460) * (l.inten_m - 460) + {_POTTS_W} * (b.n_nbr - b.c1) AS e1,
+         5 * (l.inten_m - 700) * (l.inten_m - 700) + {_POTTS_W} * (b.n_nbr - b.c2) AS e2
   FROM lab l JOIN nbr b ON b.z = l.z AND b.y = l.y AND b.x = l.x
 )
 SELECT old_label,
@@ -202,7 +202,7 @@ def q_icm_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n.label") == 2, 1)).alias("c2"),
     )
     e = lab.alias("v").join(cnt.alias("b"), ["z", "y", "x"])
-    pw = 2 * VAR_M * BETA_NUM
+    pw = _POTTS_W
     es = []
     for k, (mu, ck) in enumerate(zip(MEANS_M, ["c0", "c1", "c2"])):
         d = F.col("inten_m") - mu
@@ -304,7 +304,7 @@ def hmrf_em(spark: SparkSession, n_iters: int = 3, stop_ratio: float = 0.01) -> 
             )
         )
         e = lab.join(cnt, ["z", "y", "x"])
-        pw = 2 * VAR_M * BETA_NUM
+        pw = _POTTS_W
         es = [
             (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
              + pw * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
@@ -364,9 +364,9 @@ nbr AS (
 ),
 energy AS (
   SELECT l.z, l.y, l.x,
-         (5 * (l.inten_m - 340) * (l.inten_m - 340) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c0)) AS e0,
-         (5 * (l.inten_m - 460) * (l.inten_m - 460) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c1)) AS e1,
-         (5 * (l.inten_m - 700) * (l.inten_m - 700) + {2 * VAR_M * BETA_NUM} * (b.n_nbr - b.c2)) AS e2
+         (5 * (l.inten_m - 340) * (l.inten_m - 340) + {_POTTS_W} * (b.n_nbr - b.c0)) AS e0,
+         (5 * (l.inten_m - 460) * (l.inten_m - 460) + {_POTTS_W} * (b.n_nbr - b.c1)) AS e1,
+         (5 * (l.inten_m - 700) * (l.inten_m - 700) + {_POTTS_W} * (b.n_nbr - b.c2)) AS e2
   FROM lab l JOIN nbr b ON b.z = l.z AND b.y = l.y AND b.x = l.x
 ),
 soft AS (
@@ -414,7 +414,7 @@ def q_posterior_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     e = lab.join(cnt, ["z", "y", "x"])
-    pw = 2 * VAR_M * BETA_NUM
+    pw = _POTTS_W
     es = [
         (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
          + pw * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
@@ -467,7 +467,7 @@ def q_icm_step_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     haloed = own.unionByName(up).unionByName(down)
 
-    yy, xx, means, pw = Y, X, MEANS_M, 2 * VAR_M * BETA_NUM
+    yy, xx, means, pw = Y, X, MEANS_M, _POTTS_W
 
     def step(pdf):
         import numpy as np
@@ -634,7 +634,7 @@ def _slab_label_step(spark: SparkSession, lab: DataFrame, means, slab_z: int = 4
         .withColumn("is_halo", F.lit(True))
     )
     haloed = own.unionByName(up).unionByName(down)
-    yy, xx, pw = Y, X, 2 * VAR_M * BETA_NUM
+    yy, xx, pw = Y, X, _POTTS_W
     mus = [float(m) for m in means]
 
     def step(pdf):

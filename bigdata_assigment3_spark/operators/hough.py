@@ -312,7 +312,9 @@ def q_hough_peak_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for yy in (y - dy, y + dy):
                 ok = (yy >= 0) & (yy < size) & (x0 >= 0) & (x0 < size)
                 np.add.at(acc, (yy[ok], x0[ok]), 1)
-        # 3x3 NMS + scan-order argmax (same tie-break as relational)
+        # Global argmax: the global max cell is always a 3x3-NMS survivor,
+        # and np.argmax's row-major scan equals the relational
+        # (votes DESC, y0, x0) tie-break — so no explicit NMS pass needed.
         peak_v = int(acc.max())
         if peak_v < acc_thresh:
             return pd.DataFrame(

@@ -323,6 +323,11 @@ def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab = nxt
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "largest_component: min-label propagation did not converge "
+            f"within the round cap (last round still changed {changed} cells)"
+        )
     return (
         lab.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("size"))

@@ -39,9 +39,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integer division (`div`): BIGINT `/` is DOUBLE and epoch-nanos
+        # exceed 2^53, so float rounding could misplace boundary events.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _ = batch  # schema parity anchor
     return stream
 
