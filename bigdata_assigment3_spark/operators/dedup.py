@@ -28,7 +28,6 @@ from ..sources import load_table
 
 K = 16        # char-shingle length
 STRIDE = 4
-MAXPOS = 150  # covers texts up to ~600 chars
 DF_CAP = 50   # drop shingles appearing in more docs than this
 J_HASH = 8    # minhash functions
 P = 1_000_000_007
@@ -41,12 +40,12 @@ SIM_BITS = 24
 # which shuffles ~3x less than 16-char strings.  56-bit space makes
 # collisions irrelevant at any realistic corpus size.
 _DUCK_SHINGLES = f"""
-positions AS (SELECT id AS i FROM range({MAXPOS}) AS r(id)),
 sh_all AS (
   SELECT DISTINCT d.doc_id,
          {md5_int56_duck(f"substr(d.text, 1 + p.i * {STRIDE}, {K})")} AS sh
-  FROM documents d
-  JOIN positions p ON 1 + p.i * {STRIDE} + {K - 1} <= LEN(d.text)
+  FROM documents d,
+       unnest(range(0, (LEN(d.text) - {K}) // {STRIDE} + 1)) AS p(i)
+  WHERE LEN(d.text) >= {K}
 ),
 sh_df AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {DF_CAP}),
 shingles AS (SELECT a.doc_id, a.sh FROM sh_all a JOIN sh_df USING (sh)),
@@ -76,13 +75,16 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan with a small-file guard: the testdata table is
     ONE parquet file -> one partition, which would run the whole
     shingle-hash fan-out single-threaded.  Repartition the (tiny) doc
-    rows up to the cluster's parallelism BEFORE the ~150x position
+    rows up to the cluster's parallelism BEFORE the per-doc position
     explode, so the heavy hashing runs wide.  At real corpus scale
     the scan already has >= defaultParallelism splits and this is a
     no-op."""
     docs = load_table(spark, sf_dir, "documents")
     want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
+    # File count is the cheap proxy for scan width (no .rdd conversion,
+    # which would build a whole RDD lineage just to read a number): a
+    # real corpus has >= want files and skips the shuffle entirely.
+    if len(docs.inputFiles()) < want:
         docs = docs.repartition(want)
     return docs
 
@@ -110,11 +112,18 @@ def _inverted_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             del _INV_CACHE[k]  # dead session: blocks are already gone
     docs = _docs_parallel(spark, sf_dir)
-    pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
+    # Positions derive from each doc's own length (no fixed cap: a
+    # 10 kB doc gets ~2.5k shingles, not just the first 600 chars).
     shingle_str = f"substring(text, 1 + i * {STRIDE}, {K})"
-    sh_all = docs.join(
-        F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text")
-    ).select("doc_id", F.expr(md5_int56_spark(shingle_str)).alias("sh"))
+    sh_all = (
+        docs.filter(F.length("text") >= K)
+        .select(
+            "doc_id",
+            "text",
+            F.expr(f"explode(sequence(0, (length(text) - {K}) div {STRIDE}))").alias("i"),
+        )
+        .select("doc_id", F.expr(md5_int56_spark(shingle_str)).alias("sh"))
+    )
     built = (
         sh_all.groupBy("sh")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
@@ -373,12 +382,13 @@ COS_DIMS = 1 << 20    # hashed feature space: sparse -> join cost tracks true ov
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH positions AS (SELECT id AS i FROM range({MAXPOS}) AS r(id)),
-    feat0 AS (
+    WITH feat0 AS (
       SELECT d.doc_id,
              {md5_int56_duck(f"substr(d.text, 1 + p.i * {STRIDE}, {K})")} % {COS_DIMS} AS dim,
              COUNT(*) AS cnt
-      FROM documents d JOIN positions p ON 1 + p.i * {STRIDE} + {K - 1} <= LEN(d.text)
+      FROM documents d,
+           unnest(range(0, (LEN(d.text) - {K}) // {STRIDE} + 1)) AS p(i)
+      WHERE LEN(d.text) >= {K}
       GROUP BY 1, 2
     ),
     keep AS (SELECT dim FROM feat0 GROUP BY dim HAVING COUNT(*) <= {DF_CAP}),
@@ -417,11 +427,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-quantization (see similarity.py).
     """
     docs = _docs_parallel(spark, sf_dir)
-    pos = spark.range(MAXPOS).select(F.col("id").alias("i"))
     shingle_str = f"substring(text, 1 + i * {STRIDE}, {K})"
     feat0 = (
-        docs.join(
-            F.broadcast(pos), F.lit(1) + F.col("i") * STRIDE + (K - 1) <= F.length("text")
+        docs.filter(F.length("text") >= K)
+        .select(
+            "doc_id",
+            "text",
+            F.expr(f"explode(sequence(0, (length(text) - {K}) div {STRIDE}))").alias("i"),
         )
         .select("doc_id", (F.expr(md5_int56_spark(shingle_str)) % COS_DIMS).alias("dim"))
         .groupBy("doc_id", "dim")

@@ -27,12 +27,19 @@ from ..registry import query
 from ..sources import load_table
 
 TOP_K = 5
-QUERY_STRIDE = 50  # vec_id % STRIDE == 0 -> probe set scales with corpus
+QUERY_STRIDE = 50
+# Fixed-size probe set: vec_id % STRIDE == 0 AND vec_id < PROBE_MAX_ID
+# gives at most N_PROBE_QUERIES probes no matter how big the corpus is,
+# so the probe broadcast / driver collect is O(1) in corpus size (the
+# smallest testdata corpus has 500 ids, so every sf yields all 10).
+N_PROBE_QUERIES = 10
+PROBE_MAX_ID = QUERY_STRIDE * N_PROBE_QUERIES  # 500
 
 _QUANT_SPARK = "transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))"
 
 _DUCK_QUANT_PAIRS = f"""
-q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+q AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {PROBE_MAX_ID}),
 pairs AS (
   SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
          unnest(list_transform(q.embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))) AS ea,
@@ -63,9 +70,9 @@ dots AS (
     """,
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: probe set (vec_id % 50 = 0) against
-    the full corpus, exact integer dot products, rank window with
-    deterministic tie-break.
+    """Brute-force cosine top-k: a fixed 10-probe set (vec_id % 50 = 0
+    and vec_id < 500) against the full corpus, exact integer dot
+    products, rank window with deterministic tie-break.
 
     The corpus side never shuffles — dot products are computed where
     the data lives; only the tiny (query, cand, score) triples move.
@@ -75,7 +82,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms are per-vector, not per-pair: compute them once on each
     # side before the join (halves the per-pair flops vs naive).
     quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e")).withColumn("n2", norm2)
-    q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    q = quant.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("eq"), F.col("n2").alias("na2")
     )
     v = quant.select(
@@ -143,7 +150,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
     )
     model = lsh.fit(emb)
-    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    q = emb.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID))
     joined = model.approxSimilarityJoin(q, emb, 1.5, distCol="dist").filter(
         F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
     )
@@ -235,7 +242,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "list_id INT, centroid ARRAY<DOUBLE>",
     )
-    q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    q = quant.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("eq"), F.col("n2").alias("na2")
     )
     d2 = F.expr(
@@ -299,7 +306,7 @@ def q_ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
-    q_rows = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).collect()
+    q_rows = quant.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)).collect()
     q_ids = [int(r.vec_id) for r in q_rows]
     q_vecs = [list(map(int, r.e)) for r in q_rows]
 

@@ -119,6 +119,57 @@ def test_icm_step_denoises(spark):
     assert 0 < r.changed < r.total * 0.2, r
 
 
+def test_jaccard_long_docs_not_capped(spark, tmp_path):
+    """Shingling must cover the WHOLE document, not a fixed prefix: two
+    2000-char docs that agree only on their first 600 chars are NOT
+    near-dups (a prefix-capped shingler would call them identical),
+    while two docs sharing a 1600-char prefix ARE.  Also asserts Spark
+    and DuckDB agree on the long-doc fixture (oracle parity beyond the
+    driver's stock documents table)."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_utils import compare
+
+    def gen(key: str, n: int) -> str:
+        out = []
+        i = 0
+        while sum(len(c) for c in out) < n:
+            out.append(hashlib.md5(f"{key}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    prefix = gen("prefix", 1600)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                prefix + gen("tailA", 400),          # 0: near-dup of 1
+                prefix + gen("tailB", 400),          # 1
+                prefix[:600] + gen("tailC", 1400),   # 2: shares ONLY first 600 chars with 0
+                gen("other", 300),                   # 3: unrelated
+            ],
+        }
+    )
+    fdir = tmp_path / "longdocs"
+    fdir.mkdir()
+    docs.to_parquet(fdir / "documents.parquet", index=False)
+
+    spec = REGISTRY["dedup_jaccard_pairs"]
+    sdf = spec.fn(spark, str(fdir))
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in sdf.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5, pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs, pairs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fdir}/documents.parquet')"
+    )
+    assert compare(sdf, con.sql(spec.oracle), "dedup_jaccard_pairs[longdocs]") == []
+
+
 def test_jaccard_finds_planted_near_dups(spark):
     """documents has planted near-duplicate groups (23 shared-prefix
     groups at sf0.01) — shingle-Jaccard must surface pairs, and every
