@@ -22,7 +22,8 @@ Scale notes: the neighbor join shuffles on (z,y,x) once per step; at
 real scale you'd partition by z-slab so the 6-neighbor join is
 node-local except the two halo faces.  The EM loop is driver-side
 control flow over distributed actions with per-iteration
-localCheckpoint to truncate lineage (SURVEY §4.3).
+lineage checkpointing to truncate lineage (SURVEY §4.3;
+reliable checkpoint dir via SPARK_GRAFT_CHECKPOINT_DIR at cluster scale).
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
+from ..session import lineage_checkpoint
 
 Z, Y, X = 16, 32, 32
 NVOX = Z * Y * X
@@ -274,15 +276,25 @@ def q_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank INT, center DOUBLE, n BIGINT")
 
 
-def hmrf_em(spark: SparkSession, n_iters: int = 3, stop_ratio: float = 0.01) -> DataFrame:
+def hmrf_em(
+    spark: SparkSession,
+    n_iters: int = 3,
+    stop_ratio: float = 0.01,
+    vox: DataFrame | None = None,
+) -> DataFrame:
     """Full HMRF-EM loop (ref brain_segmentation.py:274-318): driver-side
     iteration over distributed Jacobi-ICM + M-step, with per-iteration
-    localCheckpoint to truncate lineage and an aggregate-driven early
+    lineage checkpointing to truncate lineage and an aggregate-driven early
     stop — the Spark shape of the reference's convergence loop.
+
+    ``vox`` lets a preprocessing chain (denoise, bias-field) hand in
+    transformed intensities; default is the raw fixture volume.
     """
-    vox = _voxels(spark).filter(F.col("in_mask"))
+    if vox is None:
+        vox = _voxels(spark)
+    vox = vox.filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
-    lab = lab.localCheckpoint()
+    lab = lineage_checkpoint(lab)
     offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
     params = list(MEANS_M)
     total = lab.count()
@@ -317,7 +329,7 @@ def hmrf_em(spark: SparkSession, n_iters: int = 3, stop_ratio: float = 0.01) -> 
             .otherwise(2)
         )
         nxt = e.select("z", "y", "x", "inten_m", F.col("label").alias("old"), new_lbl.alias("label"))
-        nxt = nxt.localCheckpoint()  # truncate lineage per iteration
+        nxt = lineage_checkpoint(nxt)  # truncate lineage per iteration
         changed = nxt.filter(F.col("old") != F.col("label")).count()
         # M-step: re-estimate class means from the new labeling.
         # Exact integer sum / count, NOT float avg: float avg is
@@ -343,6 +355,92 @@ def q_hmrf_em_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end HMRF-EM (3 iterations or converged) — final per-class
     voxel counts + means (the reference report's summary table)."""
     return hmrf_em(spark)
+
+
+# 3x3 in-plane binomial (Gaussian sigma~0.85) kernel: weight
+# (2-|oy|)*(2-|ox|) -> 1/2/1, 2/4/2, 1/2/1 — the reference's per-slice
+# Gaussian denoise (brain_segmentation.py:384-395) in integer form.
+_DENOISE_OFFS = """
+offs AS (
+  SELECT CAST(FLOOR(id / 3) AS BIGINT) - 1 AS oy, id % 3 - 1 AS ox
+  FROM range(9) AS r(id)
+)
+"""
+
+
+def _denoised_voxels(spark: SparkSession) -> DataFrame:
+    """(z, y, x, inten_m, in_mask) with inten_m replaced by the
+    weighted-neighborhood average, floor-divided by the present weight
+    sum (exact integers -> bit-identical cross-engine).  Denoise sees
+    the FULL slice (outside-mask neighbors included), like the
+    reference denoising before masking."""
+    vox = _voxels(spark)
+    offs = spark.sql(f"WITH {_DENOISE_OFFS} SELECT * FROM offs")
+    a, b = vox.alias("a"), vox.alias("b")
+    wgt = (2 - F.abs(F.col("o.oy"))) * (2 - F.abs(F.col("o.ox")))
+    sm = (
+        a.crossJoin(F.broadcast(offs.alias("o")))
+        .join(
+            b,
+            (F.col("b.z") == F.col("a.z"))
+            & (F.col("b.y") == F.col("a.y") + F.col("o.oy"))
+            & (F.col("b.x") == F.col("a.x") + F.col("o.ox")),
+        )
+        .groupBy(
+            F.col("a.z").alias("z"),
+            F.col("a.y").alias("y"),
+            F.col("a.x").alias("x"),
+            F.col("a.in_mask").alias("in_mask"),
+        )
+        .agg(
+            F.sum(F.col("b.inten_m") * wgt).alias("swv"),
+            F.sum(wgt).alias("sw"),
+        )
+    )
+    return sm.select(
+        "z", "y", "x", F.expr("CAST(swv div sw AS BIGINT)").alias("inten_m"), "in_mask"
+    )
+
+
+@query(
+    "gaussian_denoise",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL}),
+    {_DENOISE_OFFS},
+    sm AS (
+      SELECT a.z, a.y, a.x, a.in_mask,
+             SUM(b.inten_m * (2 - ABS(o.oy)) * (2 - ABS(o.ox))) AS swv,
+             SUM((2 - ABS(o.oy)) * (2 - ABS(o.ox))) AS sw
+      FROM vox a
+      CROSS JOIN offs o
+      JOIN vox b ON b.z = a.z AND b.y = a.y + o.oy AND b.x = a.x + o.ox
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT z, y, x, CAST(swv // sw AS BIGINT) AS dn_m
+    FROM sm WHERE in_mask
+    """,
+)
+def q_gaussian_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice Gaussian denoise as a 9-offset weighted neighborhood
+    join (SURVEY U8; ref brain_segmentation.py:384-395 denoises each
+    slice before bias-field correction and EM) — the binomial 1-2-1
+    kernel, all-integer arithmetic (weighted sum floor-divided by the
+    present-weight sum), masked output.
+
+    Scale shape: one equi-join shuffle on (z, y, x) regardless of
+    volume count; partitions by z-slab at cluster scale."""
+    return _denoised_voxels(spark).filter(F.col("in_mask")).select(
+        "z", "y", "x", F.col("inten_m").alias("dn_m")
+    )
+
+
+@query("hmrf_em_denoised")  # rows-only: iterative, driver-controlled loop
+def q_hmrf_em_denoised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual preprocessing chain wired together:
+    Gaussian denoise -> HMRF-EM (brain_segmentation.py:384-395 then
+    :274-318).  Same EM loop as `hmrf_em_segmentation`, consuming the
+    denoised intensities."""
+    return hmrf_em(spark, vox=_denoised_voxels(spark))
 
 
 _POSTERIOR_ORACLE = f"""
@@ -702,11 +800,11 @@ def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_iters, stop_ratio = 3, 0.01
     vox = _voxels(spark).filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
-    lab = lab.localCheckpoint()
+    lab = lineage_checkpoint(lab)
     params = list(MEANS_M)
     total = lab.count()
     for _ in range(n_iters):
-        nxt = _slab_label_step(spark, lab, params).localCheckpoint()
+        nxt = lineage_checkpoint(_slab_label_step(spark, lab, params))
         changed = nxt.filter(F.col("old") != F.col("label")).count()
         stats = nxt.groupBy("label").agg(
             F.sum("inten_m").alias("s"), F.count(F.lit(1)).alias("c")

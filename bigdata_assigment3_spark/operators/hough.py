@@ -283,6 +283,183 @@ def q_circle_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math
+
+ELL_IMG_N = 4     # last image is noise-only (NO_ELLIPSE path)
+ELL_THETA_N = 24  # perimeter samples per candidate
+ELL_MIN_SCORE = 0.5  # ref hough_heart_detector2.py:390 min_score gate
+
+
+def _ell_f(dy: int, dx: int) -> str:
+    """Implicit ellipse value at pixel offset (dy, dx) for the planted
+    params (ey=28+2*img, ex=30+2*img, x-semi-axis ea=10+2*img,
+    y-semi-axis eb=6+img): f = ea^2*(y-ey)^2 + eb^2*(x-ex)^2 - ea^2*eb^2."""
+    return (
+        f"((10+2*img)*(10+2*img)*(y{dy:+d}-(28+2*img))*(y{dy:+d}-(28+2*img))"
+        f" + (6+img)*(6+img)*(x{dx:+d}-(30+2*img))*(x{dx:+d}-(30+2*img))"
+        f" - (10+2*img)*(10+2*img)*(6+img)*(6+img))"
+    )
+
+
+# Planted-ellipse edge maps: the ring is the symmetric zero-crossing of
+# the implicit form (a pixel whose f-sign differs from a 4-neighbor's) —
+# integer math only, so Spark SQL and DuckDB produce identical pixels,
+# and the ring is centered on the true curve like a Canny edge.
+ELLIPSE_EDGE_SQL = f"""
+SELECT img AS image_id, y, x FROM (
+  SELECT CAST(FLOOR(id / {SIZE * SIZE}) AS BIGINT) AS img,
+         CAST(FLOOR(id / {SIZE}) AS BIGINT) % {SIZE} AS y,
+         id % {SIZE} AS x
+  FROM range({ELL_IMG_N * SIZE * SIZE}) AS r(id)
+)
+WHERE (img < {ELL_IMG_N - 1} AND (
+        ({_ell_f(0, 0)} <= 0 AND ({_ell_f(1, 0)} > 0 OR {_ell_f(-1, 0)} > 0
+                               OR {_ell_f(0, 1)} > 0 OR {_ell_f(0, -1)} > 0))
+     OR ({_ell_f(0, 0)} > 0 AND ({_ell_f(1, 0)} <= 0 OR {_ell_f(-1, 0)} <= 0
+                              OR {_ell_f(0, 1)} <= 0 OR {_ell_f(0, -1)} <= 0))))
+   OR ((y * 29 + x * 13 + img * 11) % 223 = 0)
+"""
+
+# Perimeter sample angles as a literal (t, cos, sin) table — the
+# reference precomputes its trig tables the same way
+# (hough_heart_detector2.py:150-167); inlining the doubles (repr
+# round-trips exactly) keeps both engines' arithmetic on identical
+# IEEE inputs, so the rounded sample pixels match bit-for-bit.
+_ELL_THETAS = ", ".join(
+    f"({t}, {math.cos(2 * math.pi * t / ELL_THETA_N)!r},"
+    f" {math.sin(2 * math.pi * t / ELL_THETA_N)!r})"
+    for t in range(ELL_THETA_N)
+)
+
+# Candidate grid: 3 centers x 3 centers x 3 x-axes x 3 y-axes = 81 per
+# image, covering the planted params.
+_ELL_CANDS_SQL = """
+  SELECT i.image_id,
+         28 + CAST(FLOOR(id / 27) AS BIGINT) * 2 AS ey,
+         30 + CAST(FLOOR(id / 9) AS BIGINT) % 3 * 2 AS ex,
+         10 + CAST(FLOOR(id / 3) AS BIGINT) % 3 * 2 AS ea,
+         6 + id % 3 AS eb
+  FROM imgs i CROSS JOIN range(81) AS r(id)
+"""
+
+
+@query(
+    "ellipse_candidate_score",
+    oracle=f"""
+    WITH edge AS ({ELLIPSE_EDGE_SQL}),
+    imgs AS (SELECT DISTINCT image_id FROM edge),
+    cands AS ({_ELL_CANDS_SQL}),
+    thetas(t, ct, st) AS (VALUES {_ELL_THETAS}),
+    samples AS (
+      SELECT DISTINCT image_id, ey, ex, ea, eb,
+             CAST(ROUND(ey + eb * st) AS BIGINT) AS py,
+             CAST(ROUND(ex + ea * ct) AS BIGINT) AS px
+      FROM cands CROSS JOIN thetas
+    ),
+    hits AS (
+      SELECT s.image_id, s.ey, s.ex, s.ea, s.eb, s.py, s.px,
+             MAX(CASE WHEN e.y = s.py AND e.x = s.px THEN 2
+                      WHEN e.y IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM samples s LEFT JOIN edge e
+        ON e.image_id = s.image_id AND e.y BETWEEN s.py - 1 AND s.py + 1
+       AND e.x BETWEEN s.px - 1 AND s.px + 1
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ),
+    scored AS (
+      SELECT image_id, ey, ex, ea, eb,
+             CAST(SUM(hit) AS BIGINT) AS support_raw, COUNT(*) AS n_samp,
+             CAST(SUM(hit) AS DOUBLE) / (2 * COUNT(*)) AS support
+      FROM hits GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT image_id,
+           CASE WHEN support >= {ELL_MIN_SCORE} THEN 'OK' ELSE 'NO_ELLIPSE' END AS status,
+           CASE WHEN support >= {ELL_MIN_SCORE} THEN ey END AS ey,
+           CASE WHEN support >= {ELL_MIN_SCORE} THEN ex END AS ex,
+           CASE WHEN support >= {ELL_MIN_SCORE} THEN ea END AS ea,
+           CASE WHEN support >= {ELL_MIN_SCORE} THEN eb END AS eb,
+           support_raw, ROUND(support, 6) AS support
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+               ORDER BY support DESC, ey, ex, ea, eb) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_ellipse_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipse-candidate sweep + perimeter-support argmax (SURVEY F10/
+    A12; ref hough_heart_detector2.py:315-358 fits ellipses to contours
+    and scores sampled perimeter support, :150-167 precomputes the trig
+    tables, :390 gates on min_score).
+
+    Relational form: candidates x a broadcast (cos, sin) literal table
+    -> DISTINCT rounded sample pixels; support via a 3x3-offset
+    equi-join against the edge table (exact hit = 2, 1-px neighbor = 1,
+    the discrete stand-in for the reference's bilinear sampling);
+    deterministic rank-1 per image, NO_ELLIPSE below min_score.
+
+    Scale shape: everything partitions by image_id; samples per image
+    are bounded (81 cands x 24 thetas), the edge join is an equi-join
+    on (image_id, y, x), and only (candidate, score) rows reach the
+    rank window.
+    """
+    edge = spark.sql(ELLIPSE_EDGE_SQL).alias("e")
+    imgs = edge.select("image_id").distinct()
+    imgs.createOrReplaceTempView("imgs")
+    cands = spark.sql(_ELL_CANDS_SQL)
+    thetas = spark.sql(f"SELECT * FROM (VALUES {_ELL_THETAS}) AS t(t, ct, st)")
+    samples = (
+        cands.crossJoin(F.broadcast(thetas))
+        .select(
+            "image_id", "ey", "ex", "ea", "eb",
+            F.round(F.col("ey") + F.col("eb") * F.col("st")).cast("bigint").alias("py"),
+            F.round(F.col("ex") + F.col("ea") * F.col("ct")).cast("bigint").alias("px"),
+        )
+        .distinct()
+        .alias("s")
+    )
+    offs = spark.sql(
+        "SELECT CAST(FLOOR(id / 3) AS BIGINT) - 1 AS oy, id % 3 - 1 AS ox FROM range(9) AS r(id)"
+    ).alias("o")
+    probe = samples.crossJoin(F.broadcast(offs)).join(
+        edge,
+        (F.col("e.image_id") == F.col("s.image_id"))
+        & (F.col("e.y") == F.col("s.py") + F.col("o.oy"))
+        & (F.col("e.x") == F.col("s.px") + F.col("o.ox")),
+        "left",
+    )
+    weight = (
+        F.when(
+            F.col("e.y").isNotNull() & (F.col("o.oy") == 0) & (F.col("o.ox") == 0), 2
+        )
+        .when(F.col("e.y").isNotNull(), 1)
+        .otherwise(0)
+    )
+    hits = probe.groupBy("s.image_id", "s.ey", "s.ex", "s.ea", "s.eb", "s.py", "s.px").agg(
+        F.max(weight).alias("hit")
+    )
+    scored = (
+        hits.groupBy("image_id", "ey", "ex", "ea", "eb")
+        .agg(F.sum("hit").cast("bigint").alias("support_raw"), F.count(F.lit(1)).alias("n_samp"))
+        .withColumn(
+            "support", F.col("support_raw").cast("double") / (2 * F.col("n_samp"))
+        )
+    )
+    w = Window.partitionBy("image_id").orderBy(F.desc("support"), "ey", "ex", "ea", "eb")
+    ok = F.col("support") >= ELL_MIN_SCORE
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "image_id",
+            F.when(ok, "OK").otherwise("NO_ELLIPSE").alias("status"),
+            F.when(ok, F.col("ey")).alias("ey"),
+            F.when(ok, F.col("ex")).alias("ex"),
+            F.when(ok, F.col("ea")).alias("ea"),
+            F.when(ok, F.col("eb")).alias("eb"),
+            "support_raw",
+            F.round("support", 6).alias("support"),
+        )
+    )
+
+
 @query("hough_peak_udf")  # rows-only: per-image numpy accumulator (U3 vehicle)
 def q_hough_peak_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image dense-accumulator Hough via applyInPandas — the

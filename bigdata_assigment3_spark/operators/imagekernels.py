@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..session import lineage_checkpoint
 from .hough import EDGE_POINTS_SQL, SIZE
 from .motion import FRAME_PIXELS_SQL, H, W
 
@@ -273,7 +274,7 @@ def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on the 2-D in-mask slice via iterative
     min-label propagation (SURVEY A14; ref keep-largest-CC skull
     strip, brain_segmentation.py:88-92).  Driver loop over distributed
-    joins with localCheckpoint; converges in O(diameter) rounds.
+    joins with lineage checkpointing; converges in O(diameter) rounds.
     Returns component sizes (largest first)."""
     frame = (
         spark.sql(FRAME_PIXELS_SQL)
@@ -281,7 +282,7 @@ def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("y", "x")
     )
     lab = frame.select("y", "x", (F.col("y") * W + F.col("x")).alias("comp"))
-    lab = lab.localCheckpoint()
+    lab = lineage_checkpoint(lab)
     offs = spark.sql(
         "SELECT * FROM (VALUES (1,0),(-1,0),(0,1),(0,-1)) AS o(dy, dx)"
     )
@@ -312,8 +313,8 @@ def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (
             m1.join(rep, m1.comp == rep.cell_id, "left")
             .select("y", "x", F.coalesce("rep_comp", "comp").alias("comp"))
-            .localCheckpoint()
         )
+        nxt = lineage_checkpoint(nxt)
         changed = (
             nxt.alias("a")
             .join(lab.alias("b"), ["y", "x"])

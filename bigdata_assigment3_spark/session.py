@@ -50,6 +50,25 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def lineage_checkpoint(df):
+    """Truncate lineage for iterative loops (EM, label propagation).
+
+    ``localCheckpoint`` stores blocks on executors — fast, but lost
+    with a dead executor, which on a 1000-executor cluster means a
+    multi-hour EM run dies with one machine.  When
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` is set, use a reliable
+    ``checkpoint`` to that (HDFS/S3) path instead; default stays local
+    for single-box runs.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def get_spark(app_name: str = "bigdata_assigment3_spark") -> SparkSession:
     cpus = default_parallelism()
     builder = (

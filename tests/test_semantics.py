@@ -119,6 +119,50 @@ def test_icm_step_denoises(spark):
     assert 0 < r.changed < r.total * 0.2, r
 
 
+def test_gaussian_denoise_reduces_noise(spark):
+    """The binomial kernel must shrink the fixture's +-48 hash noise:
+    mean |denoised - class_mean| < mean |raw - class_mean| over interior
+    voxels of each planted class (ref brain_segmentation.py:384-395
+    denoises before EM for exactly this reason)."""
+    from bigdata_assigment3_spark.operators.hmrf import VOXELS_SQL
+
+    raw = spark.sql(VOXELS_SQL).filter(F.col("in_mask"))
+    dn = REGISTRY["gaussian_denoise"].fn(spark, SF_ORACLE)
+    j = raw.join(dn, ["z", "y", "x"])
+    # class by distance band (the fixture's own definition, interior
+    # bands only so blur across class borders doesn't pollute)
+    d2 = "(z - 8) * (z - 8) * 4 + (y - 16) * (y - 16) + (x - 16) * (x - 16)"
+    for lo, hi, mu in ((0, 36, 340), (81, 121, 460), (169, 225, 700)):
+        band = j.filter(F.expr(f"{d2} >= {lo} AND {d2} < {hi}"))
+        r = band.agg(
+            F.avg(F.abs(F.col("inten_m") - mu)).alias("raw_dev"),
+            F.avg(F.abs(F.col("dn_m") - mu)).alias("dn_dev"),
+        ).collect()[0]
+        assert r.dn_dev < r.raw_dev * 0.6, (mu, r.raw_dev, r.dn_dev)
+
+
+def test_denoised_em_recovers_planted_means(spark):
+    """EM on denoised intensities must still find the three planted
+    classes with means near (340, 460, 700)."""
+    rows = {r.label: r for r in REGISTRY["hmrf_em_denoised"].fn(spark, SF_ORACLE).collect()}
+    for k, want in enumerate((340, 460, 700)):
+        assert abs(rows[k].mean_m - want) < 30, rows
+        assert rows[k].n > 100, rows
+
+
+def test_ellipse_sweep_recovers_planted_params(spark):
+    """The candidate sweep must recover each image's planted ellipse
+    (ey, ex, ea, eb) exactly with full support, and flag the noise-only
+    image NO_ELLIPSE (ref hough_heart_detector2.py:315-358,390)."""
+    rows = {r.image_id: r for r in REGISTRY["ellipse_candidate_score"].fn(spark, SF_ORACLE).collect()}
+    for img in range(3):
+        r = rows[img]
+        assert r.status == "OK", r
+        assert (r.ey, r.ex, r.ea, r.eb) == (28 + 2 * img, 30 + 2 * img, 10 + 2 * img, 6 + img), r
+        assert r.support == 1.0, r
+    assert rows[3].status == "NO_ELLIPSE", rows[3]
+
+
 def test_jaccard_long_docs_not_capped(spark, tmp_path):
     """Shingling must cover the WHOLE document, not a fixed prefix: two
     2000-char docs that agree only on their first 600 chars are NOT
