@@ -70,17 +70,37 @@ def main() -> None:
         per_query[name] = round(sorted(times)[1], 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+
+    # Round-over-round tracking: compare against the newest BENCH_r{N}.json
+    # so per-query regressions are visible in the next round's record.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_rounds = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
     )
+    if prev_rounds:
+        rnum, fname = prev_rounds[-1]
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                prev = json.load(fh)
+            # driver records wrap our JSON line under "parsed"
+            prev_q = prev.get("parsed", prev).get("queries", {})
+            out["prev_round"] = rnum
+            out["delta_vs_prev"] = {
+                n: round(t - prev_q[n], 3) for n, t in per_query.items() if n in prev_q
+            }
+        except (OSError, ValueError):
+            pass  # unreadable previous record: skip the comparison
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
