@@ -153,3 +153,64 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pt"), 3).cast("double").alias("total"),
     )
+
+
+def skewed_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed fact ⋈ dim join behind `skewed_join_hot_key`: 80% of
+    fact rows share one hot key (the worst-case shuffle distribution).
+    Exposed separately so the plan test can execute the bare join and
+    assert AQE's skew split (`SortMergeJoin(skew=true)`) with
+    scaled-down thresholds — at 100 TB the default 256 MB threshold
+    triggers the same split with zero query changes.
+
+    The MERGE hint pins a shuffle join: at real scale BOTH sides are
+    large (the broadcast escape hatch doesn't exist), which is exactly
+    when skew hurts.  The repartition gives the shuffle multiple map
+    outputs — AQE splits a skewed reduce partition at mapper
+    granularity, so a single-mapper toy input cannot be split."""
+    ev = load_table(spark, sf_dir, "events").repartition(8)
+    facts = ev.select(
+        F.expr("CASE WHEN event_id % 10 < 8 THEN 0 ELSE event_id % 64 END").alias("hot_key"),
+        "value",
+    )
+    dim = spark.range(64).select(
+        F.col("id").alias("hot_key"),
+        F.concat(F.lit("grp_"), (F.col("id") % 8).cast("string")).alias("grp"),
+    )
+    return facts.hint("MERGE").join(dim, "hot_key")
+
+
+@query(
+    "skewed_join_hot_key",
+    oracle="""
+    WITH facts AS (
+      SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE event_id % 64 END AS hot_key,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT id AS hot_key, 'grp_' || CAST(id % 8 AS VARCHAR) AS grp
+      FROM range(64) AS r(id)
+    )
+    SELECT d.grp, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(f.value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total
+    FROM facts f JOIN dim d USING (hot_key)
+    GROUP BY d.grp
+    """,
+)
+def q_skewed_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key shuffle join, the AUTOMATIC counterpart of
+    `salted_hot_key_agg`'s manual salting: AQE detects the oversized
+    reduce partition at runtime and splits it across tasks
+    (spark.sql.adaptive.skewJoin, on in session.py), so the hot key
+    stops serializing one reducer.  Correctness is oracle-checked here;
+    the skew split itself is plan-asserted in tests/test_plans.py with
+    thresholds scaled to the test corpus."""
+    return (
+        skewed_hot_key_join(spark, sf_dir)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
+        )
+    )

@@ -345,3 +345,118 @@ def q_ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+PQ_M = 8         # subspaces
+PQ_K = 16        # centroids per subspace (4-bit codes)
+PQ_SHORTLIST = 50
+PQ_TRAIN_N = 256  # bounded codebook-training sample (driver-side)
+
+
+@query("ann_pq_rerank")  # rows-only: model-based (PQ codebooks)
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank — the memory-bound
+    scale path beside LSH/IVF: vectors compress to PQ_M 4-bit codes
+    (~8 bytes vs 512), the WHOLE corpus is scored from codes via a
+    broadcast lookup-table join, and only the per-query shortlist of
+    PQ_SHORTLIST candidates touches full vectors for exact cosine
+    re-ranking (recall vs brute force asserted in tests).
+
+    Scale shape: codebooks train on a BOUNDED sample (PQ_TRAIN_N rows,
+    driver-side seeded k-means — the standard train-small/apply-big
+    split); encoding and ADC scoring are broadcast joins + one partial
+    agg, linear in corpus x probes; the re-rank join touches
+    O(probes x shortlist) full vectors regardless of corpus size.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    ds = dim // PQ_M
+    norm = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / "
+        "sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * v),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)))"
+    )
+    vecs = emb.select("vec_id", norm.alias("e"))
+
+    # --- train codebooks on a bounded deterministic sample (driver) ---
+    train = np.array(
+        [r.e for r in vecs.filter(F.col("vec_id") < PQ_TRAIN_N).collect()], dtype=np.float64
+    )
+    rng = np.random.RandomState(0)
+
+    def kmeans(data: np.ndarray, k: int, iters: int = 20) -> np.ndarray:
+        cents = data[rng.choice(len(data), k, replace=False)].copy()
+        for _ in range(iters):
+            assign = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+            for j in range(k):
+                if (assign == j).any():
+                    cents[j] = data[assign == j].mean(0)
+        return cents
+
+    books = [kmeans(train[:, m * ds:(m + 1) * ds], PQ_K) for m in range(PQ_M)]
+    cent_rows = [
+        (m, c, [float(x) for x in books[m][c]]) for m in range(PQ_M) for c in range(PQ_K)
+    ]
+    cents = spark.createDataFrame(cent_rows, "sub_id INT, code INT, centroid ARRAY<DOUBLE>")
+
+    # --- relational encode: nearest subspace centroid per (vec, sub) ---
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(e, m * {ds} + 1, {ds}))")
+        ).alias("sub_id", "sv"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+    )
+    codes = (
+        subs.join(F.broadcast(cents), "sub_id")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+
+    # --- per-query ADC lookup tables (probes x PQ_M x PQ_K rows) ---
+    q = vecs.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID))
+    qsubs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(e, m * {ds} + 1, {ds}))")
+        ).alias("sub_id", "sv"),
+    )
+    lut = qsubs.join(F.broadcast(cents), "sub_id").select(
+        "query_id", "sub_id", "code", d2.alias("ld2")
+    )
+
+    # --- ADC scoring from codes only + shortlist ---
+    approx = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld2").alias("approx_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("sn", F.row_number().over(ws))
+        .filter(F.col("sn") <= PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+
+    # --- exact re-rank of the shortlist only ---
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("e").alias("eq"))
+    cv = vecs.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"))
+    dot = F.expr(
+        "aggregate(zip_with(eq, ev, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        shortlist.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(dot, 6))
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )

@@ -371,3 +371,43 @@ def q_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_EMAIL_RE = "^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$"
+
+# Derived email fixture over customer: one third well-formed, one third
+# keeps c_name's '#' (invalid char), one third malformed domain.
+_EMAIL_EXPR = """
+CASE WHEN c_custkey % 3 = 0
+       THEN REPLACE(LOWER(c_name), '#', '.') || '@example.com'
+     WHEN c_custkey % 3 = 1
+       THEN LOWER(c_name) || '@example.com'
+     ELSE REPLACE(LOWER(c_name), '#', '.') || '@@example'
+END
+"""
+
+
+@query(
+    "email_validation",
+    oracle=f"""
+    SELECT regexp_matches(email, '{_EMAIL_RE}') AS valid,
+           COUNT(*) AS n, MIN(email) AS sample_email
+    FROM (SELECT {_EMAIL_EXPR} AS email FROM customer)
+    GROUP BY 1
+    """,
+)
+def q_email_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email-format validation as a regex check constraint (SURVEY F13;
+    ref app/schemas.py:8,17 EmailStr validates at the wire boundary).
+
+    The regex runs inside codegen (rlike, JVM-side); at ingest scale
+    this is the quarantine predicate that splits a feed into
+    valid/reject partitions with one scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    email = F.expr(_EMAIL_EXPR)  # '||' concat parses identically in Spark SQL
+    return (
+        cust.select(email.alias("email"))
+        .groupBy(F.col("email").rlike(_EMAIL_RE).alias("valid"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("email").alias("sample_email"))
+    )

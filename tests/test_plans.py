@@ -95,3 +95,31 @@ def test_partitioned_write_prunes_partitions(spark):
             break
     else:
         raise AssertionError(plan[:3000])
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """With thresholds scaled to the test corpus, AQE must detect the
+    hot-key partition (80% of fact rows) and split it: the executed
+    plan shows SortMergeJoin(skew=true) + a skewed AQEShuffleRead.
+    At 100 TB the default 256 MB threshold fires the same way."""
+    from bigdata_assigment3_spark.operators.imagekernels2 import skewed_hot_key_join
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = skewed_hot_key_join(spark, SF_ORACLE)
+        j.collect()  # AQE finalizes the plan only on execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
