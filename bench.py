@@ -42,7 +42,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_cosine_topk_vec",
+    "ann_pq_rerank",
     "text_quality",
+    "ellipse_candidate_score",
+    "gaussian_denoise",
+    "nlm_denoise",
+    "skewed_join_hot_key",
 ]
 
 

@@ -434,6 +434,117 @@ def q_gaussian_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NLM_T = 60000  # patch-distance cutoff: same-class pairs cluster ~24k,
+               # cross-class ~1.2M on this fixture (measured), so the
+               # threshold sits in a wide empirical gap
+
+
+@query(
+    "nlm_denoise",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL}),
+    w_offs AS (SELECT CAST(FLOOR(id / 5) AS BIGINT) - 2 AS wy, id % 5 - 2 AS wx
+               FROM range(25) AS r(id)),
+    p_offs AS (SELECT CAST(FLOOR(id / 3) AS BIGINT) - 1 AS py, id % 3 - 1 AS px
+               FROM range(9) AS r(id)),
+    pairs AS (
+      SELECT a.z, a.y, a.x, a.in_mask, b.y AS by, b.x AS bx, b.inten_m AS vb
+      FROM vox a CROSS JOIN w_offs w
+      JOIN vox b ON b.z = a.z AND b.y = a.y + w.wy AND b.x = a.x + w.wx
+    ),
+    pd AS (
+      SELECT p.z, p.y, p.x, ANY_VALUE(p.in_mask) AS in_mask, p.by, p.bx, p.vb,
+             SUM((pa.inten_m - pb.inten_m) * (pa.inten_m - pb.inten_m)) AS d2,
+             COUNT(*) AS np
+      FROM pairs p CROSS JOIN p_offs o
+      JOIN vox pa ON pa.z = p.z AND pa.y = p.y + o.py AND pa.x = p.x + o.px
+      JOIN vox pb ON pb.z = p.z AND pb.y = p.by + o.py AND pb.x = p.bx + o.px
+      GROUP BY 1, 2, 3, 5, 6, 7
+    )
+    SELECT z, y, x,
+           CAST(SUM(CASE WHEN d2 <= {NLM_T} THEN vb ELSE 0 END)
+                // SUM(CASE WHEN d2 <= {NLM_T} THEN 1 ELSE 0 END) AS BIGINT) AS nlm_m,
+           CAST(SUM(CASE WHEN d2 <= {NLM_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_used
+    FROM pd WHERE np = 9 AND in_mask
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nlm_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-local-means denoise, relational form (SURVEY U8; ref
+    brain_segmentation.py:384-395 prefers per-slice NLM over Gaussian):
+    each voxel averages the centers of the 5x5 in-plane search window
+    whose 3x3 patches are similar — here "similar" is an integer
+    patch-distance cutoff in the fixture's wide same-class/cross-class
+    gap, so the whole computation stays exact BIGINT math and
+    hash-matches DuckDB.  Unlike `gaussian_denoise` it does NOT blur
+    across class boundaries (measured: 77-91% deviation reduction vs
+    the Gaussian's ~45%, asserted in tests).
+
+    Scale shape: three coordinate equi-joins (window pairs, then the
+    two patch lookups) — rows are bounded by voxels x 25 x 9, shuffled
+    on (z, y, x) keys; partitions by z-slab at cluster scale like the
+    ICM neighbor join."""
+    vox = _voxels(spark)
+    w_offs = spark.sql(
+        "SELECT CAST(FLOOR(id / 5) AS BIGINT) - 2 AS wy, id % 5 - 2 AS wx FROM range(25) AS r(id)"
+    )
+    p_offs = spark.sql(
+        "SELECT CAST(FLOOR(id / 3) AS BIGINT) - 1 AS py, id % 3 - 1 AS px FROM range(9) AS r(id)"
+    )
+    a, b = vox.alias("a"), vox.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(w_offs.alias("w")))
+        .join(
+            b,
+            (F.col("b.z") == F.col("a.z"))
+            & (F.col("b.y") == F.col("a.y") + F.col("w.wy"))
+            & (F.col("b.x") == F.col("a.x") + F.col("w.wx")),
+        )
+        .select(
+            F.col("a.z").alias("z"), F.col("a.y").alias("y"), F.col("a.x").alias("x"),
+            F.col("a.in_mask").alias("in_mask"),
+            F.col("b.y").alias("by"), F.col("b.x").alias("bx"), F.col("b.inten_m").alias("vb"),
+        )
+        .alias("p")
+    )
+    pa, pb = vox.alias("pa"), vox.alias("pb")
+    pd = (
+        pairs.crossJoin(F.broadcast(p_offs.alias("o")))
+        .join(
+            pa,
+            (F.col("pa.z") == F.col("p.z"))
+            & (F.col("pa.y") == F.col("p.y") + F.col("o.py"))
+            & (F.col("pa.x") == F.col("p.x") + F.col("o.px")),
+        )
+        .join(
+            pb,
+            (F.col("pb.z") == F.col("p.z"))
+            & (F.col("pb.y") == F.col("p.by") + F.col("o.py"))
+            & (F.col("pb.x") == F.col("p.bx") + F.col("o.px")),
+        )
+        .groupBy("p.z", "p.y", "p.x", "p.in_mask", "p.by", "p.bx", "p.vb")
+        .agg(
+            F.sum(
+                (F.col("pa.inten_m") - F.col("pb.inten_m"))
+                * (F.col("pa.inten_m") - F.col("pb.inten_m"))
+            ).alias("d2"),
+            F.count(F.lit(1)).alias("np"),
+        )
+    )
+    keep = F.col("d2") <= NLM_T
+    return (
+        pd.filter((F.col("np") == 9) & F.col("in_mask"))
+        .groupBy("z", "y", "x")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN d2 <= {NLM_T} THEN vb ELSE 0 END)"
+                f" div SUM(CASE WHEN d2 <= {NLM_T} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("nlm_m"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_used"),
+        )
+    )
+
+
 @query("hmrf_em_denoised")  # rows-only: iterative, driver-controlled loop
 def q_hmrf_em_denoised(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual preprocessing chain wired together:

@@ -352,24 +352,26 @@ PQ_K = 16        # centroids per subspace (4-bit codes)
 PQ_SHORTLIST = 50
 PQ_TRAIN_N = 256  # bounded codebook-training sample (driver-side)
 
+# PQ index memo per (session, sf_dir): codebooks + the persisted codes
+# DF are the "index build" — training and encoding run once, repeat
+# queries reuse them (same lifecycle as dedup.py's inverted index).
+_PQ_CACHE: dict = {}
 
-@query("ann_pq_rerank")  # rows-only: model-based (PQ codebooks)
-def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with exact re-rank — the memory-bound
-    scale path beside LSH/IVF: vectors compress to PQ_M 4-bit codes
-    (~8 bytes vs 512), the WHOLE corpus is scored from codes via a
-    broadcast lookup-table join, and only the per-query shortlist of
-    PQ_SHORTLIST candidates touches full vectors for exact cosine
-    re-ranking (recall vs brute force asserted in tests).
 
-    Scale shape: codebooks train on a BOUNDED sample (PQ_TRAIN_N rows,
-    driver-side seeded k-means — the standard train-small/apply-big
-    split); encoding and ADC scoring are broadcast joins + one partial
-    agg, linear in corpus x probes; the re-rank join touches
-    O(probes x shortlist) full vectors regardless of corpus size.
-    """
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Returns (vecs_df, cents_df, codes_df, ds) — normalized vectors,
+    centroid table, persisted PQ codes."""
     import numpy as np
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_PQ_CACHE):
+        if k[0] == key[0]:
+            _PQ_CACHE.pop(k)[2].unpersist()
+        else:
+            del _PQ_CACHE[k]  # dead session: blocks already gone
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     ds = dim // PQ_M
@@ -380,7 +382,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", norm.alias("e"))
 
-    # --- train codebooks on a bounded deterministic sample (driver) ---
+    # train codebooks on a bounded deterministic sample (driver-side)
     train = np.array(
         [r.e for r in vecs.filter(F.col("vec_id") < PQ_TRAIN_N).collect()], dtype=np.float64
     )
@@ -401,7 +403,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cents = spark.createDataFrame(cent_rows, "sub_id INT, code INT, centroid ARRAY<DOUBLE>")
 
-    # --- relational encode: nearest subspace centroid per (vec, sub) ---
+    # relational encode: nearest subspace centroid per (vec, sub)
     subs = vecs.select(
         "vec_id",
         F.posexplode(
@@ -417,7 +419,31 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d2", d2)
         .groupBy("vec_id", "sub_id")
         .agg(F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias("code"))
+        .persist()
     )
+    codes.count()  # materialize the index now (see dedup.py note)
+    built = (vecs, cents, codes, ds)
+    _PQ_CACHE[key] = built
+    return built
+
+
+@query("ann_pq_rerank")  # rows-only: model-based (PQ codebooks)
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank — the memory-bound
+    scale path beside LSH/IVF: vectors compress to PQ_M 4-bit codes
+    (~8 bytes vs 512), the WHOLE corpus is scored from codes via a
+    broadcast lookup-table join, and only the per-query shortlist of
+    PQ_SHORTLIST candidates touches full vectors for exact cosine
+    re-ranking (recall vs brute force asserted in tests).
+
+    Scale shape: codebooks train on a BOUNDED sample (PQ_TRAIN_N rows,
+    driver-side seeded k-means — the standard train-small/apply-big
+    split); the trained codebooks + persisted codes are memoized per
+    session as the index build; ADC scoring is a broadcast join + one
+    partial agg, linear in corpus x probes; the re-rank join touches
+    O(probes x shortlist) full vectors regardless of corpus size.
+    """
+    vecs, cents, codes, ds = _pq_index(spark, sf_dir)
 
     # --- per-query ADC lookup tables (probes x PQ_M x PQ_K rows) ---
     q = vecs.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID))
@@ -426,6 +452,10 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(e, m * {ds} + 1, {ds}))")
         ).alias("sub_id", "sv"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
     )
     lut = qsubs.join(F.broadcast(cents), "sub_id").select(
         "query_id", "sub_id", "code", d2.alias("ld2")

@@ -141,6 +141,31 @@ def test_gaussian_denoise_reduces_noise(spark):
         assert r.dn_dev < r.raw_dev * 0.6, (mu, r.raw_dev, r.dn_dev)
 
 
+def test_nlm_preserves_edges_better_than_gaussian(spark):
+    """NLM must denoise harder than the Gaussian kernel WITHOUT
+    blurring across class boundaries: per planted class band, NLM
+    deviation < 0.35x raw and < the Gaussian's deviation."""
+    from bigdata_assigment3_spark.operators.hmrf import VOXELS_SQL
+
+    raw = spark.sql(VOXELS_SQL).filter(F.col("in_mask"))
+    nlm = REGISTRY["nlm_denoise"].fn(spark, SF_ORACLE)
+    gau = REGISTRY["gaussian_denoise"].fn(spark, SF_ORACLE)
+    j = raw.join(nlm, ["z", "y", "x"]).join(gau, ["z", "y", "x"])
+    d2 = "(z - 8) * (z - 8) * 4 + (y - 16) * (y - 16) + (x - 16) * (x - 16)"
+    for lo, hi, mu in ((0, 36, 340), (81, 121, 460), (169, 225, 700)):
+        r = (
+            j.filter(F.expr(f"{d2} >= {lo} AND {d2} < {hi}"))
+            .agg(
+                F.avg(F.abs(F.col("inten_m") - mu)).alias("raw_dev"),
+                F.avg(F.abs(F.col("nlm_m") - mu)).alias("nlm_dev"),
+                F.avg(F.abs(F.col("dn_m") - mu)).alias("gau_dev"),
+            )
+            .collect()[0]
+        )
+        assert r.nlm_dev < r.raw_dev * 0.35, (mu, r)
+        assert r.nlm_dev < r.gau_dev, (mu, r)
+
+
 def test_denoised_em_recovers_planted_means(spark):
     """EM on denoised intensities must still find the three planted
     classes with means near (340, 460, 700)."""
