@@ -288,3 +288,83 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("last_frame"),
         F.countDistinct("frame_hash").cast("bigint").alias("n_distinct_frames"),
     )
+
+
+@query(
+    "audio_frame_energy",
+    # The waveform stub is md5 digest bytes, replayed exactly in SQL
+    # (('0x'||substr(md5(...)))::BIGINT == digest[j] — see README
+    # exactness rules), so the audio pipeline is fully oracle-checked.
+    oracle="""
+    WITH m AS (SELECT doc_id, text, 64 + LEN(text) % 192 AS n_samples FROM documents),
+    samples AS (
+      SELECT doc_id,
+             s.i AS idx,
+             ('0x' || substr(md5(text || CAST(s.i // 16 AS VARCHAR)),
+                             (s.i % 16) * 2 + 1, 2))::BIGINT - 128 AS v
+      FROM m, unnest(range(0, n_samples)) AS s(i)
+    ),
+    win AS (
+      SELECT doc_id, idx // 32 AS win_idx, SUM(v * v) AS win_energy
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(win_energy) AS BIGINT) AS total_energy,
+           CAST(MAX(win_energy) AS BIGINT) AS peak_window_energy
+    FROM win GROUP BY doc_id
+    """,
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing (the third modality next to image and
+    video): each payload plays a waveform whose samples derive from
+    the payload hash (STUB — soundfile/librosa decode would replace
+    the inner function), windowed into 32-sample frames whose energy
+    is computed in the UDF; per-track aggregation stays JVM-side.
+    The shape is the standard audio featurizer: 1 track -> N frame
+    rows -> per-track stats (VAD, loudness normalization, silence
+    trimming all start exactly like this).
+
+    Scale shape: mapInPandas streams Arrow batches (a 10 TB audio
+    corpus never materializes per-executor); the frame rows are
+    narrow (doc_id, win_idx, energy) and aggregate with map-side
+    combine."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("win_idx", IntegerType()),
+            StructField("win_energy", LongType()),
+        ]
+    )
+
+    def frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            out_id, out_win, out_e = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n = 64 + len(b) % 192
+                # STUB decode: real soundfile.read() lands here; the fake
+                # derives sample bytes from rolling md5 digests.
+                energies: dict[int, int] = {}
+                for i in range(n):
+                    d = _hl.md5(b + str(i // 16).encode()).digest()
+                    v = d[i % 16] - 128
+                    energies[i // 32] = energies.get(i // 32, 0) + v * v
+                for w, e in energies.items():
+                    out_id.append(int(doc_id))
+                    out_win.append(w)
+                    out_e.append(e)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "win_idx": out_win, "win_energy": out_e}
+            )
+
+    frames = docs.mapInPandas(frame_energy, schema)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("win_energy").cast("bigint").alias("total_energy"),
+        F.max("win_energy").cast("bigint").alias("peak_window_energy"),
+    )

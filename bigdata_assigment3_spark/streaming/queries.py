@@ -354,3 +354,48 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed")
     )
+
+
+@query(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_unique,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_delivered
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restoration over an at-least-once stream: the
+    source is read TWICE and unioned (every event delivered 2x — the
+    classic retry/replay duplication), then
+    ``dropDuplicatesWithinWatermark`` on the event key keeps one copy
+    per key while the watermark bounds the dedup state (keys older
+    than the delay are evicted — the streaming analog of the dedup
+    suite's exact pass, and the rate limiter's TTL pattern,
+    app/rate_limit.py:40).
+
+    The oracle asserts both sides of the contract: per-type unique
+    counts equal the batch table, and the delivered count is exactly
+    2x.  Scale shape: state is one key per event within the watermark
+    horizon, partitioned by key — the standard streaming-ETL dedup
+    stage in front of an append sink."""
+    s1 = _stream_events(spark, sf_dir)
+    s2 = _stream_events(spark, sf_dir)
+    dup = s1.unionByName(s2).withWatermark("ts", "2 days")
+    clean = dup.dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        clean.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_dedup_sink")
+    n_delivered = F.lit(2) * F.count(F.lit(1))  # unioned source: every key 2x
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        n_delivered.cast("bigint").alias("n_delivered"),
+    )
