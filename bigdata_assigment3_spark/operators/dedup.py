@@ -283,15 +283,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" element_at(mh, 2*b+1) * {P} + element_at(mh, 2*b+2) AS band_sig)))"
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
-    a, b = bands.alias("a"), bands.alias("b")
+    # Candidates via in-array pair expansion of each band bucket (the
+    # same posting-list trick as the Jaccard index): ONE groupBy shuffle
+    # on (band, band_sig) instead of shuffling the bands table twice
+    # through a self-join; fan-out per bucket is |bucket|^2/2 either
+    # way, but the pairs are born inside the grouped array.
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (a, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # Verify ONLY candidate pairs (the point of LSH: never touch the

@@ -29,6 +29,7 @@ reliable checkpoint dir via SPARK_GRAFT_CHECKPOINT_DIR at cluster scale).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..session import lineage_checkpoint
@@ -745,13 +746,13 @@ def q_largest_component_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-D connected components at scale (SURVEY A14 / §8 open item):
     the distributed BSP pattern — label each z-slab locally (dense
     numpy min-propagation inside applyInPandas, no cross-slab
-    traffic), then union-find ONLY the slab-face adjacencies on the
-    driver.  Local roots compress each component to one row, and the
-    faces are 2/SLAB_Z of the voxels, so the merge input is tiny
-    relative to the volume; at extreme scale the same merge runs as
-    an iterative reduce instead of a driver pass.  Verified against a
-    whole-volume numpy labeling in tests.  Returns the top component
-    sizes (6-connectivity)."""
+    traffic), then merge across slab faces with a DISTRIBUTED
+    min-label propagation over the contracted component graph (nodes =
+    slab-local roots, edges = face adjacencies from one equi-join) —
+    nothing proportional to the volume, faces, or component count ever
+    reaches the driver, so the merge scales with executors like
+    everything else.  Verified against a whole-volume numpy labeling
+    in tests.  Returns the top component sizes (6-connectivity)."""
     vox = _voxels(spark).filter(F.expr(_SPECKLE)).select("z", "y", "x")
     slabbed = vox.withColumn("slab", F.floor(F.col("z") / SLAB_Z_CC).cast("bigint"))
     yy, xx = Y, X
@@ -790,36 +791,74 @@ def q_largest_component_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = slabbed.groupBy("slab").applyInPandas(
         local_cc, "z BIGINT, y BIGINT, x BIGINT, root BIGINT"
     )
-    sizes = {r["root"]: r["n"] for r in roots.groupBy("root").agg(
-        F.count(F.lit(1)).alias("n")).collect()}
-    face = roots.filter(
-        (F.col("z") % SLAB_Z_CC == 0) | (F.col("z") % SLAB_Z_CC == SLAB_Z_CC - 1)
-    ).collect()
-    coord = {(r["z"], r["y"], r["x"]): r["root"] for r in face}
+    roots = lineage_checkpoint(roots)  # local CC runs once, reused below
+    comp_sizes = roots.groupBy("root").agg(F.count(F.lit(1)).alias("n"))
 
-    parent: dict = {}
+    # Slab-boundary adjacency as a DISTRIBUTED equi-join (last-z rows of
+    # one slab against first-z rows of the next): nothing proportional
+    # to components or faces ever reaches the driver — the old driver
+    # union-find capped scale at driver memory.
+    lo = roots.filter(F.col("z") % SLAB_Z_CC == SLAB_Z_CC - 1).select(
+        "z", "y", "x", F.col("root").alias("ra")
+    )
+    hi = roots.filter(F.col("z") % SLAB_Z_CC == 0).select(
+        (F.col("z") - 1).alias("z"), "y", "x", F.col("root").alias("rb")
+    )
+    edges = lo.join(hi, ["z", "y", "x"]).select("ra", "rb").distinct()
+    edges = edges.unionByName(
+        edges.select(F.col("rb").alias("ra"), F.col("ra").alias("rb"))
+    )
 
-    def find(a):
-        while parent.get(a, a) != a:
-            parent[a] = parent.get(parent[a], parent[a])
-            a = parent[a]
-        return a
+    # Min-label propagation + pointer jumping over the COMPONENT graph
+    # (nodes = slab-local roots — tiny next to voxels): the same
+    # O(log diameter) loop as the 2-D largest_component, but on the
+    # contracted graph, so each round shuffles components, not voxels.
+    lab = comp_sizes.select("root", F.col("root").alias("comp"))
+    lab = lineage_checkpoint(lab)
+    for _ in range(12):
+        prop = (
+            lab.join(edges, lab.root == edges.ra)
+            .join(
+                lab.select(F.col("root").alias("b_root"), F.col("comp").alias("b_comp")),
+                F.col("rb") == F.col("b_root"),
+            )
+            .groupBy("root")
+            .agg(F.min("b_comp").alias("nbr_min"))
+        )
+        m1 = lab.join(prop, ["root"], "left").select(
+            "root", F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp")
+        )
+        rep = m1.select(F.col("root").alias("cell"), F.col("comp").alias("rep_comp"))
+        nxt = m1.join(rep, m1.comp == rep.cell, "left").select(
+            "root", F.coalesce("rep_comp", "comp").alias("comp")
+        )
+        nxt = lineage_checkpoint(nxt)
+        changed = (
+            nxt.alias("a")
+            .join(lab.alias("b"), ["root"])
+            .filter(F.col("a.comp") != F.col("b.comp"))
+            .count()
+        )
+        lab = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "largest_component_3d: component-graph propagation did not "
+            f"converge within the round cap (last round changed {changed})"
+        )
 
-    for (z, y, x), ra in coord.items():
-        if z % SLAB_Z_CC == SLAB_Z_CC - 1:
-            rb = coord.get((z + 1, y, x))
-            if rb is not None:
-                fa, fb = find(ra), find(rb)
-                if fa != fb:
-                    parent[max(fa, fb)] = min(fa, fb)
-
-    merged: dict = {}
-    for root, n in sizes.items():
-        g = find(root)
-        merged[g] = merged.get(g, 0) + n
-    top = sorted(merged.values(), reverse=True)[:10]
-    return spark.createDataFrame(
-        [(i + 1, int(s)) for i, s in enumerate(top)], "rank BIGINT, size BIGINT"
+    merged = (
+        comp_sizes.join(lab, "root")
+        .groupBy("comp")
+        .agg(F.sum("n").alias("size"))
+        .orderBy(F.desc("size"), F.asc("comp"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("size"), F.asc("comp"))
+    return merged.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("size").cast("bigint").alias("size"),
     )
 
 
