@@ -499,3 +499,65 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.sum(rev), 3).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      FROM customer WHERE c_acctbal < -800 GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      FROM supplier WHERE s_acctbal < -400 GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp,
+           CASE WHEN c.nk IS NULL THEN 'supplier_only'
+                WHEN s.nk IS NULL THEN 'customer_only'
+                ELSE 'both' END AS status
+    FROM c FULL JOIN s ON c.nk = s.nk
+    JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+    """,
+)
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (which side is
+    missing?) that completes the join-type coverage next to the
+    semi/anti pair: negative-balance customers vs negative-balance
+    suppliers per nation, with a status column naming the missing side.
+
+    Scale shape: both inputs pre-aggregate to one row per nation
+    BEFORE the outer join (the grouped sides are tiny regardless of
+    fact size), and the nation dim broadcasts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -800)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -400)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    j = cust.join(supp, cust.c_nk == supp.s_nk, "full_outer")
+    status = (
+        F.when(F.col("c_nk").isNull(), "supplier_only")
+        .when(F.col("s_nk").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        j.withColumn("nk", F.coalesce("c_nk", "s_nk"))
+        .withColumn("status", status)
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+            "status",
+        )
+    )

@@ -15,6 +15,7 @@ hashes use the portable md5-int56 (functions/hashing.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
@@ -182,4 +183,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(md5_int56_spark("word"))
     return exploded.groupBy("doc_id").agg(
         (F.sum(h % 1000003) % 1000000007).cast("bigint").alias("fingerprint")
+    )
+
+
+TFIDF_K = 3  # top terms per document
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+             CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score
+      FROM tf t JOIN df d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, ROUND(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rn FROM scored)
+    WHERE rn <= {TFIDF_K}
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_K} terms per document (SURVEY §7.3 M6 text
+    analysis): term frequency x inverse document frequency, ranked per
+    doc with a deterministic tie-break.
+
+    The idf factor is the exact rational N/df rather than ln(N/df):
+    both damp common terms monotonically, and the rational keeps every
+    score a ratio of integers (one correctly-rounded double divide), so
+    Spark and DuckDB rank and hash identically — ln() would introduce
+    cross-engine libm drift into the ORDER BY.
+
+    Scale shape: two hash aggs (tf, df) + a broadcast of the tiny df
+    side if AQE sizes it so, + a per-doc rank window — the standard
+    inverted-index statistics pass of a text pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    w = docs.select("doc_id", F.explode(words).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        (F.col("tf").cast("double") * n_docs / F.col("df")).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"))
     )
