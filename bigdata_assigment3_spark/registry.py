@@ -53,6 +53,7 @@ def _load_all() -> None:
         motion_adaptive,
         multimodal,
         relational,
+        sampling,
         similarity,
         text,
         webservice,
