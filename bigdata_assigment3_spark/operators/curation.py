@@ -1,0 +1,472 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+benchmark decontamination, within-document repetition scoring,
+concat-and-chunk sequence packing, domain mixture weights, and a
+composite quality-filter chain.
+
+No reference analog (the reference has no text pipeline); these are
+the north-star dataset-curation ops a 100 TB pretraining build runs
+between raw crawl and tokenizer.  Everything is JVM-side column math
+(split arrays + higher-order functions + hash aggs + windows) — no
+Python in any data path.
+
+Cross-engine exactness: every filter threshold is compared in integer
+arithmetic (``n_stop * 50 >= n_words`` instead of ``ratio >= 0.02``)
+so Spark and DuckDB never disagree on a float boundary; ratios appear
+only in output columns, as one correctly-rounded divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+# ---------------------------------------------------------------- n-grams
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as an array column (empty when len(words) < n)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(words, i + k) for k in range(n)])
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _duck_ngrams(n: int, words: str = "w.words") -> str:
+    """DuckDB expression for the same word n-grams (1-indexed lists)."""
+    parts = " || ' ' || ".join(f"{words}[i + {k + 1}]" for k in range(n))
+    return (
+        f"list_transform(range(0, greatest(len({words}) - {n - 1}, 0)), i -> {parts})"
+    )
+
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ------------------------------------------------- repetition (Gopher rule)
+
+
+@query(
+    "repetition_ngram_ratio",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             len({_duck_ngrams(2)}) AS n_bigrams,
+             len(list_distinct({_duck_ngrams(2)})) AS n_distinct
+      FROM w WHERE len(words) >= 2
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_ratio
+    FROM g
+    """,
+)
+def q_repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: fraction of duplicate word
+    bigrams (the Gopher-style ``duplicate n-gram`` quality rule that
+    catches boilerplate and generated spam).
+
+    Pure per-document array math — a map-only stage with no shuffle;
+    at 100 TB this pipelines with the scan at full parquet read speed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    grams = _ngrams(words, 2)
+    g = docs.filter(F.size(words) >= 2).select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    )
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        F.round(
+            (F.col("n_bigrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_bigrams"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+# --------------------------------------------------------- decontamination
+
+HOLDOUT_MOD = 25  # doc_id % 25 == 0 -> held-out benchmark doc
+DECON_N = 3  # word n-gram order for overlap matching
+
+
+@query(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_duck_ngrams(DECON_N)})) AS ngram
+      FROM w WHERE len(words) >= {DECON_N}
+    ),
+    test_grams AS (SELECT * FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0),
+    train_grams AS (
+      SELECT DISTINCT ngram FROM grams WHERE doc_id % {HOLDOUT_MOD} <> 0
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_hit
+      FROM test_grams t JOIN train_grams tr USING (ngram)
+      GROUP BY t.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+           ROUND(CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*), 6)
+               AS contamination_ratio
+    FROM test_grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each held-out document
+    (doc_id % {HOLDOUT_MOD} == 0), the fraction of its distinct word
+    {DECON_N}-grams that also appear anywhere in the training split —
+    the n-gram-overlap contamination check every LLM eval protocol
+    runs before trusting a score.
+
+    Scale shape: the training side stays distributed (distinct n-grams
+    = one hash agg over the corpus); the tiny held-out n-gram set is
+    the build side of the join, so Spark broadcasts it and the 100 TB
+    side streams through a semi-join — never the reverse.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    grams = (
+        docs.filter(F.size(words) >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_ngrams(words, DECON_N))).alias("ngram"),
+        )
+    )
+    is_test = F.col("doc_id") % HOLDOUT_MOD == 0
+    test_g = grams.filter(is_test)
+    train_g = grams.filter(~is_test).select("ngram").distinct()
+    hits = (
+        train_g.join(F.broadcast(test_g), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_ngrams"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+# ------------------------------------------------- concat-and-chunk packing
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_WORDS}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM t
+    )
+    SELECT source,
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(CASE WHEN (start_off + n_tokens) // {PACK_BUDGET}
+                         > start_off // {PACK_BUDGET}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+    FROM c GROUP BY source, chunk_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: concatenate documents in a stable order and split the
+    token stream at {PACK_BUDGET}-token boundaries.  Each document is
+    assigned to the chunk its first token lands in; ``n_straddling``
+    counts documents crossing a chunk boundary (the packing-waste
+    metric batch builders report).
+
+    Scale shape: packing runs per ``source`` shard (one window per
+    shard, shards process in parallel) — a single global running sum
+    would serialize the corpus through one partition, which is exactly
+    the 100 TB anti-pattern; per-shard streams are how real packers
+    (and this query) stay embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.size(_words()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    chunk = F.floor(F.col("start_off") / PACK_BUDGET)
+    end_chunk = F.floor((F.col("start_off") + F.col("n_tokens")) / PACK_BUDGET)
+    return (
+        c.select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            chunk.alias("chunk_id"),
+            (end_chunk > chunk).cast("int").alias("straddles"),
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.sum("straddles").cast("bigint").alias("n_straddling"),
+        )
+    )
+
+
+# --------------------------------------------------- domain mixture weights
+
+
+@query(
+    "domain_mixture_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(len({_DUCK_WORDS})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM t)
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(t.n_tokens AS DOUBLE) / tot.total, 6) AS empirical_share,
+           ROUND(CAST(tot.total AS DOUBLE) / (tot.n_sources * t.n_tokens), 6)
+               AS uniform_weight
+    FROM t CROSS JOIN tot
+    """,
+)
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weights: per-source token shares and the
+    resampling weight that flattens the mixture to uniform
+    (``target_share / empirical_share``) — the knob a pretraining
+    recipe turns to up/down-weight domains.
+
+    One hash agg + a 1-row broadcast of the totals; integer token
+    counts make the two output ratios the only float ops.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_words())).cast("bigint").alias("n_tokens"),
+    )
+    tot = t.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+            "empirical_share"
+        ),
+        F.round(
+            F.col("total").cast("double") / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("uniform_weight"),
+    )
+
+
+# ---------------------------------------------------- quality filter chain
+
+# Thresholds compared in integer math (see module docstring).
+MIN_WORDS = 20
+MAX_WORDS = 1000
+# avg word length in [2, 12]:  2*n_words <= n_nonspace <= 12*n_words
+# stopword ratio >= 0.02:      n_stop * 50 >= n_words
+# duplicate bigram ratio <= 0.5: (n_bigrams - n_distinct) * 2 <= n_bigrams
+_STOPWORDS = ("the", "a", "of", "to", "and")
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words,
+             LEN(REPLACE(text, ' ', '')) AS n_nonspace
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             n_nonspace,
+             len(list_filter(words, x -> x IN ({_STOP_IN}))) AS n_stop,
+             len({_duck_ngrams(2)}) AS n_bigrams,
+             len(list_distinct({_duck_ngrams(2)})) AS n_distinct
+      FROM w
+    ),
+    v AS (
+      SELECT doc_id,
+             CASE
+               WHEN n_words < {MIN_WORDS} THEN 'drop:too_short'
+               WHEN n_words > {MAX_WORDS} THEN 'drop:too_long'
+               WHEN n_nonspace < 2 * n_words THEN 'drop:short_words'
+               WHEN n_nonspace > 12 * n_words THEN 'drop:long_words'
+               WHEN n_stop * 50 < n_words THEN 'drop:no_stopwords'
+               WHEN (n_bigrams - n_distinct) * 2 > n_bigrams THEN 'drop:repetitive'
+               ELSE 'keep'
+             END AS verdict
+      FROM f
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM v GROUP BY verdict
+    """,
+)
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate: length, word-shape,
+    stopword-density and repetition rules applied as a first-match
+    CASE chain, reported as per-verdict counts (the drop-reason
+    audit every corpus build publishes).
+
+    All thresholds are integer comparisons — no float boundary can
+    disagree between engines — and the whole filter is one map stage
+    plus a tiny agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    grams = _ngrams(words, 2)
+    f = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+        F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS))).alias("n_stop"),
+        F.size(grams).alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    verdict = (
+        F.when(F.col("n_words") < MIN_WORDS, "drop:too_short")
+        .when(F.col("n_words") > MAX_WORDS, "drop:too_long")
+        .when(F.col("n_nonspace") < 2 * F.col("n_words"), "drop:short_words")
+        .when(F.col("n_nonspace") > 12 * F.col("n_words"), "drop:long_words")
+        .when(F.col("n_stop") * 50 < F.col("n_words"), "drop:no_stopwords")
+        .when(
+            (F.col("n_bigrams") - F.col("n_distinct")) * 2 > F.col("n_bigrams"),
+            "drop:repetitive",
+        )
+        .otherwise("keep")
+    )
+    return (
+        f.select("doc_id", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------- PII scrub
+
+# Patterns kept to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): character classes + bounded repetition only.
+_PII = {
+    "email": "[a-z0-9]+@[a-z]+[.][a-z]+",
+    "phone": "[0-9]{3}-[0-9]{4}",
+}
+# Planted PII (the documents corpus is synthetic words only): every
+# 5th doc gets an email, every 7th a phone number, derived from doc_id.
+_PLANT_DUCK = """
+    text || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR(10)) || '@mail.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR(10))
+                 ELSE '' END
+"""
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_PLANT_DUCK} AS text FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII["phone"]}')) AS n_phone,
+             LEN(text)
+               - LEN(regexp_replace(regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g'),
+                                    '{_PII["phone"]}', '<PHONE>', 'g'))
+               AS chars_delta
+      FROM planted
+    )
+    SELECT CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(chars_delta) AS BIGINT) AS total_chars_delta
+    FROM m
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: plant deterministic emails/phone numbers
+    into the synthetic corpus, redact them with portable regexes, and
+    report match and redaction-size counts — the scrub-pass accounting
+    of a compliance-grade corpus build.
+
+    Patterns use only character classes + bounded repetition so Java
+    regex (Spark) and RE2 (DuckDB) match identically; redaction is
+    ``regexp_replace`` in the JVM, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@mail.com")),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" call 555-"), (1000 + F.col("doc_id") % 9000).cast("string")),
+    ).otherwise("")
+    planted = docs.select(
+        "doc_id", F.concat("text", email, phone).alias("text")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII["email"], "<EMAIL>"),
+        F.lit(_PII["phone"]),
+        F.lit("<PHONE>"),
+    )
+    m = planted.select(
+        F.regexp_count("text", F.lit(_PII["email"])).alias("n_email"),
+        F.regexp_count("text", F.lit(_PII["phone"])).alias("n_phone"),
+        (F.length("text") - F.length(scrubbed)).alias("chars_delta"),
+    )
+    return m.agg(
+        F.sum((F.col("n_email") > 0).cast("int")).cast("bigint").alias("docs_with_email"),
+        F.sum((F.col("n_phone") > 0).cast("int")).cast("bigint").alias("docs_with_phone"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("chars_delta").cast("bigint").alias("total_chars_delta"),
+    )

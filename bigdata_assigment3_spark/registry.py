@@ -44,6 +44,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         bucketing,
         coverage,
+        curation,
         dedup,
         hmrf,
         hough,
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "customers_with_orders",
     "customers_without_orders",
     "window_topk_orders",
-    "window_running_total",
     "window_order_gaps",
     "set_operations",
     "rollup_lineitem",
@@ -95,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     "bias_field_correct",
     # structured streaming
     "stream_window_counts",
-    "stream_type_totals",
     "sessionize",
     "stream_stateful_rate_limit",
     "stream_session_window",
@@ -103,9 +102,12 @@ PRIORITY: tuple[str, ...] = (
     # text analysis
     "text_quality",
     "token_counts",
-    "lang_profile",
     "langid_heuristic",
-    "doc_fingerprint",
+    # corpus curation + sampling (LLM-pipeline north star)
+    "decontamination_overlap",
+    "pack_sequences",
+    "quality_filter_chain",
+    "train_test_split",
     # similarity search
     "ann_cosine_topk",
     "ann_cosine_topk_vec",

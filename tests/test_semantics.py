@@ -430,3 +430,69 @@ def test_slab_em_equals_relational_em(spark):
     slab = {(r.label): (r.n, r.mean_m)
             for r in REGISTRY["hmrf_em_slab"].fn(spark, SF_ORACLE).collect()}
     assert rel == slab, (rel, slab)
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Concat-and-chunk packing must conserve the token stream: per
+    source, chunk token counts sum to the source's total and chunk ids
+    are contiguous from 0 (no chunk skipped, none duplicated)."""
+    rows = REGISTRY["pack_sequences"].fn(spark, SF_ORACLE).collect()
+    docs = REGISTRY["domain_mixture_weights"].fn(spark, SF_ORACLE).collect()
+    totals = {r.source: r.n_tokens for r in docs}
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(totals)
+    for src, chunks in by_src.items():
+        assert sum(c.n_tokens for c in chunks) == totals[src], src
+        ids = sorted(c.chunk_id for c in chunks)
+        assert ids == list(range(len(ids))), (src, ids)
+
+
+def test_pii_scrub_counts_planted_exactly(spark):
+    """The corpus is letters-only, so the planted PII is the only PII:
+    emails on doc_id%5==0, phones on doc_id%7==0 — 1/5 and 1/7 of the
+    500 sf0.01 docs exactly."""
+    row = REGISTRY["pii_scrub"].fn(spark, SF_ORACLE).collect()[0]
+    assert row.docs_with_email == 100, row
+    assert row.docs_with_phone == 72, row
+    assert row.n_emails == 100 and row.n_phones == 72, row
+    # every redaction replaces a longer literal with <EMAIL>/<PHONE>
+    assert row.total_chars_delta > 0, row
+
+
+def test_quality_filter_partitions_corpus(spark):
+    """First-match CASE chain: every document gets exactly one verdict
+    and most of the synthetic corpus (plain word salad) is kept."""
+    rows = REGISTRY["quality_filter_chain"].fn(spark, SF_ORACLE).collect()
+    assert sum(r.n for r in rows) == 500
+    kept = {r.verdict: r.n for r in rows}.get("keep", 0)
+    assert kept >= 250, rows
+
+
+def test_decontamination_flags_verbatim_copy(spark, tmp_path):
+    """A held-out doc whose text verbatim-duplicates a training doc
+    must score contamination_ratio == 1.0; a held-out doc with a
+    vocabulary no training doc shares must score 0.0."""
+    import shutil
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "documents")
+    sf_dir = str(tmp_path)
+    train_text = src.filter(F.col("doc_id") == 1).collect()[0].text
+    extra = spark.createDataFrame(
+        [
+            (10000, train_text, "en", "srcX", len(train_text)),  # 10000 % 25 == 0
+            (10025, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg", "en", "srcX", 48),
+        ],
+        schema=src.schema,
+    )
+    src.unionByName(extra).write.parquet(f"{sf_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    out = {r.doc_id: r.contamination_ratio
+           for r in REGISTRY["decontamination_overlap"].fn(spark, sf_dir).collect()}
+    assert out[10000] == 1.0, out.get(10000)
+    assert out[10025] == 0.0, out.get(10025)
