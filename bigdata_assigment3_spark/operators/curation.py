@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
 from ..sources import load_table
 
@@ -383,6 +384,154 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )
+
+
+# ----------------------------------------------- bigram-LM quality scoring
+
+
+@query(
+    "lm_bigram_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+    ),
+    uni AS (
+      SELECT unnest(w.words) AS word FROM w
+    ),
+    c1 AS (SELECT word, COUNT(*) AS c1 FROM uni GROUP BY word),
+    vocab AS (SELECT COUNT(*) AS v FROM c1),
+    bg AS (
+      SELECT doc_id, unnest({_duck_ngrams(2)}) AS bigram
+      FROM w WHERE len(words) >= 2
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+    nll AS (
+      SELECT bg.doc_id,
+             LN(CAST(c1.c1 + vocab.v AS DOUBLE) / (c2.c2 + 1)) AS nll
+      FROM bg
+      JOIN c2 USING (bigram)
+      JOIN c1 ON c1.word = string_split(bg.bigram, ' ')[1]
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll) / COUNT(*), 4) AS mean_nll
+    FROM nll GROUP BY doc_id
+    """,
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: train an add-one
+    bigram LM on the corpus itself and score each document by its mean
+    negative log-likelihood in nats (low = predictable prose, high =
+    gibberish/boilerplate) — the perplexity-bucket signal pretraining
+    pipelines use to stratify a crawl.
+
+    Scale shape: the LM *is* two hash aggs (unigram + bigram counts);
+    scoring is two shuffle joins keyed on those same grams — the same
+    plan KenLM-on-MapReduce pipelines use.  The vocabulary size is a
+    1-row cross join.  Float math is confined to one ``ln`` per bigram
+    occurrence and a final mean rounded to 4 decimals, far above the
+    ~1e-12 association-order drift of the sum, so the score is
+    cross-engine stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    w = docs.select("doc_id", words.alias("words"))
+    uni = w.select(F.explode("words").alias("word"))
+    c1 = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    bg = (
+        w.filter(F.size("words") >= 2)
+        .select("doc_id", F.explode(_ngrams(F.col("words"), 2)).alias("bigram"))
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    nll = (
+        bg.join(c2, "bigram")
+        .join(c1, F.expr("split(bigram, ' ')[0]") == F.col("word"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c1") + F.col("v")).cast("double") / (F.col("c2") + 1)).alias(
+                "nll"
+            ),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 4).alias("mean_nll"),
+    )
+
+
+# ------------------------------------------------- span-level exact dedup
+
+SPAN_N = 8  # words per span (the "repeated span" granularity)
+
+
+@query(
+    "span_dedup_ratio",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({_duck_ngrams(SPAN_N)},
+                                                 g -> {md5_int56_duck('g')}))) AS span_h
+      FROM w WHERE len(words) >= {SPAN_N}
+    ),
+    df AS (
+      SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span_h
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM spans s JOIN df USING (span_h)
+    GROUP BY s.doc_id
+    """,
+)
+def q_span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (the Lee-et-al "repeated
+    {SPAN_N}-word span" rule): for each document, the fraction of its
+    distinct {SPAN_N}-word spans that also occur verbatim in at least
+    one other document — the signal used to cut boilerplate and
+    cross-site mirror text that whole-document dedup misses.
+
+    Scale shape: spans are hashed to 56-bit ints *before* the shuffle
+    (constant-width keys instead of ~50-byte strings), document
+    frequency is one hash agg over the span table, and the mark-back
+    is a shuffle join on the same key — sub-quadratic end to end, the
+    distributable stand-in for a suffix array at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    spans = (
+        docs.filter(F.size(words) >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_ngrams(words, SPAN_N))).alias("g"),
+        )
+        .select("doc_id", F.expr(md5_int56_spark("g")).alias("span_h"))
+    )
+    df_counts = spans.groupBy("span_h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        spans.join(df_counts, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias("n_shared"),
+            F.round(
+                F.sum((F.col("n_docs") >= 2).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
         )
     )
 

@@ -470,6 +470,99 @@ def test_quality_filter_partitions_corpus(spark):
     assert kept >= 250, rows
 
 
+def test_span_dedup_separates_planted_near_dups(spark):
+    """The sf0.01 corpus contains planted near-duplicate documents
+    (verbatim-span copies): those must score dup_ratio == 1.0, while
+    the clean majority shares no 8-word span (median ratio 0)."""
+    import statistics
+
+    rows = REGISTRY["span_dedup_ratio"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    full = [r.doc_id for r in rows if r.dup_ratio == 1.0]
+    assert len(full) >= 10, len(full)
+    assert statistics.median(r.dup_ratio for r in rows) == 0.0
+
+
+def test_lm_score_flags_repetitive_doc(spark, tmp_path):
+    """A planted doc that repeats one novel bigram 200 times must get
+    a far lower mean negative log-likelihood than every natural doc
+    (its bigram is self-evident to the corpus LM)."""
+    import shutil
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "documents")
+    sf_dir = str(tmp_path)
+    rep = " ".join(["xrep yrep"] * 200)
+    extra = spark.createDataFrame(
+        [(20001, rep, "en", "srcX", len(rep))], schema=src.schema
+    )
+    src.unionByName(extra).write.parquet(f"{sf_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    rows = REGISTRY["lm_bigram_score"].fn(spark, sf_dir).collect()
+    planted = next(r.mean_nll for r in rows if r.doc_id == 20001)
+    natural_min = min(r.mean_nll for r in rows if r.doc_id != 20001)
+    assert planted < 1.0 < natural_min - 1.0, (planted, natural_min)
+
+
+def _python_link_graph(spark):
+    from bigdata_assigment3_spark.sources import load_table
+
+    ids = [r.doc_id for r in
+           load_table(spark, SF_ORACLE, "documents").select("doc_id").collect()]
+    n = len(ids)
+    edges = {(s, (s * 7 + k * 131 + 17) % n)
+             for s in ids for k in range(1, 6)}
+    return ids, {(s, d) for (s, d) in edges if s != d}
+
+
+def test_pagerank_matches_python_integer_recompute(spark):
+    """The scaled-integer PageRank trajectory is fully deterministic:
+    an independent pure-Python recompute must match every rank_i
+    exactly (no tolerance)."""
+    ids, edges = _python_link_graph(spark)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    verts = {v for e in edges for v in e}
+    scale = 10**12
+    rank = {v: scale for v in verts}
+    for _ in range(5):
+        inflow = {v: 0 for v in verts}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {v: (15 * scale + 85 * inflow[v]) // 100 for v in verts}
+    got = {r.v: r.rank_i for r in
+           REGISTRY["pagerank"].fn(spark, SF_ORACLE).collect()}
+    assert got == rank
+    # rank mass is conserved up to integer-division truncation
+    assert 0.99 * len(verts) * scale < sum(got.values()) <= len(verts) * scale
+
+
+def test_triangle_count_matches_python_recompute(spark):
+    """Degree-oriented triangle enumeration must equal the brute-force
+    count over all undirected edge triples."""
+    import itertools
+
+    _, edges = _python_link_graph(spark)
+    und = {(min(s, d), max(s, d)) for s, d in edges}
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(
+        1
+        for a in adj
+        for b, c in itertools.combinations(sorted(adj[a]), 2)
+        if a < b and c in adj.get(b, set())
+    )
+    row = REGISTRY["triangle_count"].fn(spark, SF_ORACLE).collect()[0]
+    assert row.n_triangles == n_tri, (row.n_triangles, n_tri)
+    assert row.n_edges == len(und)
+
+
 def test_decontamination_flags_verbatim_copy(spark, tmp_path):
     """A held-out doc whose text verbatim-duplicates a training doc
     must score contamination_ratio == 1.0; a held-out doc with a
