@@ -1,0 +1,212 @@
+"""Graph analytics over a deterministic document link graph:
+PageRank (iterative) and triangle counting.
+
+No reference analog (the reference has no graph workload); these are
+the canonical iterative-join and self-join-enumeration patterns a
+web-scale corpus pipeline runs (link-based quality ranks feed crawl
+prioritization and spam filtering, triangle density feeds community/
+spam detection).
+
+The link graph is generated with integer arithmetic from ``documents``
+doc_ids (5 pseudo-random out-links per document, duplicates and
+self-links removed), so Spark and DuckDB derive bit-identical edges
+from the same parquet with no shared files.
+
+Cross-engine exactness: PageRank runs in *scaled integer* arithmetic —
+ranks are BIGINTs scaled by 1e12 and every per-edge contribution is an
+integer division (``rank div out_degree``), so the trajectory is
+deterministic and identical across engines (float PageRank would drift
+per-iteration with summation order).  The only float in either output
+is one final correctly-rounded divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..session import lineage_checkpoint
+from ..sources import load_table
+
+OUT_K = 5          # out-links generated per document
+PR_ITERS = 5       # fixed PageRank iterations (unrolled in the oracle)
+PR_SCALE = 10**12  # integer rank scale: rank 1.0 == 1e12
+
+# Shared-semantics edge generator (the DuckDB text; the Spark side
+# builds the identical relation with the DataFrame API below).
+_DUCK_EDGES = f"""
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 7 + r.k * 131 + 17)
+             % (SELECT COUNT(*) FROM documents) AS dst
+    FROM documents d CROSS JOIN range(1, {OUT_K + 1}) AS r(k)
+  ) e WHERE src <> dst
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same edge relation, built lazily (no driver-side count —
+    the vertex-count denominator rides along as a 1-row broadcast)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ks = spark.range(1, OUT_K + 1).withColumnRenamed("id", "k")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.crossJoin(ks)
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("k") * 131 + 17) % F.col("n")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _pr_oracle() -> str:
+    base = 15 * PR_SCALE
+    ctes = [
+        f"edges AS ({_DUCK_EDGES})",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        f"r0 AS (SELECT v, CAST({PR_SCALE} AS BIGINT) AS rank_i FROM verts)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+      SELECT vt.v,
+             CAST(({base} + 85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS rank_i
+      FROM verts vt LEFT JOIN (
+        SELECT e.dst AS v, SUM(rp.rank_i // deg.deg) AS inflow
+        FROM edges e
+        JOIN r{i - 1} rp ON e.src = rp.v
+        JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) s ON vt.v = s.v)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT v, rank_i, ROUND(CAST(rank_i AS DOUBLE) / {PR_SCALE}, 6) AS score
+    FROM r{PR_ITERS}"""
+    )
+
+
+@query("pagerank", oracle=_pr_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the document link graph: {PR_ITERS} fixed
+    iterations, damping 0.85, teleport to every vertex — the
+    link-quality rank a crawl pipeline feeds back into scheduling.
+
+    Scale shape: each iteration is one shuffle join (edges x ranks on
+    src, both pre-partitionable on the same key) plus one hash agg on
+    dst — the textbook bulk-synchronous PageRank plan.  Lineage is
+    truncated per iteration (local checkpoint, or reliable
+    checkpoint under SPARK_GRAFT_CHECKPOINT_DIR) so the plan stays
+    O(1) deep regardless of iteration count.
+    """
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    edges_deg = edges.join(deg, "src").select(
+        F.col("src").alias("v"), "dst", "deg"
+    )
+    rank = verts.select("v", F.lit(PR_SCALE).cast("bigint").alias("rank_i"))
+    rank = lineage_checkpoint(rank)
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges_deg.join(rank, "v")
+            .select(F.col("dst").alias("v"), F.expr("rank_i div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = verts.join(inflow, "v", "left").select(
+            "v",
+            F.expr(
+                f"CAST(({15 * PR_SCALE} + 85 * COALESCE(inflow, 0)) div 100 AS BIGINT)"
+            ).alias("rank_i"),
+        )
+        rank = lineage_checkpoint(rank)
+    return rank.select(
+        "v",
+        "rank_i",
+        F.round(F.col("rank_i").cast("double") / PR_SCALE, 6).alias("score"),
+    )
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+    WITH edges AS ({_DUCK_EDGES}),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS w
+      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM o e1
+      JOIN o e2 ON e2.u = e1.w
+      JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT MAX(d) FROM deg) AS max_degree,
+           n_triangles
+    FROM tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the undirected document link graph, using the
+    degree-orientation algorithm: orient every edge from its lower-
+    degree endpoint, enumerate oriented wedges, close them with a
+    third join.  Each triangle is counted exactly once and the wedge
+    fan-out per vertex is bounded by its *oriented* out-degree, which
+    degree orientation caps at O(sqrt(m)) — the standard trick that
+    makes distributed triangle enumeration survive power-law skew.
+    """
+    edges = _edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    e1 = o.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = o.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    e3 = o.select(F.col("u").alias("x"), F.col("w").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_vertices"), F.max("d").alias("max_degree"))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_vertices", "n_edges", "max_degree", "n_triangles"
+    )

@@ -46,6 +46,7 @@ def _load_all() -> None:
         coverage,
         curation,
         dedup,
+        graph,
         hmrf,
         hough,
         imagekernels,
