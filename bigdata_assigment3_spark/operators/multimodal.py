@@ -291,6 +291,168 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_phash_dedup",
+    # Thumbnail pixels are md5 digest bytes (replayable in SQL); the
+    # planted variants perturb 3 pixels, so the whole perceptual-hash
+    # pipeline — decode, average-hash, banding, candidate join,
+    # hamming verify — is oracle-checked end to end.
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS img_id, text, 0 AS variant FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id % 10 = 0
+    ),
+    px AS (
+      SELECT img_id, j.j AS j,
+             CASE WHEN variant = 1 AND j.j % 29 = 1
+                  THEN (('0x' || substr(md5(text || CAST(j.j // 16 AS VARCHAR)),
+                                        (j.j % 16) * 2 + 1, 2))::BIGINT + 8) % 256
+                  ELSE ('0x' || substr(md5(text || CAST(j.j // 16 AS VARCHAR)),
+                                       (j.j % 16) * 2 + 1, 2))::BIGINT
+             END AS p
+      FROM imgs, range(0, 64) AS j(j)
+    ),
+    tot AS (SELECT img_id, SUM(p) AS total FROM px GROUP BY img_id),
+    bands AS (
+      SELECT px.img_id, j // 16 AS band_idx,
+             SUM((CASE WHEN p * 64 >= total THEN 1 ELSE 0 END)::BIGINT
+                 * (1 << (j % 16))) AS band_val
+      FROM px JOIN tot USING (img_id) GROUP BY 1, 2
+    ),
+    bw AS (
+      SELECT img_id,
+             MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY img_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.img_id < b.img_id
+    )
+    SELECT img_a, img_b,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+             AS BIGINT) AS hamming
+    FROM cand
+    JOIN bw x ON x.img_id = img_a
+    JOIN bw y ON y.img_id = img_b
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6
+    """,
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image detection: decode each
+    payload to an 8x8 grayscale thumbnail (STUB — cv2 decode+resize
+    would land here; the fake derives pixels from payload digests),
+    compute the average-hash (bit = pixel >= image mean, in exact
+    integer form ``p * 64 >= total``) inside the UDF, then find
+    near-duplicates relationally: split the 64-bit hash into 4
+    16-bit bands, bucket-join on band equality (pigeonhole: any pair
+    within hamming distance 3 shares an identical band), and verify
+    candidates with a popcount hamming distance <= 6.
+
+    Ground truth is planted: every 10th document also emits a
+    re-encoded variant (3 pixels perturbed), so the pipeline must
+    recover exactly those pairs — random thumbnails sit ~32 bits
+    apart and the 4 accidental band collisions at sf0.01 are all
+    >= 20 bits, so the margin is wide.
+
+    Scale shape: the band join is the sub-quadratic LSH pattern
+    (candidates ~ bucket collisions, never corpus^2), the hash is 4
+    BIGINTs per image (constant state), and verification touches only
+    candidate pairs — the same plan pHash dedup runs over a billion
+    images.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    schema = StructType(
+        [
+            StructField("img_id", LongType()),
+            StructField("b0", LongType()),
+            StructField("b1", LongType()),
+            StructField("b2", LongType()),
+            StructField("b3", LongType()),
+        ]
+    )
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def thumb(payload: bytes) -> list[int]:
+            # STUB decode+resize: cv2.imdecode + cv2.resize((8, 8))
+            # would land here; the fake derives the 64 pixels from
+            # rolling md5 digests of the payload.
+            return [
+                _hl.md5(payload + str(j // 16).encode()).digest()[j % 16]
+                for j in range(64)
+            ]
+
+        def bands(px: list[int]) -> tuple[int, int, int, int]:
+            tot = sum(px)
+            bits = [1 if p * 64 >= tot else 0 for p in px]
+            return tuple(
+                sum(bits[16 * b + k] << k for k in range(16)) for b in range(4)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                px = thumb(b)
+                rows.append((int(doc_id),) + bands(px))
+                if doc_id % 10 == 0:
+                    # planted near-dup: the re-encoded variant of the
+                    # same image (3 pixels shifted by +8).
+                    pv = [
+                        (v + 8) % 256 if j % 29 == 1 else v
+                        for j, v in enumerate(px)
+                    ]
+                    rows.append((int(doc_id) + 100000,) + bands(pv))
+            yield pd.DataFrame(rows, columns=["img_id", "b0", "b1", "b2", "b3"])
+
+    bw = docs.mapInPandas(phash_batches, schema)
+    bands_long = bw.select(
+        "img_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("band_val"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("img_id", "s.band_idx", "s.band_val")
+    a = bands_long.select(
+        F.col("img_id").alias("img_a"), "band_idx", "band_val"
+    )
+    b = bands_long.select(
+        F.col("img_id").alias("img_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b")
+        .distinct()
+    )
+    x = bw.select(*[F.col(c).alias(f"x_{c}") for c in bw.columns])
+    y = bw.select(*[F.col(c).alias(f"y_{c}") for c in bw.columns])
+    hamming = sum(
+        F.expr(f"bit_count(x_b{i} ^ y_b{i})") for i in range(4)
+    ).cast("bigint")
+    return (
+        cand.join(x, cand.img_a == x.x_img_id)
+        .join(y, cand.img_b == y.y_img_id)
+        .select("img_a", "img_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
     "audio_frame_energy",
     # The waveform stub is md5 digest bytes, replayed exactly in SQL
     # (('0x'||substr(md5(...)))::BIGINT == digest[j] — see README
