@@ -178,6 +178,33 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_sink_roundtrip",
+    # the read-back aggregate is SQL-expressible, so unlike the other
+    # sink roundtrips this one gets a full value oracle: the roundtrip
+    # must preserve every value bit-for-bit.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source coverage: the same aggregate written to ORC
+    (Spark's second first-class columnar format — zlib by default,
+    with its own predicate-pushdown reader) and read back.  The DuckDB
+    oracle checks the post-roundtrip values, so any encode/decode
+    precision loss would fail the hash match."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "bd3_orc_roundtrip")
+    agg.write.mode("overwrite").orc(out_dir)
+    return spark.read.orc(out_dir).select("event_type", "n", "total")
+
+
+@query(
     "correlated_above_brand_avg",
     oracle="""
     SELECT p.p_partkey AS partkey, p.p_brand AS brand,

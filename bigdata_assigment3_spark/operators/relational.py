@@ -157,6 +157,61 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                      - CAST(p.p_retailprice AS DECIMAL(12,2))
+                        * CAST(l.l_quantity AS DECIMAL(12,2))
+                        * CAST(0.8 AS DECIMAL(2,1))), 3) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit): a 5-way join where two
+    fact tables (orders, lineitem) meet three dims, grouped by
+    nation x order-year, with all money math in DECIMAL.
+
+    part is filtered by the LIKE predicate *before* its join (pushed
+    to the scan) and broadcast with supplier/nation; lineitem⋈orders
+    on orderkey is the single big shuffle.  Profit mixes two decimal
+    products — revenue minus cost-of-goods — summed exactly, rounded
+    once at the end.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice").cast(_DEC_EXT)
+        * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT))
+        - F.col("p_retailprice").cast(_DEC_EXT)
+        * F.col("l_quantity").cast(_DEC_EXT)
+        * F.lit(0.8).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), F.col("s_suppkey") == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 3).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
     "customers_with_orders",
     oracle="""
     SELECT c.c_mktsegment AS segment, COUNT(*) AS n
