@@ -399,3 +399,94 @@ def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique"),
         n_delivered.cast("bigint").alias("n_delivered"),
     )
+
+
+@query(
+    "stream_late_data_drop",
+    # The emitted set is exactly: on-time rows, in windows closed by
+    # the watermark the on-time batch established.  Late rows never
+    # pollute closed windows, and open windows are never emitted.
+    oracle="""
+    WITH b1 AS (SELECT * FROM events WHERE event_id % 4 <> 0),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 DAY AS w FROM b1)
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM b1, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, end to end: events arrive in
+    three micro-batches (the bulk on time, a small bridge batch, then
+    every 4th event replayed *late*), and the windowed aggregation
+    must (a) finalize windows once the watermark passes them, (b)
+    drop the late replays instead of resurrecting closed windows.
+
+    Spark applies the watermark computed after batch N-1 to filter
+    batch N, so the drop needs three batches to observe: batch 0
+    establishes max event time, batch 1 activates the watermark,
+    batch 2's late rows hit it (state-store metric
+    numRowsDroppedByWatermark > 0, asserted in tests).
+
+    Scale shape: this is the bounded-state contract that makes
+    streaming aggregation viable at all — state is O(windows inside
+    the watermark horizon), not O(stream history); the staged
+    file-per-trigger source stands in for Kafka partitions.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_late_drop_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    on_time = ev.filter(F.col("event_id") % 4 != 0)
+    late = ev.filter(F.col("event_id") % 4 == 0)
+    # the bridge batch: late-file rows that are still above the
+    # watermark (they keep it stationary while activating it)
+    max_day = ev.agg(F.max(F.dayofmonth("ts"))).collect()[0][0]
+    batches = (
+        on_time,
+        late.filter(F.dayofmonth("ts") >= max_day - 1),
+        late.filter(F.dayofmonth("ts") < max_day - 1),
+    )
+    for i, df in enumerate(batches, 1):
+        df.coalesce(1).write.parquet(f"{stage}/b{i}")
+        for f in os.listdir(f"{stage}/b{i}"):
+            # deterministic arrival order for the file source
+            os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_late_drop_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # expose the drop metric for tests without changing the schema
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in q.recentProgress
+    )
+    spark.conf.set("bd3.stream_late_drop.dropped", str(dropped))
+    out = spark.table("stream_late_drop_sink")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+    )
