@@ -478,3 +478,89 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COS_T)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ------------------------------------------- cluster + canonicalize
+
+
+def _minhash_pairs_oracle() -> str:
+    """The dedup_minhash_lsh oracle text, reused as a CTE so the
+    canonicalization oracle shares one source of truth with the
+    pair-finding oracle."""
+    from ..registry import REGISTRY
+
+    return REGISTRY["dedup_minhash_lsh"].oracle
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE mh AS ({_minhash_pairs_oracle()}),
+    und AS (
+      SELECT doc_a AS v, doc_b AS u FROM mh WHERE is_dup
+      UNION
+      SELECT doc_b, doc_a FROM mh WHERE is_dup
+    ),
+    reach(v, lbl) AS (
+      SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und)
+      UNION
+      SELECT u.v, r.lbl FROM und u JOIN reach r ON u.u = r.v
+    )
+    SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS canonical_id,
+           CAST(MIN(lbl) = v AS BOOLEAN) AS is_survivor
+    FROM reach GROUP BY v
+    """,
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *decision* step that turns near-dup pairs into an
+    actionable keep/drop list: connected components over the verified
+    MinHash-LSH pairs (duplicate relations are transitive in
+    practice: A~B~C is one content cluster), canonical survivor =
+    min doc_id per component.
+
+    Scale shape: min-label propagation — each round is one shuffle
+    join (labels x undirected pair edges) + a min-agg, lineage
+    truncated per round; rounds needed = component diameter, which
+    for dup clusters is tiny (pairs come from shared content).  The
+    round cap raises rather than returning unconverged labels
+    (same contract as largest_component).
+    """
+    from ..session import lineage_checkpoint
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(F.col("is_dup")).select(
+        "doc_a", "doc_b"
+    )
+    und = (
+        pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("u")))
+        .distinct()
+    )
+    und = lineage_checkpoint(und)  # pair mining runs once, reused per round
+    lbl = und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    for _ in range(12):
+        nbr = (
+            und.join(lbl.select(F.col("v").alias("u"), "lbl"), "u")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        nxt = (
+            lbl.join(nbr, "v", "left")
+            .select("v", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+        )
+        nxt = lineage_checkpoint(nxt)
+        changed = (
+            nxt.alias("n")
+            .join(lbl.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 12 rounds")
+    return lbl.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").cast("bigint").alias("canonical_id"),
+        (F.col("lbl") == F.col("v")).alias("is_survivor"),
+    )
