@@ -48,6 +48,10 @@ HEADLINE = [
     "gaussian_denoise",
     "nlm_denoise",
     "skewed_join_hot_key",
+    "pagerank",
+    "span_dedup_ratio",
+    "lm_bigram_score",
+    "image_phash_dedup",
 ]
 
 

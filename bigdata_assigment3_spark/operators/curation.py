@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
 from ..sources import load_table
+from .dedup import _docs_parallel
 
 # ---------------------------------------------------------------- n-grams
 
@@ -83,7 +84,7 @@ def q_repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-document array math — a map-only stage with no shuffle;
     at 100 TB this pipelines with the scan at full parquet read speed.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     words = _words()
     grams = _ngrams(words, 2)
     g = docs.filter(F.size(words) >= 2).select(
@@ -149,7 +150,7 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build side of the join, so Spark broadcasts it and the 100 TB
     side streams through a semi-join — never the reverse.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     words = _words()
     grams = (
         docs.filter(F.size(words) >= DECON_N)
@@ -219,7 +220,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB anti-pattern; per-shard streams are how real packers
     (and this query) stay embarrassingly parallel.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     t = docs.select("doc_id", "source", F.size(_words()).alias("n_tokens"))
     w = (
         Window.partitionBy("source")
@@ -276,7 +277,7 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash agg + a 1-row broadcast of the totals; integer token
     counts make the two output ratios the only float ops.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     t = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(_words())).cast("bigint").alias("n_tokens"),
@@ -355,7 +356,7 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree between engines — and the whole filter is one map stage
     plus a tiny agg.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     words = _words()
     grams = _ngrams(words, 2)
     f = docs.select(
@@ -436,7 +437,7 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-12 association-order drift of the sum, so the score is
     cross-engine stable.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     words = _words()
     w = docs.select("doc_id", words.alias("words"))
     uni = w.select(F.explode("words").alias("word"))
@@ -508,7 +509,7 @@ def q_span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a shuffle join on the same key — sub-quadratic end to end, the
     distributable stand-in for a suffix array at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     words = _words()
     spans = (
         docs.filter(F.size(words) >= SPAN_N)
@@ -590,7 +591,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex (Spark) and RE2 (DuckDB) match identically; redaction is
     ``regexp_replace`` in the JVM, no Python.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     email = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@mail.com")),

@@ -46,6 +46,7 @@ def _load_all() -> None:
         coverage,
         curation,
         dedup,
+        funnel,
         graph,
         hmrf,
         hough,
@@ -88,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "customers_with_orders",
     "customers_without_orders",
     "window_topk_orders",
-    "window_order_gaps",
     "set_operations",
     "rollup_lineitem",
     # image kernels
@@ -102,23 +102,25 @@ PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     # text analysis
     "text_quality",
-    "token_counts",
     "langid_heuristic",
     # corpus curation + sampling (LLM-pipeline north star)
     "decontamination_overlap",
     "pack_sequences",
     "quality_filter_chain",
     "train_test_split",
+    "lm_bigram_score",
+    "span_dedup_ratio",
+    # graph analytics
+    "pagerank",
     # similarity search
     "ann_cosine_topk",
     "ann_cosine_topk_vec",
-    "embedding_cluster_stats",
     # dedup
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     # multimodal plumbing
-    "multimodal_resize",
     "multimodal_frame_sample",
+    "image_phash_dedup",
     # physical-layout patterns
     "bucketed_colocated_join",
     # scalar-function + as-of coverage

@@ -97,6 +97,39 @@ def test_partitioned_write_prunes_partitions(spark):
         raise AssertionError(plan[:3000])
 
 
+def test_runtime_bloom_filter_injection(spark):
+    """A selective dim filter on a shuffle join must inject a runtime
+    bloom filter on the fact side (Spark's runtime row-group skipping:
+    the fact scan drops rows that can't join before the exchange).
+    Thresholds are scaled to the test corpus; at 100 TB the default
+    10 MB creation-side threshold fires on the same shape."""
+    from bigdata_assigment3_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        part = load_table(spark, SF_ORACLE, "part").filter(F.col("p_name").like("%red%"))
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """With thresholds scaled to the test corpus, AQE must detect the
     hot-key partition (80% of fact rows) and split it: the executed

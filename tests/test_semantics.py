@@ -576,6 +576,48 @@ def test_image_phash_recovers_planted_variants(spark):
     assert all(h <= 3 for h in got.values()), got
 
 
+def test_stream_late_drop_semantics(spark):
+    """The late batch must actually be dropped by the watermark (the
+    state-store metric is exposed after the run), and only windows
+    closed by the on-time watermark may be emitted."""
+    rows = REGISTRY["stream_late_data_drop"].fn(spark, SF_ORACLE).collect()
+    dropped = int(spark.conf.get("bd3.stream_late_drop.dropped"))
+    assert dropped > 0
+    from bigdata_assigment3_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    on_time = ev.filter(F.col("event_id") % 4 != 0)
+    wm = on_time.agg(
+        F.max(F.unix_timestamp("ts")).alias("m")
+    ).collect()[0].m - 2 * 86400
+    assert rows and all(r.window_start + 86400 <= wm for r in rows)
+
+
+def test_canonical_docs_match_union_find(spark):
+    """Label propagation must produce exactly the union-find components
+    of the verified dup pairs, with min doc_id as survivor."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_ORACLE).collect()
+        if r.is_dup
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {v: min(u for u in parent if find(u) == find(v)) for v in parent}
+    got = {r.doc_id: (r.canonical_id, r.is_survivor)
+           for r in REGISTRY["dedup_canonical_docs"].fn(spark, SF_ORACLE).collect()}
+    assert {v: c for v, (c, _) in got.items()} == want
+    assert all(s == (c == v) for v, (c, s) in got.items())
+
+
 def test_decontamination_flags_verbatim_copy(spark, tmp_path):
     """A held-out doc whose text verbatim-duplicates a training doc
     must score contamination_ratio == 1.0; a held-out doc with a
