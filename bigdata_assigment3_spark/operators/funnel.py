@@ -1,0 +1,143 @@
+"""Event-journey analytics over the ``events`` stream: ordered funnel
+conversion and retention cohorts.
+
+Extends the reference's event-analytics REST app (Rest_webservice
+app/routers.py — segmentation + frequent-pair mining) with the two
+canonical product-analytics queries every event warehouse serves.
+All time math runs on integer epoch micros / midnight-truncated day
+diffs, so both engines agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+RETENTION_HORIZON = 7  # days tracked per cohort
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 6) AS click_to_purchase
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that first
+    qualifying click — the sequence-respecting conversion query (a
+    click before any view must NOT count).
+
+    Scale shape: each step is a min-agg plus one join, all keyed on
+    user_id — co-partitioned, so steps 2..k reuse the step-1 shuffle
+    partitioning.  Event-time comparison is integer epoch micros.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchase").cast("double")
+            / F.nullif(F.col("n_click"), F.lit(0)),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT CAST(epoch(f.cohort) AS BIGINT) AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN f USING (user_id)
+    WHERE date_diff('day', f.cohort, a.day) <= {RETENTION_HORIZON}
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users bucketed by first-seen day,
+    counted as active on each later day within a {RETENTION_HORIZON}-day
+    horizon — the day-N retention table every growth dashboard plots.
+
+    Scale shape: first-seen is one min-agg on user_id; activity is a
+    distinct on (user, day); the join is again user_id-keyed, so the
+    whole query rides a single partitioning.  Day arithmetic happens
+    on midnight-truncated dates — integer-exact across engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    f = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    a = ev.distinct()
+    off = F.datediff(F.col("day"), F.col("cohort")).cast("bigint")
+    return (
+        a.join(f, "user_id")
+        .filter(off <= RETENTION_HORIZON)
+        .groupBy(
+            F.unix_timestamp("cohort").alias("cohort_day"),
+            off.alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
