@@ -579,3 +579,69 @@ def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias("n_quarantined"),
         F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("amount"))).alias("good_amount_sum"),
     )
+
+
+@query(
+    "array_map_functions",
+    # The oracle computes the same values with DuckDB's list algebra
+    # (different construction, identical results), so every array/map
+    # scalar below is value-checked, not just smoke-tested.
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey AS orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS arr,
+             MIN(CASE WHEN l_linenumber = 1
+                      THEN CAST(l_quantity AS BIGINT) END) AS qty_line1
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT orderkey,
+           CAST(len(arr) AS BIGINT) AS n_items,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_qty,
+           CAST(list_max(arr) AS BIGINT) AS max_qty,
+           CAST(list_sum(arr[1:3]) AS BIGINT) AS sum_first3,
+           list_contains(arr, 1) AS has_unit_qty,
+           qty_line1
+    FROM g
+    """,
+)
+def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar-function coverage (SURVEY §2.8's array+map
+    rows) exercised as one JVM-side pipeline: collect_list ->
+    sort_array (deterministic order), array_distinct, array_max,
+    slice + aggregate (higher-order fold), array_contains, and a
+    map built with map_from_entries then probed with element_at.
+
+    Everything stays in whole-stage codegen; collect_list order
+    instability is neutralized by sorting or by order-independent
+    map lookup, so results are engine- and partitioning-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # the synthetic lineitem repeats l_linenumber within an order, so
+    # map keys are made unique with a per-(order, line) pre-agg (MIN)
+    lines = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.min(F.col("l_quantity").cast("bigint")).alias("line_qty")
+    )
+    qmap = lines.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").cast("int"), F.col("line_qty"))
+            )
+        ).alias("qty_by_line")
+    )
+    g = (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("l_quantity").cast("bigint"))
+            ).alias("arr")
+        )
+        .join(qmap, F.col("orderkey") == qmap.l_orderkey)
+    )
+    return g.select(
+        "orderkey",
+        F.size("arr").cast("bigint").alias("n_items"),
+        F.size(F.array_distinct("arr")).cast("bigint").alias("n_distinct_qty"),
+        F.array_max("arr").cast("bigint").alias("max_qty"),
+        F.expr("aggregate(slice(arr, 1, 3), 0L, (a, x) -> a + x)").alias("sum_first3"),
+        F.array_contains("arr", F.lit(1).cast("bigint")).alias("has_unit_qty"),
+        F.element_at("qty_by_line", F.lit(1)).alias("qty_line1"),
+    )

@@ -95,3 +95,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
         )
     )
+
+
+K_FOLDS = 5
+
+
+@query(
+    "kfold_assignment",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             {md5_int56_duck("CAST(doc_id AS VARCHAR)")} % {K_FOLDS} AS fold
+      FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, lang, COUNT(*) AS n
+    FROM tagged GROUP BY fold, lang
+    """,
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_FOLDS}-fold cross-validation assignment by key hash,
+    reported as per-fold per-language counts.  Same contract as the
+    train/test split: a pure projection, append-stable, identical on
+    any engine — and the fold of a row never changes when the corpus
+    grows, so CV runs are comparable across dataset versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.expr(md5_int56_spark("CAST(doc_id AS STRING)")) % K_FOLDS
+    return (
+        docs.select(fold.cast("bigint").alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -441,7 +441,9 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"bd3_late_drop_{os.path.basename(os.path.normpath(sf_dir))}",
+        # keyed by app id: concurrent sessions must not share staging
+        f"bd3_late_drop_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(stage, ignore_errors=True)
     on_time = ev.filter(F.col("event_id") % 4 != 0)
@@ -489,4 +491,93 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "event_type",
         "n",
+    )
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    # The final upserted table state equals the batch aggregation no
+    # matter how many micro-batches delivered the rows — that identity
+    # IS the oracle.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: per micro-batch, foreachBatch merges the
+    batch's partial aggregate into a keyed parquet target
+    (read-merge-overwrite — the poor man's MERGE INTO; on a lakehouse
+    table the body becomes one ``MERGE`` statement).  Three staged
+    micro-batches deliver disjoint event slices, so the target is
+    genuinely built incrementally, and the final state must equal the
+    one-shot batch aggregate regardless of batch boundaries — the
+    idempotent-upsert contract that makes streaming ETL restartable.
+
+    Scale shape: each merge touches only the keys present in the
+    batch (group counts), not the stream history; state lives in the
+    target table, not executor memory.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_upsert_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    stage, target = f"{base}/in", f"{base}/target"
+    shutil.rmtree(base, ignore_errors=True)
+    for i in range(3):
+        df = ev.filter(F.col("event_id") % 3 == i)
+        df.coalesce(1).write.parquet(f"{stage}/b{i}")
+        for f in os.listdir(f"{stage}/b{i}"):
+            os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        delta = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_d"),
+        )
+        if os.path.exists(target):
+            cur = sess.read.parquet(target)
+            merged = (
+                cur.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("total_d").alias("total_d"),
+                )
+            )
+        else:
+            merged = delta
+        # overwrite must not read-while-write: materialize to a tmp
+        # dir then swap (the classic commit dance MERGE INTO replaces)
+        tmp = f"{target}.next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    spark.conf.set("bd3.upsert.n_batches", str(n_batches))
+    out = spark.read.parquet(target)
+    return out.select(
+        "event_type", "n", F.round("total_d", 3).cast("double").alias("total")
     )
