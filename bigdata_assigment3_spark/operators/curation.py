@@ -311,51 +311,9 @@ _STOPWORDS = ("the", "a", "of", "to", "and")
 _STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
-@query(
-    "quality_filter_chain",
-    oracle=f"""
-    WITH w AS (
-      SELECT doc_id, {_DUCK_WORDS} AS words,
-             LEN(REPLACE(text, ' ', '')) AS n_nonspace
-      FROM documents
-    ),
-    f AS (
-      SELECT doc_id,
-             len(words) AS n_words,
-             n_nonspace,
-             len(list_filter(words, x -> x IN ({_STOP_IN}))) AS n_stop,
-             len({_duck_ngrams(2)}) AS n_bigrams,
-             len(list_distinct({_duck_ngrams(2)})) AS n_distinct
-      FROM w
-    ),
-    v AS (
-      SELECT doc_id,
-             CASE
-               WHEN n_words < {MIN_WORDS} THEN 'drop:too_short'
-               WHEN n_words > {MAX_WORDS} THEN 'drop:too_long'
-               WHEN n_nonspace < 2 * n_words THEN 'drop:short_words'
-               WHEN n_nonspace > 12 * n_words THEN 'drop:long_words'
-               WHEN n_stop * 50 < n_words THEN 'drop:no_stopwords'
-               WHEN (n_bigrams - n_distinct) * 2 > n_bigrams THEN 'drop:repetitive'
-               ELSE 'keep'
-             END AS verdict
-      FROM f
-    )
-    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(doc_id) AS BIGINT) AS example_doc
-    FROM v GROUP BY verdict
-    """,
-)
-def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite C4/Gopher-style quality gate: length, word-shape,
-    stopword-density and repetition rules applied as a first-match
-    CASE chain, reported as per-verdict counts (the drop-reason
-    audit every corpus build publishes).
-
-    All thresholds are integer comparisons — no float boundary can
-    disagree between engines — and the whole filter is one map stage
-    plus a tiny agg.
-    """
+def _quality_verdict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality verdict (doc_id, verdict) — the shared core of
+    the aggregate report and the composed pipeline verdict."""
     docs = _docs_parallel(spark, sf_dir)
     words = _words()
     grams = _ngrams(words, 2)
@@ -379,8 +337,61 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("keep")
     )
+    return f.select("doc_id", verdict.alias("verdict"))
+
+
+# Per-doc verdict as a standalone statement, shared by the aggregate
+# report below and the composed pipeline verdict (nested-CTE reuse).
+_DUCK_QUALITY_DOC_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words,
+             LEN(REPLACE(text, ' ', '')) AS n_nonspace
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             n_nonspace,
+             len(list_filter(words, x -> x IN ({_STOP_IN}))) AS n_stop,
+             len({_duck_ngrams(2)}) AS n_bigrams,
+             len(list_distinct({_duck_ngrams(2)})) AS n_distinct
+      FROM w
+    )
+    SELECT doc_id,
+           CASE
+             WHEN n_words < {MIN_WORDS} THEN 'drop:too_short'
+             WHEN n_words > {MAX_WORDS} THEN 'drop:too_long'
+             WHEN n_nonspace < 2 * n_words THEN 'drop:short_words'
+             WHEN n_nonspace > 12 * n_words THEN 'drop:long_words'
+             WHEN n_stop * 50 < n_words THEN 'drop:no_stopwords'
+             WHEN (n_bigrams - n_distinct) * 2 > n_bigrams THEN 'drop:repetitive'
+             ELSE 'keep'
+           END AS verdict
+    FROM f
+"""
+
+
+@query(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH v AS ({_DUCK_QUALITY_DOC_SQL})
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM v GROUP BY verdict
+    """,
+)
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate: length, word-shape,
+    stopword-density and repetition rules applied as a first-match
+    CASE chain, reported as per-verdict counts (the drop-reason
+    audit every corpus build publishes).
+
+    All thresholds are integer comparisons — no float boundary can
+    disagree between engines — and the whole filter is one map stage
+    plus a tiny agg.
+    """
     return (
-        f.select("doc_id", verdict.alias("verdict"))
+        _quality_verdict_df(spark, sf_dir)
         .groupBy("verdict")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -141,3 +141,84 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM events
+    ),
+    grid AS (
+      SELECT u.user_id, g.day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN span
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(span.d0, span.d1, INTERVAL 1 DAY)) AS day
+      ) g
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           CAST(epoch(g.day) AS BIGINT) AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           LAST_VALUE(d.total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING) AS carried_total,
+           d.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: densify each user's activity onto
+    the full daily calendar (missing days appear as zero-count gap
+    rows) and forward-fill the last observed daily total — the
+    resample + ffill step that precedes any windowed model over
+    irregular event data.
+
+    Scale shape: the calendar grid is users x days built by exploding
+    a per-user `sequence` (the day span is a 1-row broadcast, the
+    explode fans out ~3 orders of magnitude below the event count);
+    the fill is one user-partitioned ordered window — a single
+    shuffle, no iterative patching.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 3).cast("double").alias("total"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    return j.select(
+        "user_id",
+        F.unix_timestamp("day").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.last("total", ignorenulls=True).over(w).alias("carried_total"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -179,6 +179,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
+    # und feeds deg, the orientation join, and the stats row; o feeds
+    # all three wedge-join sides — materialize each once instead of
+    # recomputing the whole upstream per consumer (at corpus scale the
+    # recompute would triple the heaviest shuffles).
+    und = lineage_checkpoint(und)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -198,6 +203,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
     )
+    o = lineage_checkpoint(o)
     e1 = o.select(F.col("u").alias("x"), F.col("w").alias("y"))
     e2 = o.select(F.col("u").alias("y"), F.col("w").alias("z"))
     e3 = o.select(F.col("u").alias("x"), F.col("w").alias("z"))

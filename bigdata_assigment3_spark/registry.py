@@ -55,6 +55,7 @@ def _load_all() -> None:
         motion,
         motion_adaptive,
         multimodal,
+        pipeline,
         relational,
         sampling,
         similarity,
@@ -98,11 +99,12 @@ PRIORITY: tuple[str, ...] = (
     "stream_window_counts",
     "sessionize",
     "stream_stateful_rate_limit",
-    "stream_session_window",
     "stream_stream_join",
     # text analysis
     "text_quality",
     "langid_heuristic",
+    # event-journey analytics
+    "funnel_conversion",
     # corpus curation + sampling (LLM-pipeline north star)
     "decontamination_overlap",
     "pack_sequences",

@@ -65,7 +65,10 @@ def test_aggregates_are_partial(spark):
 def test_text_hot_path_stays_jvm_side(spark):
     """Text analytics must not fall back to Python eval — higher-order
     functions keep it in codegen."""
-    for name in ("text_quality", "token_counts", "doc_fingerprint", "dedup_simhash"):
+    for name in ("text_quality", "token_counts", "doc_fingerprint", "dedup_simhash",
+                 "lm_bigram_score", "span_dedup_ratio", "quality_filter_chain",
+                 "pack_sequences", "decontamination_overlap", "pagerank",
+                 "triangle_count", "funnel_conversion", "timeseries_gapfill"):
         s = plan_summary(_plan(spark, name))
         assert s["python_eval"] == 0, (name, s)
 

@@ -618,6 +618,55 @@ def test_canonical_docs_match_union_find(spark):
     assert all(s == (c == v) for v, (c, s) in got.items())
 
 
+def test_approx_stats_within_error_bounds(spark):
+    """The sketch aggregates are rows-only for the driver, but their
+    error is still a contract: HLL++ distinct counts within 10% of
+    exact, approx median within the exact p25..p75 band."""
+    from bigdata_assigment3_spark.sources import load_table
+
+    approx = {r.event_type: r for r in
+              REGISTRY["approx_stats"].fn(spark, SF_ORACLE).collect()}
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.75).alias("p75"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, a in approx.items():
+        e = exact[t]
+        assert abs(a.approx_users - e.users) <= 0.1 * e.users, (t, a, e)
+        assert e.p25 <= a.p50_approx <= e.p75, (t, a, e)
+
+
+def test_stream_upsert_incremental(spark):
+    """The foreachBatch merge must actually run incrementally (3
+    non-empty micro-batches), with the final table equal to the batch
+    aggregate (checked by the oracle test)."""
+    REGISTRY["stream_foreachbatch_upsert"].fn(spark, SF_ORACLE).collect()
+    assert int(spark.conf.get("bd3.upsert.n_batches")) == 3
+
+
+def test_pipeline_verdict_composes_consistently(spark):
+    """The composed verdict must agree with its constituents: every
+    dup-cluster loser is dropped regardless of quality, every kept doc
+    has quality verdict 'keep', and the whole corpus is covered."""
+    rows = {r.doc_id: r for r in
+            REGISTRY["curation_pipeline_verdict"].fn(spark, SF_ORACLE).collect()}
+    assert len(rows) == 500
+    losers = {r.doc_id for r in
+              REGISTRY["dedup_canonical_docs"].fn(spark, SF_ORACLE).collect()
+              if not r.is_survivor}
+    assert losers and all(not rows[d].final_keep for d in losers)
+    for r in rows.values():
+        assert r.final_keep == ((r.verdict == "keep") and not r.is_dup_loser)
+
+
 def test_decontamination_flags_verbatim_copy(spark, tmp_path):
     """A held-out doc whose text verbatim-duplicates a training doc
     must score contamination_ratio == 1.0; a held-out doc with a
