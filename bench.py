@@ -52,6 +52,8 @@ HEADLINE = [
     "span_dedup_ratio",
     "lm_bigram_score",
     "image_phash_dedup",
+    "triangle_count",
+    "curation_pipeline_verdict",
 ]
 
 

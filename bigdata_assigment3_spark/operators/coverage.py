@@ -23,7 +23,9 @@ from ..sources import load_table
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            CAST(RANK() OVER w AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -39,6 +41,8 @@ def q_window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 

@@ -243,3 +243,100 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_K)
         .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"))
     )
+
+
+# ------------------------------------------------------------ BPE learning
+
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled BPE merge rounds.  Symbols are space-joined (corpus
+    words contain no spaces), so the merge rewrite is a plain
+    left-to-right non-overlapping string replace — identical
+    semantics in both engines."""
+    ctes = ["""w0 AS (
+      SELECT array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), ' ') AS s,
+             COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1
+    )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT t.pair, SUM(freq) AS cnt FROM w{r - 1}, LATERAL (
+        SELECT unnest(list_transform(range(1, len(string_split(s, ' '))), i ->
+          string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1])) AS pair
+      ) t GROUP BY t.pair
+    )""")
+        ctes.append(f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)")
+        ctes.append(
+            f"w{r} AS (SELECT replace(s, b.pair, replace(b.pair, ' ', '')) AS s, freq"
+            f" FROM w{r - 1}, b{r} b)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@query("bpe_pair_merge", oracle=_bpe_oracle())
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning, {BPE_ROUNDS} merge
+    rounds: count adjacent symbol pairs over the word-frequency table,
+    adopt the most frequent pair (ties broken lexicographically) as a
+    merge rule, rewrite, repeat — the core loop of every BPE/WordPiece
+    tokenizer build.
+
+    Scale shape: BPE never touches the corpus after one initial
+    word-count agg — each round is one explode + hash agg over the
+    *distinct-word* table (millions of rows at web scale, not
+    billions), an O(1)-row argmax collected to the driver (the merge
+    decision IS the model, exactly like the EM loop's class params),
+    and a map-only rewrite.  The merge itself is a left-to-right
+    ``replace`` on the space-joined symbol string — no per-row Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "array_join(transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1)), ' ')"
+            ).alias("s"),
+            "freq",
+        )
+    )
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = words.select(
+            F.explode(
+                # guard: Spark's sequence(1, 0) DESCENDS (it is not
+                # empty), so fully-merged single-symbol words need an
+                # explicit empty-array branch
+                F.expr(
+                    "CASE WHEN size(split(s, ' ')) >= 2 THEN"
+                    " transform(sequence(1, size(split(s, ' ')) - 1),"
+                    " i -> concat(element_at(split(s, ' '), i), ' ',"
+                    " element_at(split(s, ' '), i + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, best.pair, int(best.cnt)))
+        merged = best.pair.replace(" ", "")
+        words = words.select(
+            F.expr(f"replace(s, '{best.pair}', '{merged}')").alias("s"), "freq"
+        )
+    return spark.createDataFrame(merges, "round BIGINT, pair STRING, cnt BIGINT")

@@ -667,6 +667,40 @@ def test_pipeline_verdict_composes_consistently(spark):
         assert r.final_keep == ((r.verdict == "keep") and not r.is_dup_loser)
 
 
+def test_bpe_merges_match_python_recompute(spark):
+    """The learned merge rules must equal a pure-Python BPE run
+    (count adjacent pairs over the word-frequency table, argmax with
+    lexicographic tie-break, left-to-right non-overlapping merge)."""
+    import collections
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("text").collect()
+    freq: collections.Counter = collections.Counter()
+    for r in docs:
+        for w in r.text.split():
+            if w:
+                freq[" ".join(w)] += 1
+    want = []
+    words = dict(freq)
+    for rnd in range(1, 4):
+        pc: collections.Counter = collections.Counter()
+        for s, n in words.items():
+            syms = s.split(" ")
+            for i in range(len(syms) - 1):
+                pc[f"{syms[i]} {syms[i + 1]}"] += n
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, pair, cnt))
+        merged = pair.replace(" ", "")
+        nxt: dict = {}
+        for s, n in words.items():
+            nxt[s.replace(pair, merged)] = nxt.get(s.replace(pair, merged), 0) + n
+        words = nxt
+    got = [(r.round, r.pair, r.cnt)
+           for r in REGISTRY["bpe_pair_merge"].fn(spark, SF_ORACLE).collect()]
+    assert sorted(got) == want, (got, want)
+
+
 def test_decontamination_flags_verbatim_copy(spark, tmp_path):
     """A held-out doc whose text verbatim-duplicates a training doc
     must score contamination_ratio == 1.0; a held-out doc with a
