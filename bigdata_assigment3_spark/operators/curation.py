@@ -631,3 +631,61 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("n_phones"),
         F.sum("chars_delta").cast("bigint").alias("total_chars_delta"),
     )
+
+
+# ------------------------------------------------------ curriculum buckets
+
+def _lm_oracle() -> str:
+    """The registered lm_bigram_score oracle text (nested-CTE reuse)."""
+    from ..registry import REGISTRY
+
+    return REGISTRY["lm_bigram_score"].oracle
+
+
+
+N_BUCKETS = 10
+
+
+@query(
+    "curriculum_buckets",
+    oracle=f"""
+    WITH lm AS ({_lm_oracle()}),
+    b AS (
+      SELECT doc_id, mean_nll,
+             NTILE({N_BUCKETS}) OVER (ORDER BY mean_nll, doc_id) AS bucket
+      FROM lm
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(mean_nll) AS min_nll,
+           MAX(mean_nll) AS max_nll,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM b GROUP BY bucket
+    """,
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: documents cut into {N_BUCKETS} equal-
+    frequency buckets by LM quality score (easiest/most-predictable
+    text in bucket 1) — the stratification a curriculum or
+    quality-mixing schedule samples from.
+
+    NTILE over (score, doc_id) makes membership deterministic even on
+    score ties.  Scale note: a global NTILE is a single total order —
+    at 100 TB swap it for pre-computed quantile boundaries
+    (approx_percentile) joined as a broadcast, the standard
+    distributed binning; the bucket semantics are unchanged.
+    """
+    lm = q_lm_bigram_score(spark, sf_dir)
+    b = lm.select(
+        "doc_id",
+        "mean_nll",
+        F.ntile(N_BUCKETS)
+        .over(Window.orderBy("mean_nll", "doc_id"))
+        .alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("mean_nll").alias("min_nll"),
+        F.max("mean_nll").alias("max_nll"),
+        F.min("doc_id").cast("bigint").alias("example_doc"),
+    )
