@@ -222,3 +222,64 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total", ignorenulls=True).over(w).alias("carried_total"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id
+    ),
+    gaps AS (
+      SELECT c.user_id, c.t2 - v.t1 AS gap_us
+      FROM c JOIN v ON v.user_id = c.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_us), 1) AS p50_us,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us), 1) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM gaps
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the first funnel edge: per
+    user, the gap between the first view and the first later click,
+    summarized as min/median/p90/max — the latency histogram behind
+    every conversion dashboard.
+
+    Gaps are integer epoch-micro differences; the percentiles
+    interpolate over identical integer inputs in both engines, so
+    even the continuous quantiles hash-match (held exactly across the
+    whole round-1 suite).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    gaps = c.join(v, "user_id").select((F.col("t2") - F.col("t1")).alias("gap_us"))
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.round(F.percentile("gap_us", 0.5), 1).alias("p50_us"),
+        F.round(F.percentile("gap_us", 0.9), 1).alias("p90_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
