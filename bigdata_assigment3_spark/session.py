@@ -16,9 +16,13 @@ from pyspark.sql import SparkSession
 # entry too (ensure_session_conf) because the driver may hand us a
 # session it built itself.
 _SQL_CONF = {
-    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
-    # parquet reader rejects by default; read as long and convert.
+    # testdata events.parquet has shipped as TIMESTAMP(NANOS) (rejected
+    # by Spark's parquet reader by default; read as long and convert)
+    # and as timestamp[us] without timezone (inferred TIMESTAMP_NTZ,
+    # which watermarks/unix_micros reject — read as TIMESTAMP instead;
+    # session timezone is UTC so the instant is identical).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DuckDB (the correctness oracle) is UTC-naive; pin Spark to UTC.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",

@@ -1,1 +1,1 @@
-from .tables import TABLES, load_table, register_views  # noqa: F401
+from .tables import TABLES, load_table, normalize_events_ts, register_views  # noqa: F401

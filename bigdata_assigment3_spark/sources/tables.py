@@ -27,20 +27,36 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing physical quirks.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned TimestampType.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
-    (under ``nanosAsLong``) as a long which we convert to a proper
-    microsecond TimestampType so downstream window/date logic is plain
-    Spark SQL.
+    The driver's testdata has shipped three physical forms across
+    rounds, and any of them may come back:
+
+    - parquet TIMESTAMP(NANOS) → Spark reads BIGINT under
+      ``nanosAsLong``; convert with integer division (``/`` on BIGINT
+      is DOUBLE and epoch-nanos exceed 2^53, so float rounding could
+      shift boundary events by ±1µs).
+    - parquet timestamp[us] without timezone → TIMESTAMP_NTZ, which
+      ``withWatermark`` / ``unix_micros`` reject; cast to TIMESTAMP
+      (session is pinned UTC, so the instant is unchanged).
+    - timestamp[us] with timezone → already TimestampType; no-op.
     """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing physical quirks (see
+    :func:`normalize_events_ts` for the ``events.ts`` forms)."""
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: `/` on BIGINT is DOUBLE and epoch-nanos exceed
-        # 2^53, so float rounding could shift boundary events by ±1µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

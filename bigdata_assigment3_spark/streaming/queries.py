@@ -25,25 +25,25 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
+from ..sources.tables import normalize_events_ts
 
 _SESSION_GAP_S = 7200  # 2h
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a streaming source (schema from a batch probe)."""
-    batch = load_table(spark, sf_dir, "events")
+    """events.parquet as a streaming source (schema from a batch probe).
+
+    The probe and the stream share one physical-form normalization
+    (:func:`normalize_events_ts`), so batch and stream cannot diverge
+    when the driver regenerates testdata with a different ``ts``
+    encoding (bigint-nanos / NTZ / TZ have all shipped)."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # Integer division (`div`): BIGINT `/` is DOUBLE and epoch-nanos
-        # exceed 2^53, so float rounding could misplace boundary events.
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _ = batch  # schema parity anchor
-    return stream
+    return normalize_events_ts(stream)
 
 
 def _run_to_memory(agg: DataFrame, name: str) -> None:
