@@ -251,10 +251,18 @@ BPE_ROUNDS = 3
 
 
 def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled BPE merge rounds.  Symbols are space-joined (corpus
-    words contain no spaces), so the merge rewrite is a plain
-    left-to-right non-overlapping string replace — identical
-    semantics in both engines."""
+    """Unrolled BPE merge rounds with TOKEN-level merges.
+
+    A substring ``replace`` on the space-joined symbol string is wrong
+    once symbols grow multi-character: pair ``h e`` would match inside
+    ``... th e ...`` and glue ``th``+``e``.  The merge must operate on
+    the symbol array: find positions i where (sym[i], sym[i+1]) equals
+    the pair, pick non-overlapping occurrences left-to-right (within a
+    run of consecutive candidate positions, every odd-numbered one),
+    and join the selected adjacent pairs.  DuckDB 1.0 has no
+    initial-value list_reduce, so the oracle does this relationally:
+    explode positions, window-select merge starts by run parity,
+    re-assemble with string_agg."""
     ctes = ["""w0 AS (
       SELECT array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), ' ') AS s,
              COUNT(*) AS freq
@@ -270,10 +278,36 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
       ) t GROUP BY t.pair
     )""")
         ctes.append(f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)")
-        ctes.append(
-            f"w{r} AS (SELECT replace(s, b.pair, replace(b.pair, ' ', '')) AS s, freq"
-            f" FROM w{r - 1}, b{r} b)"
-        )
+        # Token-level merge: s is distinct per word (merging preserves the
+        # concatenated word), so s itself is the partition key.
+        ctes.append(f"""cd{r} AS (
+      SELECT w.s AS os, w.freq, t.i,
+             string_split(w.s, ' ')[t.i] AS tok,
+             CASE WHEN t.i < len(string_split(w.s, ' '))
+                       AND string_split(w.s, ' ')[t.i] = string_split(b.pair, ' ')[1]
+                       AND string_split(w.s, ' ')[t.i + 1] = string_split(b.pair, ' ')[2]
+                  THEN 1 ELSE 0 END AS cand
+      FROM w{r - 1} w, b{r} b,
+           LATERAL (SELECT unnest(range(1, len(string_split(w.s, ' ')) + 1)) AS i) t
+    )""")
+        ctes.append(f"""sl{r} AS (
+      SELECT os, freq, i, tok,
+             CASE WHEN cand = 1
+                       AND ROW_NUMBER() OVER (PARTITION BY os, cand, grp ORDER BY i) % 2 = 1
+                  THEN 1 ELSE 0 END AS sel
+      FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY os, cand ORDER BY i) AS grp
+            FROM cd{r})
+    )""")
+        ctes.append(f"""w{r} AS (
+      SELECT string_agg(CASE WHEN sel = 1 THEN tok || ntok ELSE tok END, ' ' ORDER BY i) AS s,
+             freq
+      FROM (SELECT os, freq, i, sel, tok,
+                   LEAD(tok) OVER (PARTITION BY os ORDER BY i) AS ntok,
+                   COALESCE(LAG(sel) OVER (PARTITION BY os ORDER BY i), 0) AS psel
+            FROM sl{r})
+      WHERE psel = 0
+      GROUP BY os, freq
+    )""")
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM b{r}"
         for r in range(1, rounds + 1)
@@ -294,8 +328,15 @@ def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     *distinct-word* table (millions of rows at web scale, not
     billions), an O(1)-row argmax collected to the driver (the merge
     decision IS the model, exactly like the EM loop's class params),
-    and a map-only rewrite.  The merge itself is a left-to-right
-    ``replace`` on the space-joined symbol string — no per-row Python.
+    and a map-only rewrite.  The merge is a TOKEN-level left-to-right
+    fold over the symbol array (``F.aggregate``, JVM-side higher-order
+    function, no per-row Python): merge (sym[i], sym[i+1]) when they
+    equal the adopted pair, consuming both.  A substring ``replace``
+    would be wrong once symbols grow multi-character — pair ``h e``
+    must not glue ``th``+``e`` across the boundary in ``.. th e ..``.
+    The fold needs no just-merged guard: a merged symbol p1||p2 can
+    never equal p1 again (p2 is non-empty), so greedy re-examination
+    of the accumulator tail is safe.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = (
@@ -335,8 +376,19 @@ def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         merges.append((r, best.pair, int(best.cnt)))
-        merged = best.pair.replace(" ", "")
-        words = words.select(
-            F.expr(f"replace(s, '{best.pair}', '{merged}')").alias("s"), "freq"
+        p1, p2 = best.pair.split(" ")
+        folded = F.aggregate(
+            F.split("s", " "),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (x == F.lit(p2)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(p1 + p2)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
         )
+        words = words.select(F.array_join(folded, " ").alias("s"), "freq")
     return spark.createDataFrame(merges, "round BIGINT, pair STRING, cnt BIGINT")

@@ -667,10 +667,48 @@ def test_pipeline_verdict_composes_consistently(spark):
         assert r.final_keep == ((r.verdict == "keep") and not r.is_dup_loser)
 
 
+def _bpe_token_merge(syms: list, p1: str, p2: str) -> list:
+    """Left-to-right non-overlapping TOKEN-level merge (true BPE): a
+    merge consumes sym[i], sym[i+1]; a merged symbol never re-matches
+    p1 (p2 is non-empty), so a single forward scan is exact."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+            out.append(p1 + p2)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_python(word_freq: dict, rounds: int) -> list:
+    import collections
+
+    want = []
+    words = dict(word_freq)
+    for rnd in range(1, rounds + 1):
+        pc: collections.Counter = collections.Counter()
+        for s, n in words.items():
+            syms = s.split(" ")
+            for i in range(len(syms) - 1):
+                pc[f"{syms[i]} {syms[i + 1]}"] += n
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, pair, cnt))
+        p1, p2 = pair.split(" ")
+        nxt: dict = {}
+        for s, n in words.items():
+            k = " ".join(_bpe_token_merge(s.split(" "), p1, p2))
+            nxt[k] = nxt.get(k, 0) + n
+        words = nxt
+    return want
+
+
 def test_bpe_merges_match_python_recompute(spark):
     """The learned merge rules must equal a pure-Python BPE run
     (count adjacent pairs over the word-frequency table, argmax with
-    lexicographic tie-break, left-to-right non-overlapping merge)."""
+    lexicographic tie-break, left-to-right non-overlapping TOKEN-level
+    merge)."""
     import collections
 
     from bigdata_assigment3_spark.sources import load_table
@@ -681,24 +719,48 @@ def test_bpe_merges_match_python_recompute(spark):
         for w in r.text.split():
             if w:
                 freq[" ".join(w)] += 1
-    want = []
-    words = dict(freq)
-    for rnd in range(1, 4):
-        pc: collections.Counter = collections.Counter()
-        for s, n in words.items():
-            syms = s.split(" ")
-            for i in range(len(syms) - 1):
-                pc[f"{syms[i]} {syms[i + 1]}"] += n
-        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        want.append((rnd, pair, cnt))
-        merged = pair.replace(" ", "")
-        nxt: dict = {}
-        for s, n in words.items():
-            nxt[s.replace(pair, merged)] = nxt.get(s.replace(pair, merged), 0) + n
-        words = nxt
+    want = _bpe_python(freq, 3)
     got = [(r.round, r.pair, r.cnt)
            for r in REGISTRY["bpe_pair_merge"].fn(spark, SF_ORACLE).collect()]
     assert sorted(got) == want, (got, want)
+
+
+def test_bpe_cross_boundary_collision(spark, tmp_path):
+    """Planted corpus where substring-replace BPE and token-level BPE
+    disagree: round 1 adopts (t,h), round 2 adopts (h,e).  The word
+    'the' is then symbols [th, e] — a substring replace of 'h e' on
+    the space-joined form would glue th+e into one symbol, erasing the
+    (th, e) pair that true BPE must still see and adopt in round 3."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = " ".join(["th"] * 10 + ["he"] * 8 + ["the"] * 5)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": [text]}),
+        f"{tmp_path}/documents.parquet",
+    )
+    expected = [(1, "t h", 15), (2, "h e", 8), (3, "th e", 5)]
+
+    got = [
+        (r.round, r.pair, r.cnt)
+        for r in REGISTRY["bpe_pair_merge"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert sorted(got) == expected, got
+
+    # hand recompute agrees
+    assert _bpe_python({" ".join(w): n for w, n in
+                        [("th", 10), ("he", 8), ("the", 5)]}, 3) == expected
+
+    # and the DuckDB oracle implements the same token-level semantics
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = sorted(tuple(r) for r in
+                    con.execute(REGISTRY["bpe_pair_merge"].oracle).fetchall())
+    con.close()
+    assert oracle == expected, oracle
 
 
 def test_decontamination_flags_verbatim_copy(spark, tmp_path):
