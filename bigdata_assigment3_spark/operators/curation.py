@@ -669,19 +669,55 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     text in bucket 1) — the stratification a curriculum or
     quality-mixing schedule samples from.
 
-    NTILE over (score, doc_id) makes membership deterministic even on
-    score ties.  Scale note: a global NTILE is a single total order —
-    at 100 TB swap it for pre-computed quantile boundaries
-    (approx_percentile) joined as a broadcast, the standard
-    distributed binning; the bucket semantics are unchanged.
+    Bucket membership is exact NTILE over (score, doc_id) — the oracle
+    — but computed WITHOUT a global single-partition window sort, the
+    standard distributed total-order rank:
+
+    1. ``repartitionByRange`` on the sort key (sampled boundaries;
+       partition ids ascend with the range).
+    2. ``row_number`` windowed per range-partition — the widest window
+       is one range partition, never the whole table.
+    3. Per-partition counts (one tiny collect, O(#partitions) rows)
+       cumsum'd on the driver into rank offsets; global rank =
+       offset[pid] + local rank, exact regardless of where the sampled
+       boundaries landed.
+    4. NTILE's first-(n mod B)-buckets-get-one-extra formula applied
+       arithmetically to the exact rank.
+
+    The input stays persisted so the offset map and the ranked pass
+    see the identical range partitioning.  At 100 TB this is the same
+    shape Spark uses for a distributed sort: one range shuffle + a
+    driver-side O(#partitions) cumsum.
     """
     lm = q_lm_bigram_score(spark, sf_dir)
-    b = lm.select(
-        "doc_id",
-        "mean_nll",
-        F.ntile(N_BUCKETS)
-        .over(Window.orderBy("mean_nll", "doc_id"))
-        .alias("bucket"),
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        lm.repartitionByRange(n_part, "mean_nll", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r.pid: r.n for r in
+              ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    base, extra = divmod(n, N_BUCKETS)
+    pivot = extra * (base + 1)  # ranks <= pivot land in the extra-sized buckets
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    local = Window.partitionBy("pid").orderBy("mean_nll", "doc_id")
+    rank = (off_map[F.col("pid")] + F.row_number().over(local)).alias("rank")
+    b = ranged.select("doc_id", "mean_nll", rank).withColumn(
+        "bucket",
+        F.when(
+            F.col("rank") <= F.lit(pivot),
+            F.floor((F.col("rank") - 1) / F.lit(base + 1)) + 1,
+        ).otherwise(
+            F.lit(extra)
+            + F.floor((F.col("rank") - F.lit(pivot) - 1) / F.lit(max(base, 1)))
+            + 1
+        ),
     )
     return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

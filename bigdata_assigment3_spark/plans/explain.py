@@ -35,6 +35,26 @@ def plan_summary(df: DataFrame) -> dict[str, int | bool]:
     }
 
 
+def global_windows(df: DataFrame) -> int:
+    """Count window operators with an EMPTY partition spec — a global
+    window is a single-task total sort, the one plan shape that cannot
+    survive a 100x scale-up.
+
+    In the plan string a window spec reads
+    ``windowspecdefinition(part1, part2, ..., sortcol ASC NULLS FIRST,
+    ..., specifiedwindowframe(...))`` — partition columns are bare
+    references, sort items carry an ASC/DESC marker.  A spec whose
+    FIRST argument is already a sort item has no partition columns.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for part in plan.split("windowspecdefinition(")[1:]:
+        first_arg = part.split(",", 1)[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            n += 1
+    return n
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if some scan's PushedFilters contains ``fragment``."""
     plan = formatted_plan(df)
