@@ -175,7 +175,13 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
     )
-    out_dir = os.path.join(tempfile.gettempdir(), "bd3_sink_roundtrip")
+    # keyed by sf_dir + app id: concurrent sessions must not share the
+    # staging dir (same convention as the streaming staging paths)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_sink_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
     agg.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     back = spark.read.parquet(out_dir)
     return back.select("event_type", "n", "total")
@@ -203,7 +209,13 @@ def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
     )
-    out_dir = os.path.join(tempfile.gettempdir(), "bd3_orc_roundtrip")
+    # keyed by sf_dir + app id: concurrent sessions must not share the
+    # staging dir (same convention as the streaming staging paths)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
     agg.write.mode("overwrite").orc(out_dir)
     return spark.read.orc(out_dir).select("event_type", "n", "total")
 
@@ -288,7 +300,11 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns rows where the two round-trips agree (must be all)."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    base = os.path.join(tempfile.gettempdir(), "bd3_fmt_roundtrip")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_fmt_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
     agg.write.mode("overwrite").option("header", True).csv(base + "_csv")
     agg.write.mode("overwrite").json(base + "_json")
     csv_back = spark.read.option("header", True).schema("event_type STRING, n BIGINT").csv(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..session import ensure_session_conf
 from ..sources import load_table
 from ..sources.tables import normalize_events_ts
 
@@ -36,7 +37,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe and the stream share one physical-form normalization
     (:func:`normalize_events_ts`), so batch and stream cannot diverge
     when the driver regenerates testdata with a different ``ts``
-    encoding (bigint-nanos / NTZ / TZ have all shipped)."""
+    encoding (bigint-nanos / NTZ / TZ have all shipped).  The conf
+    hardening must run here too: a bare driver session cannot even
+    read a TIMESTAMP(NANOS) probe without nanosAsLong."""
+    ensure_session_conf(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -248,7 +252,11 @@ def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "bd3_stream_etl")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_stream_etl_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(base, ignore_errors=True)
     ev = _stream_events(spark, sf_dir).select(
         "event_id",
@@ -378,12 +386,21 @@ def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle asserts both sides of the contract: per-type unique
     counts equal the batch table, and the delivered count is exactly
-    2x.  Scale shape: state is one key per event within the watermark
+    2x.  The delivered side is MEASURED, not derived: ``df.observe``
+    on the pre-dedup union counts rows as the stream actually flows
+    (summed over micro-batches from the query progress), so a source
+    that failed to replay — or a dedup that dropped too much — makes
+    the oracle comparison fail instead of being self-confirming.
+    Scale shape: state is one key per event within the watermark
     horizon, partitioned by key — the standard streaming-ETL dedup
     stage in front of an append sink."""
     s1 = _stream_events(spark, sf_dir)
     s2 = _stream_events(spark, sf_dir)
-    dup = s1.unionByName(s2).withWatermark("ts", "2 days")
+    dup = (
+        s1.unionByName(s2)
+        .observe("delivered", F.count(F.lit(1)).alias("n"))
+        .withWatermark("ts", "2 days")
+    )
     clean = dup.dropDuplicatesWithinWatermark(["event_id"])
     q = (
         clean.writeStream.outputMode("append")
@@ -393,11 +410,22 @@ def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    delivered_total = sum(
+        p.observedMetrics["delivered"].n
+        for p in q.recentProgress
+        if "delivered" in p.observedMetrics
+    )
     out = spark.table("stream_dedup_sink")
-    n_delivered = F.lit(2) * F.count(F.lit(1))  # unioned source: every key 2x
+    n_unique_total = out.count()
+    # distribute the observed global count across types proportionally
+    # to uniques (the replay is uniform 2x, so per-type delivered =
+    # uniques * observed_total / unique_total — exactly 2x when the
+    # stream really delivered everything twice)
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"),
-        n_delivered.cast("bigint").alias("n_delivered"),
+        (F.count(F.lit(1)) * F.lit(int(delivered_total)) / F.lit(int(n_unique_total)))
+        .cast("bigint")
+        .alias("n_delivered"),
     )
 
 
@@ -449,12 +477,15 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.filter(F.col("event_id") % 4 != 0)
     late = ev.filter(F.col("event_id") % 4 == 0)
     # the bridge batch: late-file rows that are still above the
-    # watermark (they keep it stationary while activating it)
-    max_day = ev.agg(F.max(F.dayofmonth("ts"))).collect()[0][0]
+    # watermark (they keep it stationary while activating it).
+    # Split on whole DATES, not dayofmonth — a fixture spanning a
+    # month boundary would make dayofmonth non-monotonic.
+    max_date = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    bridge_cut = F.date_sub(F.lit(max_date), 1)
     batches = (
         on_time,
-        late.filter(F.dayofmonth("ts") >= max_day - 1),
-        late.filter(F.dayofmonth("ts") < max_day - 1),
+        late.filter(F.to_date("ts") >= bridge_cut),
+        late.filter(F.to_date("ts") < bridge_cut),
     )
     for i, df in enumerate(batches, 1):
         df.coalesce(1).write.parquet(f"{stage}/b{i}")

@@ -593,6 +593,41 @@ def test_stream_late_drop_semantics(spark):
     assert rows and all(r.window_start + 86400 <= wm for r in rows)
 
 
+def test_stream_dedup_delivered_is_measured(spark):
+    """Fault injection for the exactly-once metric: with the replay
+    leg removed (single source, no duplication), the observed
+    delivered count must equal the unique count — NOT report 2x —
+    proving n_delivered is measured from the flowing stream via
+    df.observe, not derived from the deduped output."""
+    from bigdata_assigment3_spark.streaming.queries import _stream_events
+
+    s1 = _stream_events(spark, SF_ORACLE)
+    faulty = (
+        s1.observe("delivered_fault", F.count(F.lit(1)).alias("n"))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        faulty.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_fault_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = sum(
+        p.observedMetrics["delivered_fault"].n
+        for p in q.recentProgress
+        if "delivered_fault" in p.observedMetrics
+    )
+    n_unique = spark.table("dedup_fault_sink").count()
+    assert delivered == n_unique, (delivered, n_unique)
+
+    # and the real (two-source) query measures exactly 2x
+    rows = REGISTRY["stream_dedup_exactly_once"].fn(spark, SF_ORACLE).collect()
+    assert rows and all(r.n_delivered == 2 * r.n_unique for r in rows)
+
+
 def test_canonical_docs_match_union_find(spark):
     """Label propagation must produce exactly the union-find components
     of the verified dup pairs, with min doc_id as survivor."""
