@@ -229,17 +229,14 @@ def q_motion_decision_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("video_id", "motion_class").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("block_match_full", oracle=f"WITH px AS ({FRAME_PIXELS_SQL}){_BM_SQL}")
-def q_block_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-search block matching as a relational argmin (SURVEY J4/A12;
-    ref motion_codec.py:77-90).
-
-    blocks x bounded offset grid -> SAD -> per-block winner with the
-    reference's scan-order tie-break.  The offset table is tiny and
-    broadcast; SAD is one hash aggregate over (frame, block, offset) —
-    no per-row Python, no driver loop, scales with pixel count."""
+def _bm_winners(spark: SparkSession, cur_df: DataFrame) -> DataFrame:
+    """Relational full-search winners for the given current-frame
+    pixels (``cur_df``: rows of the 'moderate' clip with frame_idx >=
+    1, already filtered to the frames block matching should run on —
+    the cheap-first routing predicate pushes down HERE, below the
+    expensive SAD join)."""
     px = _px(spark).filter(F.col("video_id") == "moderate")
-    cur = px.filter(F.col("frame_idx") >= 1).alias("c")
+    cur = cur_df.alias("c")
     prev = px.alias("p")
     n_off = 2 * SEARCH + 1
     offsets = spark.sql(
@@ -274,6 +271,114 @@ def q_block_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         sad.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@query("block_match_full", oracle=f"WITH px AS ({FRAME_PIXELS_SQL}){_BM_SQL}")
+def q_block_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-search block matching as a relational argmin (SURVEY J4/A12;
+    ref motion_codec.py:77-90).
+
+    blocks x bounded offset grid -> SAD -> per-block winner with the
+    reference's scan-order tie-break.  The offset table is tiny and
+    broadcast; SAD is one hash aggregate over (frame, block, offset) —
+    no per-row Python, no driver loop, scales with pixel count."""
+    px = _px(spark).filter(F.col("video_id") == "moderate")
+    return _bm_winners(spark, px.filter(F.col("frame_idx") >= 1))
+
+
+# Routed pipeline, fully relational: classify every 'moderate' frame
+# pair, run the full search ONLY on MEDIUM frames (the class filter
+# sits below the SAD join — cheap-first routing), aggregate winners
+# per frame.  All-BIGINT output (no NULLs: LOW/HIGH frames report 0
+# blocks) so the cross-engine hash is exact.
+_ROUTED_SQL = f"""
+, mad AS ({_MAD_SQL}), th AS ({_THRESH_SQL}), cls AS ({_CLASSIFY_SQL}),
+mcls AS (SELECT frame_idx, motion_class FROM cls WHERE video_id = 'moderate'),
+cur AS (
+  SELECT p2.* FROM px p2
+  JOIN mcls m ON m.frame_idx = p2.frame_idx AND m.motion_class = 'MEDIUM'
+  WHERE p2.video_id = 'moderate' AND p2.frame_idx >= 1
+),
+prev AS (SELECT * FROM px WHERE video_id = 'moderate'),
+offsets AS (
+  SELECT CAST(FLOOR(id / {2 * SEARCH + 1}) AS BIGINT) - {SEARCH} AS oy,
+         id % {2 * SEARCH + 1} - {SEARCH} AS ox
+  FROM range({(2 * SEARCH + 1) ** 2}) AS r(id)
+),
+sad AS (
+  SELECT c.frame_idx,
+         CAST(FLOOR(c.y / {BLK}) AS BIGINT) AS by,
+         CAST(FLOOR(c.x / {BLK}) AS BIGINT) AS bx,
+         o.oy, o.ox,
+         CAST(SUM(ABS(c.v - p.v)) AS BIGINT) AS cost
+  FROM cur c
+  JOIN offsets o
+    ON CAST(FLOOR(c.y / {BLK}) AS BIGINT) * {BLK} + o.oy BETWEEN 0 AND {H - BLK}
+   AND CAST(FLOOR(c.x / {BLK}) AS BIGINT) * {BLK} + o.ox BETWEEN 0 AND {W - BLK}
+  JOIN prev p
+    ON p.frame_idx = c.frame_idx - 1 AND p.y = c.y + o.oy AND p.x = c.x + o.ox
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT frame_idx, by, bx, oy AS dy, ox AS dx, cost,
+         ROW_NUMBER() OVER (PARTITION BY frame_idx, by, bx
+                            ORDER BY cost, oy, ox) AS rn
+  FROM sad
+),
+agg AS (
+  SELECT frame_idx, COUNT(*) AS n_blocks, SUM(cost) AS total_cost,
+         SUM(CASE WHEN dy <> 0 OR dx <> 0 THEN 1 ELSE 0 END) AS n_moving
+  FROM ranked WHERE rn = 1 GROUP BY frame_idx
+)
+SELECT m.frame_idx, m.motion_class,
+       CAST(COALESCE(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(a.total_cost, 0) AS BIGINT) AS total_cost,
+       CAST(COALESCE(a.n_moving, 0) AS BIGINT) AS n_moving
+FROM mcls m LEFT JOIN agg a ON a.frame_idx = m.frame_idx
+"""
+
+
+@query("block_match_routed_full", oracle=f"WITH px AS ({FRAME_PIXELS_SQL}){_ROUTED_SQL}")
+def q_block_match_routed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cheap-first routed pipeline, fully relational
+    and oracle-backed (ref motion_codec.py:252-289): classify every
+    frame pair LOW/MEDIUM/HIGH from calibrated MAD thresholds, run
+    full-search block matching ONLY on MEDIUM pairs (the routing
+    predicate is pushed below the expensive SAD join), and report
+    per-frame vector aggregates — LOW/HIGH frames short-circuit with
+    zero blocks, exactly like the reference.  The adaptive-walk
+    variant (``block_match_routed``, diamond search) keeps the same
+    routing but is data-dependent, so it stays under planted-ground-
+    truth local tests instead of a SQL oracle."""
+    mad = _mad_df(spark)
+    th = _thresholds_df(spark)
+    cls = (
+        mad.join(F.broadcast(th), "video_id")
+        .filter(F.col("video_id") == "moderate")
+        .select(
+            "frame_idx",
+            F.when(F.col("mad") < F.col("t_low"), "LOW")
+            .when(F.col("mad") > F.col("t_high"), "HIGH")
+            .otherwise("MEDIUM")
+            .alias("motion_class"),
+        )
+    )
+    medium = cls.filter(F.col("motion_class") == "MEDIUM").select("frame_idx")
+    px = _px(spark).filter(F.col("video_id") == "moderate")
+    cur = px.filter(F.col("frame_idx") >= 1).join(F.broadcast(medium), "frame_idx")
+    win = _bm_winners(spark, cur)
+    agg = win.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("cost").alias("total_cost"),
+        F.sum(((F.col("dy") != 0) | (F.col("dx") != 0)).cast("int")).alias("n_moving"),
+    )
+    return cls.join(agg, "frame_idx", "left").select(
+        "frame_idx",
+        "motion_class",
+        F.coalesce(F.col("n_blocks"), F.lit(0)).cast("bigint").alias("n_blocks"),
+        F.coalesce(F.col("total_cost"), F.lit(0)).cast("bigint").alias("total_cost"),
+        F.coalesce(F.col("n_moving"), F.lit(0)).cast("bigint").alias("n_moving"),
     )
 
 

@@ -135,9 +135,11 @@ PRIORITY: tuple[str, ...] = (
     # Hough image analytics
     "hough_peak",
     "ellipse_candidate_score",
-    # motion estimation (full relational + routed adaptive)
+    # motion estimation (full relational + routed full-search; the
+    # adaptive-walk routed variant is rows-only and sits outside the
+    # driver's 50-slot oracle window, covered by local tests)
     "block_match_full",
-    "block_match_routed",
+    "block_match_routed_full",
 )
 
 
