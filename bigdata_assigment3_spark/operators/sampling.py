@@ -97,6 +97,80 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_SCALE = 1_000_000  # hash-threshold resolution for keep rates
+
+
+@query(
+    "temperature_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(n_docs) AS min_docs FROM t),
+    rates AS (
+      SELECT t.source, t.n_docs,
+             SQRT(CAST(mn.min_docs AS DOUBLE) / t.n_docs) AS keep_rate
+      FROM t CROSS JOIN mn
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE {md5_int56_duck("CAST(doc_id AS VARCHAR)")} % {SAMPLE_SCALE}
+            < CAST(FLOOR(r.keep_rate * {SAMPLE_SCALE}) AS BIGINT)
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           ROUND(r.keep_rate, 6) AS keep_rate,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    GROUP BY r.source, r.n_docs, r.keep_rate
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture rebalancing: down-sample each
+    source toward the sqrt-flattened target mixture q_s ∝ sqrt(p_s),
+    keeping the smallest source whole — the standard knob (XLM-R-style
+    alpha sampling) that keeps head domains from drowning tail domains
+    in a pretraining mix.  With alpha=1/2 the keep rate collapses to
+    sqrt(min_docs / n_docs), which uses only division and SQRT — both
+    IEEE-correctly-rounded, so the per-row hash-threshold membership
+    is bit-identical across engines (a pow()-based temperature would
+    not be).  sum_kept_ids pins exact membership, not just counts.
+
+    Scale shape: one count agg, a 1-row min broadcast, then a pure
+    projection filter — append-stable like the other hash samplers,
+    no shuffle of the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = t.agg(F.min("n_docs").alias("min_docs"))
+    rates = t.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("min_docs").cast("double") / F.col("n_docs")).alias("keep_rate"),
+    )
+    h = F.expr(md5_int56_spark("CAST(doc_id AS STRING)"))
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            h % SAMPLE_SCALE
+            < F.floor(F.col("keep_rate") * SAMPLE_SCALE).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("sum_kept_ids", F.lit(0)).cast("bigint").alias("sum_kept_ids"),
+    )
+
+
 K_FOLDS = 5
 
 

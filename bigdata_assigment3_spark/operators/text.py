@@ -250,8 +250,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled BPE merge rounds with TOKEN-level merges.
+def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled BPE merge-round CTE chain with TOKEN-level merges
+    (shared by the pair-merge and the encode oracles).
 
     A substring ``replace`` on the space-joined symbol string is wrong
     once symbols grow multi-character: pair ``h e`` would match inside
@@ -308,36 +309,49 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
       WHERE psel = 0
       GROUP BY os, freq
     )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return _bpe_ctes(rounds) + "\n" + unions
 
 
-@query("bpe_pair_merge", oracle=_bpe_oracle())
-def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding vocabulary learning, {BPE_ROUNDS} merge
-    rounds: count adjacent symbol pairs over the word-frequency table,
-    adopt the most frequent pair (ties broken lexicographically) as a
-    merge rule, rewrite, repeat — the core loop of every BPE/WordPiece
-    tokenizer build.
-
-    Scale shape: BPE never touches the corpus after one initial
-    word-count agg — each round is one explode + hash agg over the
-    *distinct-word* table (millions of rows at web scale, not
-    billions), an O(1)-row argmax collected to the driver (the merge
-    decision IS the model, exactly like the EM loop's class params),
-    and a map-only rewrite.  The merge is a TOKEN-level left-to-right
-    fold over the symbol array (``F.aggregate``, JVM-side higher-order
-    function, no per-row Python): merge (sym[i], sym[i+1]) when they
-    equal the adopted pair, consuming both.  A substring ``replace``
-    would be wrong once symbols grow multi-character — pair ``h e``
-    must not glue ``th``+``e`` across the boundary in ``.. th e ..``.
-    The fold needs no just-merged guard: a merged symbol p1||p2 can
-    never equal p1 again (p2 is non-empty), so greedy re-examination
-    of the accumulator tail is safe.
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Apply the learned vocab: each distinct word's final token count
+    comes straight from the last merge round's symbol table (the word
+    itself is the symbols re-concatenated), joined back to per-doc
+    word occurrences."""
+    return (
+        _bpe_ctes(rounds)
+        + f""",
+    vocab AS (
+      SELECT replace(s, ' ', '') AS word,
+             len(string_split(s, ' ')) AS n_tok
+      FROM w{rounds}
+    ),
+    docw AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(len(d.word)) AS DOUBLE) / SUM(v.n_tok), 6) AS chars_per_token
+    FROM docw d JOIN vocab v USING (word)
+    GROUP BY d.doc_id
     """
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS):
+    """Run the BPE merge loop; returns (final_words_df, merges) where
+    final_words_df is (s: space-joined symbols, freq) after all merge
+    rounds and merges is [(round, pair, cnt), ...]."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
@@ -352,7 +366,7 @@ def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merges = []
-    for r in range(1, BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = words.select(
             F.explode(
                 # guard: Spark's sequence(1, 0) DESCENDS (it is not
@@ -391,4 +405,70 @@ def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))),
         )
         words = words.select(F.array_join(folded, " ").alias("s"), "freq")
+    return words, merges
+
+
+@query("bpe_pair_merge", oracle=_bpe_oracle())
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning, {BPE_ROUNDS} merge
+    rounds: count adjacent symbol pairs over the word-frequency table,
+    adopt the most frequent pair (ties broken lexicographically) as a
+    merge rule, rewrite, repeat — the core loop of every BPE/WordPiece
+    tokenizer build.
+
+    Scale shape: BPE never touches the corpus after one initial
+    word-count agg — each round is one explode + hash agg over the
+    *distinct-word* table (millions of rows at web scale, not
+    billions), an O(1)-row argmax collected to the driver (the merge
+    decision IS the model, exactly like the EM loop's class params),
+    and a map-only rewrite.  The merge is a TOKEN-level left-to-right
+    fold over the symbol array (``F.aggregate``, JVM-side higher-order
+    function, no per-row Python): merge (sym[i], sym[i+1]) when they
+    equal the adopted pair, consuming both.  A substring ``replace``
+    would be wrong once symbols grow multi-character — pair ``h e``
+    must not glue ``th``+``e`` across the boundary in ``.. th e ..``.
+    The fold needs no just-merged guard: a merged symbol p1||p2 can
+    never equal p1 again (p2 is non-empty), so greedy re-examination
+    of the accumulator tail is safe.
+    """
+    _, merges = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(merges, "round BIGINT, pair STRING, cnt BIGINT")
+
+
+@query("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocabulary to the corpus — the tokenizer
+    side of the tokenizer build: per document, word/token/char counts
+    and the chars-per-token compression ratio (the fertility metric a
+    tokenizer is judged by).
+
+    The final merge round's symbol table IS the vocabulary: each
+    distinct word maps to its token count (symbols re-concatenated
+    equal the word, so the mapping key is ``replace(s, ' ', '')``).
+    Scale shape: encoding never re-walks the merge loop per document —
+    one distinct-word join (AQE picks broadcast when the vocab fits)
+    and one per-doc aggregate; the same shape lets a 100 TB corpus
+    tokenize against a driver-learned vocab without any Python in the
+    data path."""
+    words, _ = _bpe_learn(spark, sf_dir)
+    vocab = words.select(
+        F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("word"),
+        F.size(F.split("s", " ")).alias("n_tok"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word"),
+    )
+    return (
+        docw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -824,3 +824,32 @@ def test_decontamination_flags_verbatim_copy(spark, tmp_path):
            for r in REGISTRY["decontamination_overlap"].fn(spark, sf_dir).collect()}
     assert out[10000] == 1.0, out.get(10000)
     assert out[10025] == 0.0, out.get(10025)
+
+
+def test_temperature_sample_semantics(spark):
+    """Alpha-sampling invariants: the smallest source keeps everything
+    (rate 1.0), keep rates decrease with source size, and kept counts
+    land near rate * n_docs."""
+    rows = REGISTRY["temperature_sample"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert smallest.keep_rate == 1.0 and smallest.n_kept == smallest.n_docs
+    for r in rows:
+        assert 0 < r.keep_rate <= 1.0
+        assert abs(r.n_kept - r.keep_rate * r.n_docs) <= max(10, 0.2 * r.n_docs), r
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    rates = [r.keep_rate for r in by_size]
+    assert rates == sorted(rates, reverse=True), rates
+
+
+def test_bpe_encode_consistent_with_merges(spark):
+    """Encoding stats must reflect the learned merges: every word's
+    token count is at most its char count, at least 1, and total
+    tokens across docs shrink vs. pure char tokenization by exactly
+    the number of merge-rule applications."""
+    rows = REGISTRY["bpe_encode_stats"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 1 <= r.n_tokens <= r.n_chars
+        assert r.n_words <= r.n_tokens
+        assert abs(r.chars_per_token - r.n_chars / r.n_tokens) < 1e-6
