@@ -136,6 +136,77 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_HOPS = 6  # BFS horizon (graph diameter at any sf is well below this)
+
+
+@query(
+    "bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_DUCK_EDGES}),
+    und AS (
+      SELECT src AS v, dst AS u FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    s AS (SELECT MIN(doc_id) AS src FROM documents),
+    walk(v, hop) AS (
+      SELECT src AS v, 0 AS hop FROM s
+      UNION
+      SELECT u.u AS v, w.hop + 1 AS hop
+      FROM walk w JOIN und u ON u.v = w.v
+      WHERE w.hop < {MAX_HOPS}
+    ),
+    dist AS (SELECT v, MIN(hop) AS hop FROM walk GROUP BY v)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM dist GROUP BY hop
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the undirected link graph: shortest hop
+    distance from the lowest doc_id, reported as per-hop frontier
+    sizes (sum_v pins exact membership) — the reachability/diameter
+    probe a link-graph pipeline runs before any traversal-bounded
+    algorithm.
+
+    Scale shape: textbook frontier BFS — each round is ONE join
+    (frontier x adjacency, both keyed on the vertex) plus an anti-join
+    against visited, frontier lineage checkpointed per round; rounds =
+    graph diameter (capped {MAX_HOPS}), with an O(1)-row early-stop
+    count per round.  The DuckDB oracle is the recursive-CTE
+    formulation of the same fixpoint (UNION-dedup on (v, hop) bounds
+    the recursion at V x H rows).
+    """
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .distinct()
+    )
+    und = lineage_checkpoint(und)
+    src = load_table(spark, sf_dir, "documents").agg(F.min("doc_id")).collect()[0][0]
+    dist = spark.createDataFrame([(int(src), 0)], "v BIGINT, hop BIGINT")
+    frontier = dist.select("v")
+    for h in range(1, MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, "v")
+            .select(F.col("u").alias("v"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .select("v", F.lit(h).cast("bigint").alias("hop"))
+        )
+        nxt = lineage_checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        dist = lineage_checkpoint(dist.unionAll(nxt))
+        frontier = nxt.select("v")
+    return dist.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+    )
+
+
 @query(
     "triangle_count",
     oracle=f"""
