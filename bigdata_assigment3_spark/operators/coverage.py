@@ -15,6 +15,42 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
+from ..sources.custom import SYNTH_ROWS, register_synthtx
+
+
+@query(
+    "custom_source_scan",
+    oracle=f"""
+    WITH t AS (
+      SELECT id % 97 AS user_id,
+             ['a','b','c','d'][CAST(id % 4 AS INTEGER) + 1] AS kind,
+             (id * 31) % 1000 AS amount
+      FROM range({SYNTH_ROWS}) r(id)
+    )
+    SELECT kind,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(amount) AS BIGINT) AS total_amount,
+           CAST(MAX(amount) AS BIGINT) AS max_amount
+    FROM t GROUP BY kind
+    """,
+)
+def q_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM Python DataSource (PySpark 4 DataSource
+    API, sources/custom.py): the 'synthtx' format plans 8 independent
+    InputPartitions (parallel scan with no input files — the connector
+    pattern for systems without a native reader) and generates
+    deterministic integer rows, so the aggregate is value-checked
+    against a DuckDB range() oracle — the custom source itself is
+    under the correctness gate, not just smoke-tested."""
+    register_synthtx(spark)
+    t = spark.read.format("synthtx").load()
+    return t.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("amount").cast("bigint").alias("total_amount"),
+        F.max("amount").cast("bigint").alias("max_amount"),
+    )
 
 
 @query(

@@ -87,3 +87,14 @@ def test_batch_and_stream_schemas_agree(spark):
     assert [(f.name, f.dataType) for f in batch.schema.fields] == [
         (f.name, f.dataType) for f in stream.schema.fields
     ]
+
+
+def test_custom_source_plans_partitions(spark):
+    """The synthtx custom DataSource must plan a parallel scan (8
+    InputPartitions), not a single generator task."""
+    from bigdata_assigment3_spark.sources.custom import register_synthtx
+
+    register_synthtx(spark)
+    df = spark.read.format("synthtx").load()
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 100_000
