@@ -242,6 +242,122 @@ def q_stream_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stateful_rl_sink")
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the streaming
+    Python runner; this sandbox ships pyspark without it.  Probed at
+    import (same contract as the cv2/pydicom codec probes): when the
+    environment gains protobuf, the query registers and joins the
+    oracle gate automatically."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(value) AS max_value,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM events GROUP BY user_id
+    """
+
+
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key arbitrary state via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState (typed state
+    primitives, timers, state TTL): a per-user running profile held in
+    a ValueState struct and updated per micro-batch.
+
+    Outputs are all order-insensitive (count / max / min), so the
+    availableNow drain equals the batch aggregate — which is exactly
+    the oracle.  At scale this is the canonical streaming-profile
+    operator: one state row per active key in the state store,
+    updated in place, no re-aggregation of history.
+
+    The processor class is defined inside the function so cloudpickle
+    ships it by value (workers don't have this package importable).
+    Registered only when the runtime supports it (see
+    :func:`_tws_available`); applyInPandasWithState covers the same
+    ST3 surface unconditionally via ``stream_stateful_rate_limit``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "profile", "n BIGINT, mx DOUBLE, first_id BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, mx, first_id = 0, None, None
+            if self._st.exists():
+                n, mx, first_id = self._st.get()
+            for pdf in rows:
+                n += len(pdf)
+                bmx = float(pdf["value"].max())
+                bid = int(pdf["event_id"].min())
+                mx = bmx if mx is None else max(mx, bmx)
+                first_id = bid if first_id is None else min(first_id, bid)
+            self._st.update((n, mx, first_id))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "first_event_id": [first_id],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "event_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, max_value DOUBLE, first_event_id BIGINT"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store; scope the
+    # provider switch to this query and restore the session default.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stream_tws_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set(provider_key, saved)
+        else:
+            spark.conf.unset(provider_key)
+    return spark.table("stream_tws_sink")
+
+
+if _tws_available():
+    query("stream_transform_with_state", oracle=_TWS_ORACLE)(
+        q_stream_transform_with_state
+    )
+
+
 @query("stream_etl_append")  # rows-only: writes local files (streaming sink)
 def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ETL to a file sink (SURVEY S6/ST1: the per-request
