@@ -85,6 +85,7 @@ def main() -> None:
     # Median of 3 runs per query: single-run numbers swing 2-3x on a
     # shared box, which would read as phantom regressions round-over-round.
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
     for name in names:
         times = []
         for _ in range(3):
@@ -92,6 +93,10 @@ def main() -> None:
             fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(sorted(times)[1], 3)
+        # the min is the noise floor: when median >> min the spread is
+        # GC/box noise, not a plan regression — recorded so round-over-
+        # round deltas can be attributed
+        per_query_min[name] = round(min(times), 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -103,6 +108,7 @@ def main() -> None:
         # one-time shared-artifact build (dedup inverted index + verified
         # pair table), reported separately so it is visible, not hidden
         "shared_setup_sec": shared_setup,
+        "queries_min": per_query_min,
     }
 
     # Round-over-round tracking: compare against the newest BENCH_r{N}.json

@@ -35,6 +35,18 @@ def plan_summary(df: DataFrame) -> dict[str, int | bool]:
     }
 
 
+def shuffle_exchanges(df: DataFrame) -> int:
+    """Count real shuffle exchanges (hash/range/round-robin/single
+    partition), excluding BroadcastExchange — the number that grows a
+    query's cost class at 100 TB.  Counted on the final plan so AQE
+    reuse (ReusedExchange) is not double-counted."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "RoundRobinPartitioning", "SinglePartition")
+    )
+
+
 def global_windows(df: DataFrame) -> int:
     """Count window operators with an EMPTY partition spec — a global
     window is a single-task total sort, the one plan shape that cannot

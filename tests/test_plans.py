@@ -196,3 +196,37 @@ def test_global_window_detector_fires_on_bad_plan(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     bad = docs.select("doc_id", F.ntile(4).over(Window.orderBy("doc_id")).alias("b"))
     assert global_windows(bad) >= 1
+
+
+def test_shuffle_exchange_budgets(spark):
+    """Pin the shuffle-exchange count of headline queries: an extra
+    Exchange is a new 100 TB cost class (a lost broadcast, a
+    re-partition regression), and should fail review rather than ship
+    silently.  Budgets are the current plans' counts — tighten them
+    when a plan improves, never loosen without a scale argument."""
+    from bigdata_assigment3_spark.plans.explain import shuffle_exchanges
+
+    budgets = {
+        "point_lookup": 0,        # scan + pushed filter only
+        "text_quality": 0,        # pure projection
+        "pricing_summary": 1,     # one partial+final agg
+        "top_revenue_orders": 1,  # broadcast dims + one agg
+        "region_revenue": 1,
+        "rate_limit_window": 1,
+        "window_topk_orders": 1,
+        "train_test_split": 1,
+        "ann_cosine_topk": 1,
+        "event_totals": 2,
+        "dedup_exact": 2,
+        "quality_filter_chain": 2,
+        "block_match_full": 2,
+        "custom_source_scan": 2,
+        "frequent_pairs": 3,
+        "span_dedup_ratio": 5,
+        "hough_peak": 6,
+        "temperature_sample": 7,
+        "lm_bigram_score": 9,
+    }
+    for name, budget in budgets.items():
+        got = shuffle_exchanges(_plan(spark, name))
+        assert got <= budget, (name, got, budget)
