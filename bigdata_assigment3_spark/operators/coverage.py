@@ -54,6 +54,86 @@ def q_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic data-quality profile of a table: per column, null
+    count, exact distinct count, and min/max (rendered to strings with
+    engine-portable formats: raw for ints/strings, fixed timestamp
+    format, DECIMAL(18,2) for doubles so float repr differences can't
+    leak into the compare) — the profiling pass every ingest pipeline
+    runs before accepting a drop.
+
+    Scale shape: ONE scan — all six columns' null counts, distinct
+    counts and extrema compute in a single aggregate (Spark plans the
+    multi-distinct via Expand, still one pass over the data), then an
+    unpivot to rows.  The per-column UNION in the oracle is the
+    semantic spec, not the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+              "o_orderdate", "o_totalprice"):
+        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"))
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"):
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+    aggs.append(F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("o_orderdate__min"))
+    aggs.append(F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("o_orderdate__max"))
+    aggs.append(F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice__min"))
+    aggs.append(F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice__max"))
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+                  "o_orderdate", "o_totalprice")
+    )
+    return one.selectExpr(
+        f"stack(6, {stack}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
     "window_rank_kinds",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,

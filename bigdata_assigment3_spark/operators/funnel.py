@@ -283,3 +283,99 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", 0.9), 1).alias("p90_us"),
         F.max("gap_us").cast("bigint").alias("max_us"),
     )
+
+
+ATTR_WINDOW_US = 7 * 86400 * 10**6  # 7-day lookback
+
+
+@query(
+    "touch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS e_id, event_type, epoch_us(ts) AS e_us
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT p.p_id, t.event_type, t.e_us, t.e_id
+      FROM p JOIN t ON t.user_id = p.user_id
+      WHERE t.e_us < p.p_us AND t.e_us >= p.p_us - {ATTR_WINDOW_US}
+    ),
+    ranked AS (
+      SELECT p_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY e_us DESC, e_id DESC) AS rn_last,
+             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY e_us ASC, e_id ASC) AS rn_first
+      FROM j
+    ),
+    attributed AS (
+      SELECT 'last' AS touch, event_type FROM ranked WHERE rn_last = 1
+      UNION ALL
+      SELECT 'first', event_type FROM ranked WHERE rn_first = 1
+    ),
+    unattributed AS (
+      SELECT COUNT(*) AS n FROM p
+      WHERE p_id NOT IN (SELECT DISTINCT p_id FROM j)
+    )
+    SELECT touch, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM attributed GROUP BY touch, event_type
+    UNION ALL
+    SELECT 'none', '(none)', CAST(n AS BIGINT) FROM unattributed WHERE n > 0
+    """,
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch purchase attribution: for every
+    purchase, credit the user's earliest and latest non-purchase event
+    inside a 7-day lookback (ties broken by event_id so the answer is
+    deterministic), plus a 'none' bucket for purchases with no touch —
+    the channel-credit query every marketing warehouse serves.
+
+    Scale shape: purchases join touches on user_id (co-partitioned
+    with every other per-user query), the per-purchase argmin/argmax
+    is one window over the purchase key, and the unattributed count is
+    an anti-join — no per-user collect, no skew beyond the user key
+    itself.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("us").alias("p_us")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_id").alias("e_id"), "event_type", F.col("us").alias("e_us")
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("e_us") < F.col("p_us"))
+        & (F.col("e_us") >= F.col("p_us") - ATTR_WINDOW_US)
+    )
+    from pyspark.sql.window import Window
+
+    w_last = Window.partitionBy("p_id").orderBy(F.desc("e_us"), F.desc("e_id"))
+    w_first = Window.partitionBy("p_id").orderBy(F.asc("e_us"), F.asc("e_id"))
+    ranked = j.select(
+        "p_id",
+        "event_type",
+        F.row_number().over(w_last).alias("rn_last"),
+        F.row_number().over(w_first).alias("rn_first"),
+    )
+    attributed = (
+        ranked.filter(F.col("rn_last") == 1)
+        .select(F.lit("last").alias("touch"), "event_type")
+        .unionAll(
+            ranked.filter(F.col("rn_first") == 1)
+            .select(F.lit("first").alias("touch"), "event_type")
+        )
+    )
+    out = attributed.groupBy("touch", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    none = (
+        p.join(j.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(F.lit("none").alias("touch"), F.lit("(none)").alias("event_type"), "n")
+    )
+    return out.unionAll(none)
