@@ -379,3 +379,55 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("none").alias("touch"), F.lit("(none)").alias("event_type"), "n")
     )
     return out.unionAll(none)
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+           ROUND(CAST(p.n AS DOUBLE) / t.t, 6) AS p_next
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current type), ordered by event time
+    with event_id tie-breaks — the sequence model behind next-action
+    prediction and anomalous-flow detection.
+
+    Scale shape: one lag window per user (the same user_id
+    partitioning every journey query rides), one pair count, and a
+    per-prev-type total joined back — the denominator table is
+    #event-types wide, broadcast for free.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_next"),
+    )
