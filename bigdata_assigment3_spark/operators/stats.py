@@ -1,0 +1,329 @@
+"""Statistical-analytics operators: regression/correlation aggregates,
+quantiles, deterministic mode, fixed-width histograms, z-score anomaly
+flags, and interval-overlap (sweep-line) concurrency.
+
+The reference computes descriptive stats imperatively (NumPy means /
+stds inside loops, e.g. Hidden_MarkovModels/brain_segmentation.py's
+per-class statistics); here the same statistical machinery is exposed
+as first-class distributed aggregates a reference user would reach for
+on tabular data.
+
+Determinism strategy (same as pricing_summary): every sufficient
+statistic (sum, sum-of-squares, cross-sum) is accumulated in DECIMAL —
+association-order independent — and only the final scalar formula runs
+in DOUBLE, written with the identical expression shape in Spark and
+the DuckDB oracle so both engines produce bit-equal doubles.
+
+Scale notes: all aggregates here are partial+final hash aggregates
+over small group cardinalities (map-side combine does the work); the
+z-score query joins a broadcast 5-row stats table back to the fact
+table; the sweep-line windows partition by nation so no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+_DEC_Q = "decimal(12,2)"  # l_quantity
+_DEC_P = "decimal(12,2)"  # l_extendedprice
+
+
+@query(
+    "regression_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+           ROUND(((n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * ((n * sxy - sx * sy)
+                    / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS r2
+    FROM s
+    """,
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS slope/intercept + Pearson correlation + R² of
+    extendedprice on quantity — the regr_*/corr/covar aggregate family
+    computed from DECIMAL-exact sufficient statistics.
+
+    One partial+final hash aggregate (6 sums over 3 groups); the
+    closed-form solve is a scalar projection on the 3-row result, so
+    the whole query is a single map-side-combined pass regardless of
+    input size.  Built-in F.corr / F.regr_slope are asserted equal to
+    this closed form (within float tolerance) in tests/test_semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DEC_Q)
+    y = F.col("l_extendedprice").cast(_DEC_P)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(corr, 6).alias("corr"),
+        F.round(corr * corr, 6).alias("r2"),
+    )
+
+
+@query(
+    "grouped_quantiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.25), 6) AS q1,
+           ROUND(quantile_cont(value, 0.50), 6) AS median,
+           ROUND(quantile_cont(value, 0.75), 6) AS q3,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles + IQR per event type (the
+    percentile family beyond request_metrics' p50/p95 on latencies).
+
+    `percentile` is an exact order-statistic aggregate: fine at this
+    group cardinality; at 100 TB swap to approx_percentile with a
+    bounded error budget — exposed here exactly so the checked query
+    stays deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q1 = F.percentile("value", F.lit(0.25))
+    q3 = F.percentile("value", F.lit(0.75))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(q1, 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median"),
+        F.round(q3, 6).alias("q3"),
+        F.round(q3 - q1, 6).alias("iqr"),
+    )
+
+
+@query(
+    "mode_bucket",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bucket, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket ASC) AS rk
+      FROM c
+    )
+    SELECT event_type, bucket AS mode_bucket, n AS n_mode
+    FROM r WHERE rk = 1
+    """,
+)
+def q_mode_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode over value buckets.
+
+    The built-in `mode` aggregate is tie-ambiguous across engines, so
+    the mode is computed as an explicit argmax with a total tiebreak
+    (count DESC, bucket ASC) — same answer in Spark and DuckDB by
+    construction.  Two shuffles: one hash-agg on (type, bucket), one
+    tiny per-type window over group counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket"),
+    ).groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("bucket").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), F.col("n").alias("n_mode"))
+    )
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 3) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bucket histogram of order totals (the
+    width_bucket pattern, written as explicit clamped floor division
+    so both engines share one bucket rule).
+
+    Pure map-side bucket + combine: the shuffle carries ≤10 rows per
+    mapper no matter the input size — the correct 100 TB histogram
+    shape (vs sorting or per-row exchange).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"), F.lit(9)
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 3)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             ABS((e.value - s.sx / s.n)
+                 / SQRT((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1)))) AS az
+      FROM events e JOIN s ON e.event_type = s.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN az > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(MAX(az), 4) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging: grouped mean/std from
+    DECIMAL-exact sufficient statistics, joined back to the fact rows
+    to count |z| > 2 and the max |z|.
+
+    The per-type stats table is a handful of rows → broadcast join
+    back to events, so the fact table is scanned twice but never
+    shuffled on a data-dependent key.  Identical double formula both
+    engines (see module docstring).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    joined = ev.join(F.broadcast(s), "event_type")
+    az = F.abs(
+        (F.col("value") - sx / n) / F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    )
+    return (
+        joined.select("event_type", az.alias("az"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("az") > 2.0, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.round(F.max("az"), 4).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "max_concurrent_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT n.n_name, o.o_orderdate AS t0,
+             o.o_orderdate + INTERVAL 30 DAY AS t1
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    deltas AS (
+      SELECT n_name, t0 AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT n_name, t1 AS t, -1 AS d FROM iv
+    ),
+    cum AS (
+      SELECT n_name,
+             SUM(d) OVER (PARTITION BY n_name ORDER BY t
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS open_now
+      FROM deltas
+    )
+    SELECT n_name, CAST(MAX(open_now) AS BIGINT) AS peak_concurrent
+    FROM cum GROUP BY n_name
+    """,
+)
+def q_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap: peak number of simultaneously open
+    orders (30-day fulfillment window) per nation.
+
+    The classic +1/-1 event-endpoint trick: union starts and ends,
+    running sum ordered by time.  The RANGE frame nets all endpoints
+    at the same instant, making ties deterministic in both engines.
+    Windows partition by nation — bounded per-group state, no global
+    sort; at 100 TB add a coarse time-bucket pre-aggregation of deltas
+    before the window (same math, smaller sort).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    iv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("o_orderdate").alias("t0"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("t1"),
+        )
+    )
+    deltas = iv.select("n_name", F.col("t0").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("n_name", F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.select("n_name", F.sum("d").over(w).alias("open_now"))
+    return cum.groupBy("n_name").agg(
+        F.max("open_now").cast("bigint").alias("peak_concurrent")
+    )

@@ -411,3 +411,59 @@ def q_email_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("email").rlike(_EMAIL_RE).alias("valid"))
         .agg(F.count(F.lit(1)).alias("n"), F.min("email").alias("sample_email"))
     )
+
+
+@query(
+    "frequent_triples",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ok AS (
+      SELECT o FROM d GROUP BY o HAVING COUNT(*) BETWEEN 3 AND 64
+    ),
+    dd AS (SELECT d.o, d.p FROM d JOIN ok USING (o))
+    SELECT a.p AS p1, b.p AS p2, c.p AS p3, COUNT(*) AS support
+    FROM dd a
+    JOIN dd b ON a.o = b.o AND a.p < b.p
+    JOIN dd c ON b.o = c.o AND b.p < c.p
+    GROUP BY 1, 2, 3
+    ORDER BY support DESC, p1, p2, p3
+    LIMIT 10
+    """,
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets — the Apriori step above
+    frequent_pairs.
+
+    Spark side builds each basket ONCE (one shuffle on l_orderkey,
+    sorted distinct part array) and generates the C(s,3) combinations
+    basket-locally with chained posexplode+slice — no triple self-join
+    fan-out through the shuffle, and the 3..64 basket-size band bounds
+    the per-row blowup (the same DF_CAP idea as dedup's inverted
+    index).  The oracle states the equivalent triple self-join.  Full
+    ordering (support DESC, p1, p2, p3) makes the top-10 cut
+    deterministic in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        d.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter((F.size("items") >= 3) & (F.size("items") <= 64))
+    )
+    s1 = baskets.select("l_orderkey", "items", F.posexplode("items").alias("i", "p1"))
+    s2 = s1.select(
+        "l_orderkey", "p1", F.expr("slice(items, i + 2, size(items))").alias("rest1")
+    )
+    s3 = s2.select("l_orderkey", "p1", "rest1", F.posexplode("rest1").alias("j", "p2"))
+    s4 = s3.select(
+        "l_orderkey", "p1", "p2",
+        F.explode(F.expr("slice(rest1, j + 2, size(rest1))")).alias("p3"),
+    )
+    return (
+        s4.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "p1", "p2", "p3")
+        .limit(10)
+    )

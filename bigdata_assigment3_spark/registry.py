@@ -58,6 +58,8 @@ def _load_all() -> None:
         pipeline,
         relational,
         sampling,
+        stats,
+        strings,
         similarity,
         text,
         webservice,

@@ -728,3 +728,44 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("total_d", 3).cast("double").alias("total")
     )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+    ),
+    w AS (
+      SELECT event_type, es,
+             (es // 172800) * 172800 - k.k * 172800 AS ws
+      FROM g CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT ws AS window_start, event_type, COUNT(*) AS n
+    FROM w
+    WHERE es >= ws AND es < ws + 345600
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windowed streaming aggregation: 4-day windows
+    every 2 days, per event type (ST2's tumbling form generalized —
+    each event lands in exactly 2 overlapping windows).
+
+    Spark aligns sliding-window starts to epoch multiples of the slide
+    interval; the oracle restates that alignment in integer epoch
+    seconds (2 candidate window starts per event, filtered to
+    containment) so both engines share one window rule.  State is
+    bounded by the 2-day watermark exactly as in the tumbling case.
+    """
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "2 days")
+    agg = ev.groupBy(F.window("ts", "4 days", "2 days"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    _run_to_memory(agg, "stream_sliding_window_sink")
+    out = spark.table("stream_sliding_window_sink")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+    )

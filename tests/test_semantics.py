@@ -853,3 +853,91 @@ def test_bpe_encode_consistent_with_merges(spark):
         assert 1 <= r.n_tokens <= r.n_chars
         assert r.n_words <= r.n_tokens
         assert abs(r.chars_per_token - r.n_chars / r.n_tokens) < 1e-6
+
+
+def test_regression_stats_match_builtins(spark):
+    """The DECIMAL-exact closed-form slope/corr must agree with
+    Spark's built-in regr_slope/regr_intercept/corr aggregates within
+    float tolerance — independent check that the hand-rolled
+    sufficient-statistics math is the real regression."""
+    from pyspark.sql import functions as F
+    from bigdata_assigment3_spark.sources import load_table
+
+    ours = {r.l_returnflag: r
+            for r in REGISTRY["regression_stats"].fn(spark, SF_ORACLE).collect()}
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    ref = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("icpt"),
+            F.corr("l_extendedprice", "l_quantity").alias("corr"),
+            F.expr("regr_r2(l_extendedprice, l_quantity)").alias("r2"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(ref) and ours
+    for k, o in ours.items():
+        r = ref[k]
+        assert abs(o.slope - r.slope) < 1e-3, (k, o.slope, r.slope)
+        assert abs(o.intercept - r.icpt) < 1e-2, (k, o.intercept, r.icpt)
+        assert abs(o.corr - r.corr) < 1e-6, (k, o.corr, r.corr)
+        assert abs(o.r2 - r.r2) < 1e-6, (k, o.r2, r.r2)
+
+
+def test_frequent_triples_python_recount(spark):
+    """Recount the reported triples' support in pure Python from the
+    raw baskets — verifies the chained posexplode combination
+    generation against an independent itertools enumeration."""
+    from collections import Counter
+    from itertools import combinations
+    from bigdata_assigment3_spark.sources import load_table
+
+    rows = REGISTRY["frequent_triples"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    li = (load_table(spark, SF_ORACLE, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    support = Counter()
+    for items in baskets.values():
+        if 3 <= len(items) <= 64:
+            for t in combinations(sorted(items), 3):
+                support[t] += 1
+    expected = sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [((r.p1, r.p2, r.p3), r.support) for r in rows]
+    assert got == expected
+
+
+def test_max_concurrent_orders_python_sweep(spark):
+    """Independent O(n log n) Python sweep over the collected
+    intervals reproduces every nation's peak concurrency."""
+    from bigdata_assigment3_spark.sources import load_table
+
+    got = {r.n_name: r.peak_concurrent
+           for r in REGISTRY["max_concurrent_orders"].fn(spark, SF_ORACLE).collect()}
+    o = load_table(spark, SF_ORACLE, "orders")
+    c = load_table(spark, SF_ORACLE, "customer")
+    n = load_table(spark, SF_ORACLE, "nation")
+    rows = (o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .select("n_name", "o_orderdate").collect())
+    from collections import defaultdict
+    import datetime
+    per = defaultdict(list)
+    for r in rows:
+        t0 = r.o_orderdate
+        per[r.n_name].append((t0, 1))
+        per[r.n_name].append((t0 + datetime.timedelta(days=30), -1))
+    for name, evs in per.items():
+        # RANGE frame semantics: net all deltas at the same instant.
+        by_t = defaultdict(int)
+        for t, d in evs:
+            by_t[t] += d
+        cur = peak = 0
+        for t in sorted(by_t):
+            cur += by_t[t]
+            peak = max(peak, cur)
+        assert got[name] == peak, (name, got[name], peak)
