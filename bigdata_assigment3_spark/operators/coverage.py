@@ -781,3 +781,71 @@ def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("arr", F.lit(1).cast("bigint")).alias("has_unit_qty"),
         F.element_at("qty_by_line", F.lit(1)).alias("qty_line1"),
     )
+
+
+@query(
+    "asof_nearest_event",
+    oracle="""
+    WITH s AS (
+      SELECT event_id AS sig_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'signup'
+    ),
+    er AS (
+      SELECT event_id AS err_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'error'
+    ),
+    cand AS (
+      SELECT s.sig_id, er.err_id, er.us - s.us AS delta_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.sig_id
+               ORDER BY ABS(er.us - s.us), er.us - s.us, er.err_id
+             ) AS rk
+      FROM s JOIN er
+        ON s.user_id = er.user_id
+       AND ABS(er.us - s.us) <= 86400000000
+    )
+    SELECT s.sig_id, c.err_id, c.delta_us
+    FROM s LEFT JOIN (SELECT sig_id, err_id, delta_us FROM cand WHERE rk = 1) c
+      USING (sig_id)
+    """,
+)
+def q_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join with tolerance: for every signup, the
+    temporally CLOSEST error by the same user within ±1 day — the
+    bidirectional generalization of asof_last_error's backward-only
+    lookup, with unmatched signups preserved (LEFT semantics).
+
+    Shape: equi-join on user_id with a banded time predicate (the
+    tolerance bounds per-user fan-out), then a per-signup argmin via
+    row_number with a total tiebreak (abs delta, signed delta — earlier
+    error wins ties — then event_id).  At scale this shuffles once on
+    user_id; the tolerance band is what keeps the pair count linear in
+    events-per-user-per-day rather than quadratic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sig_id"),
+        F.col("user_id").alias("s_user"),
+        F.unix_micros("ts").alias("s_us"),
+    )
+    er = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    cand = s.join(
+        er,
+        (F.col("s_user") == F.col("e_user"))
+        & (F.abs(F.col("e_us") - F.col("s_us")) <= F.lit(86400000000)),
+    ).select(
+        "sig_id", "err_id", (F.col("e_us") - F.col("s_us")).alias("delta_us")
+    )
+    w = Window.partitionBy("sig_id").orderBy(
+        F.abs(F.col("delta_us")), F.col("delta_us"), F.col("err_id")
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("sig_id", "err_id", "delta_us")
+    )
+    return s.select("sig_id").join(best, "sig_id", "left")

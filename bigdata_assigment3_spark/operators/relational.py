@@ -616,3 +616,88 @@ def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status",
         )
     )
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including the zero-order customers that only a LEFT join can see.
+
+    Two hash aggregations back to back — per-customer count (shuffle
+    on c_custkey, which the join already partitioned by) then the tiny
+    histogram.  COUNT(o_orderkey) counts non-null join matches, so the
+    unmatched-customer bucket falls out of the same aggregate with no
+    special case.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH nrev AS (
+      SELECT n.n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(ROUND(rev, 3) AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST((SELECT SUM(rev) FROM nrev) AS DOUBLE), 6)
+             AS share
+    FROM nrev
+    """,
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-nation revenue with its share of the
+    global total — the scalar-subquery / percent-of-total pattern.
+
+    The global total is an unpartitioned window SUM over the 25-row
+    aggregate (NOT over the fact table): the expensive part stays a
+    partial+final hash agg, and the percent-of-total costs one
+    single-partition pass over 25 rows — the right place to put the
+    global barrier.  Revenue sums run in DECIMAL end to end; only the
+    final share division is DOUBLE, same expression both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    nrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return nrev.select(
+        "n_name",
+        F.round("rev", 3).cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
+    )
