@@ -287,3 +287,40 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_vertices", "n_edges", "max_degree", "n_triangles"
     )
+
+
+@query(
+    "degree_distribution",
+    oracle=f"""
+    WITH e AS ({_DUCK_EDGES}),
+    outd AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+    ind  AS (SELECT dst AS node, COUNT(*) AS deg FROM e GROUP BY dst)
+    SELECT 'out' AS direction, deg AS degree, COUNT(*) AS n_nodes
+    FROM outd GROUP BY deg
+    UNION ALL
+    SELECT 'in', deg, COUNT(*) FROM ind GROUP BY deg
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out-degree histogram of the link graph — the first profiling
+    pass before any iterative graph algorithm (it is what tells you
+    whether pagerank needs skew handling).
+
+    Two hash aggregations per direction (node→degree, degree→count);
+    the second aggregates a tiny domain.  At power-law scale the
+    degree→count agg is the cheap one — the node→degree agg is the
+    same shuffle pagerank already pays.
+    """
+    edges = _edges(spark, sf_dir)
+    outd = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        outd.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit("out").alias("direction"), F.col("deg").alias("degree"), "n_nodes")
+        .unionAll(
+            ind.groupBy("deg")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit("in").alias("direction"), F.col("deg").alias("degree"), "n_nodes")
+        )
+    )

@@ -327,3 +327,58 @@ def q_max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("n_name").agg(
         F.max("open_now").cast("bigint").alias("peak_concurrent")
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, value,
+             LAG(value, 1) OVER w AS l1,
+             LAG(value, 2) OVER w AS l2,
+             LAG(value, 3) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           ROUND((value
+                  + (CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 * l1 END)
+                  + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 * l2 END)
+                  + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 * l3 END))
+                 / (1.0
+                    + (CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END)
+                    + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END)
+                    + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END)), 6)
+             AS ewma
+    FROM l
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average (decay 0.5 over
+    the last 4 observations) of each user's event values — the
+    time-series smoothing primitive, as a pure lag-chain window.
+
+    A truncated EWMA is a fixed linear combination of LAGs, so it runs
+    entirely inside one per-user window pass (no recursion, no UDF,
+    no state): partition by user_id bounds the sort.  Weights
+    renormalize over the lags that exist so the series starts unbiased.
+    Identical left-associated double arithmetic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.col("value")
+        + F.when(l1.isNull(), 0.0).otherwise(F.lit(0.5) * l1)
+        + F.when(l2.isNull(), 0.0).otherwise(F.lit(0.25) * l2)
+        + F.when(l3.isNull(), 0.0).otherwise(F.lit(0.125) * l3)
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(l1.isNull(), 0.0).otherwise(0.5)
+        + F.when(l2.isNull(), 0.0).otherwise(0.25)
+        + F.when(l3.isNull(), 0.0).otherwise(0.125)
+    )
+    return ev.select("event_id", "user_id", "ts", "value").select(
+        "event_id", F.round(num / den, 6).alias("ewma")
+    )

@@ -472,3 +472,81 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+@query(
+    "langid_pr_curve",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang = 'en' AS is_pos,
+             CAST(len(list_filter(list_filter(string_split(text, ' '),
+                    x -> x <> ''), x -> x IN ({_STOP_IN}))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> '')) AS score
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    sweep AS (
+      SELECT t.k, t.k * 0.02 AS threshold, r.is_pos, r.score >= t.k * 0.02 AS pred
+      FROM r CROSS JOIN range(2, 9) AS t(k)
+    ),
+    c AS (
+      SELECT k, MIN(threshold) AS threshold,
+             CAST(SUM(CASE WHEN pred AND is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+             CAST(SUM(CASE WHEN pred AND NOT is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+             CAST(SUM(CASE WHEN NOT pred AND is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+      FROM sweep GROUP BY k
+    )
+    SELECT ROUND(threshold, 2) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(tp / (tp + fp), 6) AS precision,
+           ROUND(tp / (tp + fn), 6) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM c
+    """,
+)
+def q_langid_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep of the stopword-density language-ID
+    score over 7 thresholds (0.04..0.16) — the classifier-evaluation
+    operator a curation pipeline runs before fixing a filter cutoff.
+
+    The per-document score is computed ONCE; the threshold sweep is a
+    7-row broadcast cross join over the scored relation, so the text
+    pass doesn't repeat per threshold.  Counts are exact integers;
+    only the final P/R/F1 divisions are DOUBLE with identical shape in
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(words, lambda x: x.isin(*_STOPWORDS))
+    r = docs.filter(F.size(words) > 0).select(
+        (F.col("lang") == "en").alias("is_pos"),
+        (F.size(stops).cast("double") / F.size(words)).alias("score"),
+    )
+    ks = spark.range(2, 9).select(F.col("id").alias("k"))
+    sweep = r.crossJoin(F.broadcast(ks)).select(
+        "k",
+        (F.col("k") * F.lit(0.02)).alias("threshold"),
+        "is_pos",
+        (F.col("score") >= F.col("k") * F.lit(0.02)).alias("pred"),
+    )
+    tp = F.sum(F.when(F.col("pred") & F.col("is_pos"), 1).otherwise(0)).cast("double")
+    fp = F.sum(F.when(F.col("pred") & ~F.col("is_pos"), 1).otherwise(0)).cast("double")
+    fn = F.sum(F.when(~F.col("pred") & F.col("is_pos"), 1).otherwise(0)).cast("double")
+    c = sweep.groupBy("k").agg(
+        F.min("threshold").alias("threshold"),
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+    )
+    return c.select(
+        F.round("threshold", 2).alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            F.lit(2.0) * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
