@@ -54,6 +54,11 @@ HEADLINE = [
     "image_phash_dedup",
     "triangle_count",
     "curation_pipeline_verdict",
+    "frequent_triples",
+    "fuzzy_part_match",
+    "regression_stats",
+    "ewma_user_value",
+    "max_concurrent_orders",
 ]
 
 
