@@ -849,3 +849,104 @@ def q_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sig_id", "err_id", "delta_us")
     )
     return s.select("sig_id").join(best, "sig_id", "left")
+
+
+@query(
+    "parquet_schema_evolution",
+    # full value oracle: the merged-schema read must reconstruct
+    # exactly what a direct query over the source table computes,
+    # with NULLs where the old-schema file lacks the new column.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_price,
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % 2 = 0
+                                THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 3)
+                AS DOUBLE) AS total_v2
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution source coverage: two parquet generations — v1
+    written WITHOUT o_totalprice (odd keys), v2 WITH it (even keys) —
+    read back through mergeSchema, which must union the schemas and
+    null-fill the missing column for v1 rows.
+
+    This is the long-lived-dataset reality at 100 TB: columns get
+    added over time and the reader must reconcile generations without
+    rewriting petabytes.  The DuckDB oracle restates the expected
+    merged relation from the source table, so null-filling and value
+    preservation are both under the hash check.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_schema_evo_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderstatus")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(f"{out_dir}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{out_dir}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/gen=1", f"{out_dir}/gen=2"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_price"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderkey") % 2 == 0,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ),
+            3,
+        )
+        .cast("double")
+        .alias("total_v2"),
+    )
+
+
+@query(
+    "argmax_functions",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, value * 10000000 + event_id) AS max_value_event,
+           arg_min(event_id, value * 10000000 + event_id) AS min_value_event,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_100,
+           bool_or(value > 400) AS any_over_400,
+           bool_and(value > 0) AS all_positive
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_argmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/argmax aggregate battery: max_by/min_by, count_if,
+    bool_or/bool_and — the SQL:2023 aggregate additions.
+
+    max_by's tie behavior is engine-defined, so the ordering key is
+    made strictly unique (value scaled + event_id; exact in doubles up
+    to 2^53) — determinism by construction rather than by luck.  All
+    partial+final hash aggregates, one shuffle on the 5-value key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("value") * F.lit(10000000.0) + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("max_value_event"),
+        F.min_by("event_id", key).alias("min_value_event"),
+        F.count_if(F.col("value") > 100).cast("bigint").alias("n_over_100"),
+        F.bool_or(F.col("value") > 400).alias("any_over_400"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+    )

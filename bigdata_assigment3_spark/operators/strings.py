@@ -104,3 +104,38 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 2, 3).alias("mid3"),
         F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
     )
+
+
+@query(
+    "regexp_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           COALESCE(regexp_extract(text, '([0-9]+)', 1), '') AS first_number,
+           CAST(LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS len_no_vowels,
+           CAST(len(regexp_extract_all(text, '\\b[A-Za-z]{4}\\b')) AS BIGINT)
+             AS n_four_letter_words
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar battery (F11's pattern-matching half):
+    count-matches, first-capture extraction, global replace, and
+    word-boundary matching — restricted to character-class patterns
+    that mean the same thing in Java regex (Spark) and RE2 (DuckDB).
+
+    All four evaluate inside whole-stage codegen on a key-sampled
+    scan; no Python in the row path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[0-9]+")).cast("bigint").alias("n_numbers"),
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("bigint")
+        .alias("len_no_vowels"),
+        F.regexp_count("text", F.lit(r"\b[A-Za-z]{4}\b")).cast("bigint")
+        .alias("n_four_letter_words"),
+    )
