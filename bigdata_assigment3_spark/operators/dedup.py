@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
-from ..registry import query
+from ..registry import REGISTRY, query
 from ..sources import load_table
 
 K = 16        # char-shingle length
@@ -584,4 +584,41 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("doc_id"),
         F.col("lbl").cast("bigint").alias("canonical_id"),
         (F.col("lbl") == F.col("v")).alias("is_survivor"),
+    )
+
+
+@query(
+    "dedup_cluster_sizes",
+    # Reuses the canonical-docs recursive-CTE oracle as a derived
+    # table: the histogram must agree with the same component
+    # assignment the keep/drop list is built from.
+    oracle=f"""
+    WITH canon AS (
+      {REGISTRY["dedup_canonical_docs"].oracle}
+    ),
+    comp AS (
+      SELECT canonical_id, COUNT(*) AS cluster_size
+      FROM canon GROUP BY canonical_id
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM comp GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup QA report
+    (a sudden heavy tail here is how template spam shows up before
+    anyone reads a document).
+
+    Pure composition: the canonical assignment (already memoized via
+    the shared pair table) grouped twice — component → size, then
+    size → count.  Adds two tiny aggregations on top of work the
+    dedup chain already did.
+    """
+    canon = q_dedup_canonical_docs(spark, sf_dir)
+    comp = canon.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )

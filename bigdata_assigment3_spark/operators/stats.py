@@ -382,3 +382,55 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", "ts", "value").select(
         "event_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_idx,
+             day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS streak
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per
+    user (the engagement-streak computation).
+
+    The classic island key — day_index minus its per-user row_number
+    is constant exactly within a consecutive run — turns run detection
+    into two hash aggregations around one per-user window; no self
+    join, no iteration.  Day index is an integer (days since epoch) so
+    the island arithmetic is exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    isl = days.select(
+        "user_id", "day_idx", (F.col("day_idx") - F.row_number().over(w)).alias("island")
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("streak"))
+    return runs.groupBy("user_id").agg(
+        F.max("streak").cast("bigint").alias("longest_streak"),
+        F.sum("streak").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
