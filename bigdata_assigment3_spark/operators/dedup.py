@@ -622,3 +622,69 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH}, {_DUCK_JACCARD_PAIRS.lstrip().lstrip(',')},
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+      GROUP BY 1, 2
+    )
+    SELECT a.doc_a, a.doc_b,
+           ROUND(a.n_agree / 8.0, 6) AS est_jaccard,
+           ROUND(COALESCE(j.jaccard, 0), 6) AS exact_jaccard,
+           ROUND(ABS(a.n_agree / 8.0 - ROUND(COALESCE(j.jaccard, 0), 6)), 6)
+             AS abs_err
+    FROM agree a
+    LEFT JOIN jacc j ON j.doc_a = a.doc_a AND j.doc_b = a.doc_b
+    """,
+)
+def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy audit of the MinHash sketch: for every LSH
+    candidate pair, the signature-agreement estimate (n_agree/J) next
+    to the exact verified Jaccard and the absolute error — the QA
+    report that tells you whether J=8 is enough before trusting the
+    sketch at full scale.
+
+    Reuses the memoized verified-pair table for the exact side (no
+    recomputation) and rebuilds the J-wide signatures with the same
+    one-shuffle array plan as the LSH query; the agreement count is a
+    zip_with fold inside codegen.  Candidate pairs are tiny →
+    broadcast joins against the signature table.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    sh_by_doc = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs")
+    )
+    sig = sh_by_doc.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {J_HASH - 1}),"
+            f" j -> array_min(transform(shs, s -> ((2*j+3)*s + 7*j+1) % {P})))"
+        ).alias("mh"),
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    n_agree = F.expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    est = n_agree.cast("double") / F.lit(8.0)
+    return (
+        F.broadcast(pairs.select("doc_a", "doc_b", "jaccard"))
+        .join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
