@@ -701,3 +701,172 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 3).cast("double").alias("revenue"),
         F.round(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
     )
+
+
+@query(
+    "waiting_supplier_check",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    multi AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    blame AS (
+      SELECT a.l_orderkey, a.l_suppkey
+      FROM li a JOIN multi USING (l_orderkey)
+      WHERE a.late
+        AND NOT EXISTS (
+          SELECT 1 FROM li b
+          WHERE b.l_orderkey = a.l_orderkey
+            AND b.l_suppkey <> a.l_suppkey AND b.late
+        )
+    )
+    SELECT s.s_name, COUNT(DISTINCT b.l_orderkey) AS numwait
+    FROM blame b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers SOLELY to blame for late multi-
+    supplier orders — the correlated EXISTS + NOT EXISTS double
+    pattern (schema-adapted: 'late' = shipped >60 days after order).
+
+    The correlated subqueries become one per-order aggregate: count
+    distinct suppliers, count late suppliers, and the late supplier
+    set, computed in a single groupBy — the order is 'blameable' iff
+    it has >1 supplier and exactly one distinct late supplier.  That
+    turns two correlated semi/anti joins into one shuffle on
+    l_orderkey plus an explode of the (tiny) blamed set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = li.join(
+        o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(F.col("late"), F.col("l_suppkey"))))
+        ).alias("late_supps"),
+    )
+    blame = (
+        per_order.filter((F.col("n_supp") > 1) & (F.size("late_supps") == 1))
+        .select("l_orderkey", F.element_at("late_supps", 1).alias("l_suppkey"))
+    )
+    return (
+        blame.join(F.broadcast(s), blame.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@query(
+    "idle_customer_balance",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 3) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT AVG(CAST(c2.c_acctbal AS DOUBLE)) FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT orders
+    (none since 1999) — scalar aggregate subquery as threshold +
+    NOT EXISTS as anti-join, grouped by market segment.
+
+    The scalar avg is a 1-row broadcast (cross join), the NOT EXISTS
+    a left_anti on c_custkey; both are the canonical Spark rewrites
+    and neither shuffles the customer table more than once.  The avg
+    threshold comparison runs in DOUBLE with identical shape in both
+    engines; the kept set is integer-keyed so the branch is
+    hash-stable.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("threshold")
+    )
+    kept = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+    )
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 3)
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+@query(
+    "multi_count_distinct",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(DISTINCT user_id * 8 + CASE event_type
+                  WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+                  WHEN 'signup' THEN 3 ELSE 4 END) AS n_user_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over different keys in one
+    aggregation — the Expand-based plan (each distinct spawns its own
+    grouping replica) that engines must get right without multiplying
+    scans.
+
+    Spark compiles this to one scan + Expand(3 replicas) + two-level
+    aggregate; the composite (user, type) key is packed into a BIGINT
+    so all three distincts stay fixed-width through the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    type_code = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            "user_id",
+            "event_type",
+            (F.col("user_id") * 8 + type_code).alias("ut"),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct("ut").alias("n_user_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
