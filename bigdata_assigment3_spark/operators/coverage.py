@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources import load_table
+from ..sources import load_table, register_views
 from ..sources.custom import SYNTH_ROWS, register_synthtx
 
 
@@ -949,4 +949,87 @@ def q_argmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 100).cast("bigint").alias("n_over_100"),
         F.bool_or(F.col("value") > 400).alias("any_over_400"),
         F.bool_and(F.col("value") > 0).alias("all_positive"),
+    )
+
+
+@query(
+    "variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           COUNT(DISTINCT k) AS n_distinct_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the open-schema path that replaces
+    per-query string re-parsing (json_extract covers the classic
+    get_json_object form; this is its typed successor).
+
+    Parse + extract both run JVM-side in one projection; the
+    aggregate is an ordinary partial+final hash agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+@query(
+    "lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c.c_name, c.c_acctbal
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c.c_acctbal DESC, c.c_custkey
+           LIMIT 2
+         ) t
+    """,
+)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation, written as SQL LATERAL (the per-row subquery form) rather
+    than a window — the SQL:1999 feature Spark executes as a
+    rewritten ranked join.
+
+    Catalyst de-correlates the LATERAL into a partitioned rank under
+    the hood, so the physical plan is the same bounded per-group
+    top-k as window_topk_orders — no per-row re-execution.  Total
+    ordering (acctbal DESC, custkey) pins the cut deterministically.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c.c_name, c.c_acctbal
+               FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+               LIMIT 2
+             ) t
+        """
     )

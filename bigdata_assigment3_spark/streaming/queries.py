@@ -769,3 +769,63 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@query(
+    "stream_chained_agg",
+    # Append mode emits only watermark-closed windows: both stages
+    # share the final watermark (max ts - 2 days), so the oracle is
+    # the two-level batch aggregation restricted to closed days.
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 DAY AS w FROM events),
+    s1 AS (
+      SELECT date_trunc('day', ts) AS ws, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
+           COUNT(*) AS n_active_users,
+           CAST(MAX(n) AS BIGINT) AS max_user_events,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM s1, wm
+    WHERE ws + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations (Spark 4: multiple
+    stateful operators in one append-mode query): per-(day, user)
+    counts re-aggregated per day — grouping the second stage on the
+    first stage's window column propagates event time through both
+    state stores.
+
+    Both stages finalize under one watermark, so availableNow drains
+    to exactly the closed-day two-level aggregate — which is the
+    oracle.  This is the streaming form of the daily-rollup-then-
+    summary pattern that otherwise needs a second batch job over the
+    sink.
+    """
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "2 days")
+    s1 = ev.groupBy(F.window("ts", "1 day"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s2 = s1.groupBy("window").agg(
+        F.count(F.lit(1)).alias("n_active_users"),
+        F.max("n").cast("bigint").alias("max_user_events"),
+        F.sum("n").cast("bigint").alias("total_events"),
+    )
+    name = "stream_chained_agg_sink"
+    q = (
+        s2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "n_active_users",
+        "max_user_events",
+        "total_events",
+    )
