@@ -1033,3 +1033,98 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) t
         """
     )
+
+
+@query(
+    "asof_merge_cogroup",
+    # Correlated-subquery oracle: for each purchase, the latest
+    # strictly-earlier view by the same user (merge_asof backward,
+    # allow_exact_matches=False).
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.user_id, p.ts,
+             (SELECT MAX(v.ts) FROM events v
+              WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                AND v.ts < p.ts) AS last_view
+      FROM p
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           COUNT(last_view) AS n_matched,
+           CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - CAST(FLOOR(epoch(last_view)) AS BIGINT)) AS BIGINT)
+             AS max_gap_s
+    FROM m GROUP BY user_id
+    """,
+)
+def q_asof_merge_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-relation backward as-of join via cogroup().applyInPandas —
+    the Arrow-batched escape hatch for per-key ordered merges the
+    built-in operators can't express (here they can, which is the
+    point: the pandas merge_asof result is fully oracle-checked
+    against the correlated-subquery semantics).
+
+    Scale shape: cogroup shuffles both sides ONCE on user_id and
+    hands each key's two sorted frames to one pandas.merge_asof call
+    — per-key state is bounded by that user's events, and the Arrow
+    transfer is columnar (no row-at-a-time Python).  U-coverage for
+    the cogroup API next to applyInPandas (slabs) and mapInPandas
+    (decode).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    # v_ts alias: both children derive from the same events frame, so
+    # an un-aliased 'ts' would share its attribute id across the two
+    # cogroup children and the right child gets mis-pruned to the key
+    # column only.  A fresh alias gives the right child its own id.
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "n_purchases": pd.Series(dtype="int64"),
+                 "n_matched": pd.Series(dtype="int64"),
+                 "max_gap_s": pd.Series(dtype="float64")}
+            )
+        uid = int(left["user_id"].iloc[0])
+        left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if right.empty:
+            matched = pd.Series([pd.NaT] * len(left))
+        else:
+            right = right.sort_values("v_ts").reset_index(drop=True)
+            merged = pd.merge_asof(
+                left[["ts"]], right[["v_ts"]],
+                left_on="ts", right_on="v_ts",
+                direction="backward", allow_exact_matches=False,
+            )
+            matched = merged["v_ts"]
+        # unit-safe epoch seconds (Arrow may deliver us- or ns-unit)
+        p_s = left["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        ok = matched.notna()
+        v_s = matched[ok].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        gaps = p_s[ok] - v_s
+        return pd.DataFrame(
+            {"user_id": [uid],
+             "n_purchases": [len(left)],
+             "n_matched": [int(ok.sum())],
+             "max_gap_s": [float(gaps.max()) if ok.any() else None]}
+        )
+
+    out = purchases.groupBy("user_id").cogroup(views.groupBy("user_id")).applyInPandas(
+        merge,
+        schema="user_id long, n_purchases long, n_matched long, max_gap_s double",
+    )
+    return out.select(
+        "user_id", "n_purchases", "n_matched",
+        F.col("max_gap_s").cast("bigint").alias("max_gap_s"),
+    )

@@ -870,3 +870,140 @@ def q_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "returned_item_ranking",
+    oracle="""
+    SELECT c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 3) AS DOUBLE)
+             AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_name
+    ORDER BY revenue DESC, c_name
+    LIMIT 20
+    """,
+)
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items — the churn-risk report.
+
+    Returnflag filter pushes to the lineitem scan before the join;
+    customer broadcasts; top-20 runs as TakeOrdered with a total
+    ordering (revenue DESC, name) so the cut is deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast(_DEC_EXT) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC_PCT)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            F.round(F.sum(rev), 3).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name,
+           CAST(ROUND(rev.r, 3) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — the view-plus-scalar-max pattern.
+
+    The revenue view is ONE aggregate over the date-pruned scan; the
+    max is a 1-row broadcast joined back by exact DECIMAL equality
+    (float equality here would be flaky — the DECIMAL sums make the
+    max comparison well-defined), so ties all surface.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev_expr = F.col("l_extendedprice").cast(_DEC_EXT) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC_PCT)
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_expr).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_name", F.round("r", 3).cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(ROUND(b.sum_qty, 3) AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY b.sum_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders
+    (the HAVING-on-aggregate semi-join back to the parents).
+
+    The quantity rollup happens BEFORE any join — the HAVING prunes
+    to a tiny 'big orders' set that then joins dimension-style (at
+    scale: the rollup shuffles lineitem once on its natural join key;
+    the survivors broadcast).  Total ordering pins the top-20 cut.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC_EXT)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", F.round("sum_qty", 3).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
