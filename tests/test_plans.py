@@ -226,6 +226,33 @@ def test_shuffle_exchange_budgets(spark):
         "hough_peak": 6,
         "temperature_sample": 7,
         "lm_bigram_score": 9,
+        # round-4 additions (counts at time of landing; tighten, don't loosen)
+        "regression_stats": 1,
+        "grouped_quantiles": 1,
+        "histogram_totalprice": 1,
+        "max_concurrent_orders": 1,
+        "fuzzy_part_match": 1,
+        "ewma_user_value": 1,
+        "large_quantity_orders": 1,
+        "langid_pr_curve": 1,
+        "argmax_functions": 1,
+        "string_functions": 0,
+        "regexp_functions": 0,
+        "mode_bucket": 2,
+        "anomaly_zscore": 2,
+        "frequent_triples": 2,
+        "activity_streaks": 2,
+        "order_count_distribution": 2,
+        "nation_revenue_share": 2,
+        "multi_count_distinct": 2,
+        "idle_customer_balance": 2,
+        "returned_item_ranking": 2,
+        "variant_extract": 2,
+        "lateral_topk_per_nation": 2,
+        "asof_nearest_event": 2,
+        "waiting_supplier_check": 3,
+        "top_supplier_revenue": 3,
+        "degree_distribution": 4,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
