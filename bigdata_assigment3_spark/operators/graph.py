@@ -330,3 +330,49 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .select("direction", F.col("deg").alias("degree"), "n_nodes")
     )
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_DUCK_EDGES}),
+    r(v, hop) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM r JOIN e ON e.src = r.v
+      WHERE r.hop < 3
+    ),
+    minhop AS (SELECT v, MIN(hop) AS hop FROM r GROUP BY v)
+    SELECT hop, COUNT(*) AS n_nodes
+    FROM minhop GROUP BY hop
+    """,
+)
+def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability from doc 0 within 3 hops via WITH RECURSIVE —
+    Spark 4's recursive CTE executed by the engine's own iteration,
+    next to bfs_hops' hand-rolled frontier loop (same traversal
+    family, two execution strategies).
+
+    The recursion carries (node, hop) pairs with the hop cap in the
+    recursive arm, so the working set is bounded by out_degree^3 from
+    one source; min-hop dedup happens once at the end.  For unbounded
+    frontiers prefer bfs_hops' checkpointed loop (dedup per round);
+    this form is the declarative SQL surface for it.
+    """
+    edges = _edges(spark, sf_dir)
+    edges.createOrReplaceTempView("link_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE r(v, hop) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM r JOIN link_edges e ON e.src = r.v
+          WHERE r.hop < 3
+        ),
+        minhop AS (SELECT v, MIN(hop) AS hop FROM r GROUP BY v)
+        SELECT hop, COUNT(*) AS n_nodes
+        FROM minhop GROUP BY hop
+        """
+    )

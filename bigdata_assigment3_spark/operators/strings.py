@@ -147,3 +147,79 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"\b[A-Za-z]{4}\b")).cast("bigint")
         .alias("n_four_letter_words"),
     )
+
+
+@query(
+    "string_agg_ordered",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n,
+           string_agg(p_name, ',' ORDER BY p_name, p_partkey) AS names
+    FROM part
+    WHERE p_partkey % 37 = 0
+    GROUP BY p_brand
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP)
+    on a key sample — the report-formatting aggregate whose output is
+    only deterministic WITH the explicit order clause, which is the
+    point under the cross-engine hash check.
+
+    Spark evaluates listagg as an ordered aggregate in one
+    partial+final pass; no collect, no UDF.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") % 37 == 0)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "listagg(p_name, ',') WITHIN GROUP (ORDER BY p_name, p_partkey)"
+            ).alias("names"),
+        )
+    )
+
+
+@query(
+    "safe_arithmetic",
+    # The oracle states Spark's try_* semantics directly: NULL on
+    # division-by-zero, un-castable strings, and bigint overflow
+    # (DuckDB would promote to HUGEINT, so the overflow expectation
+    # is written literally).
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / (l_linenumber - 1), 6) END AS safe_div,
+           TRY_CAST(l_returnflag AS BIGINT) AS bad_cast,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS good_cast,
+           CAST(NULL AS BIGINT) AS overflow_add
+    FROM lineitem
+    WHERE l_orderkey % 997 = 0
+    """,
+)
+def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic battery: try_divide / try_cast / try_add
+    — NULL-on-failure semantics instead of job-killing exceptions,
+    which is what a 100 TB batch needs (one poisoned row must not
+    fail a stage).
+
+    Division-by-zero, an un-castable string, a valid round-trip cast,
+    and a guaranteed bigint overflow each produce their defined NULL /
+    value; the oracle writes the expected semantics explicitly where
+    DuckDB's type promotion would otherwise dodge the overflow.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 6
+        ).alias("safe_div"),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("bad_cast"),
+        F.col("l_linenumber").cast("string").cast("bigint").alias("good_cast"),
+        F.try_add(F.lit(9223372036854775807), F.col("l_orderkey") + 1)
+        .cast("bigint")
+        .alias("overflow_add"),
+    )
