@@ -829,3 +829,55 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_user_events",
         "total_events",
     )
+
+
+@query(
+    "stream_union_sources",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source streaming: two independent file sources (odd /
+    even event ids staged to separate directories — the two-Kafka-
+    cluster topology) unioned into ONE streaming aggregation.
+
+    Each source keeps its own offset tracking; the union is
+    transparent to the aggregation state.  availableNow drains both,
+    so the complete-mode result equals the batch aggregate over the
+    union — which the oracle states over the original table.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_union_src_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(stage):
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(f"{stage}/odd")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(f"{stage}/even")
+    schema = ev.schema
+    s_odd = spark.readStream.schema(schema).parquet(f"{stage}/odd")
+    s_even = spark.readStream.schema(schema).parquet(f"{stage}/even")
+    both = s_odd.unionByName(s_even)
+    # COUNT(DISTINCT) isn't allowed in streaming aggregations, so the
+    # per-type user set rides in state (bounded by users-per-type) and
+    # is sized at read-back.
+    agg = both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("user_id").alias("users"),
+    )
+    _run_to_memory(agg, "stream_union_sources_sink")
+    out = spark.table("stream_union_sources_sink")
+    return out.select(
+        "event_type", "n", F.size("users").cast("bigint").alias("n_users")
+    )
