@@ -1128,3 +1128,127 @@ def q_asof_merge_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_purchases", "n_matched",
         F.col("max_gap_s").cast("bigint").alias("max_gap_s"),
     )
+
+
+@query(
+    "json_schema_parse",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing: from_json with an explicit struct
+    schema (the typed, vectorized path — one parse per row into a
+    struct, vs per-field get_json_object re-parsing in json_extract,
+    vs open-schema VARIANT in variant_extract: all three JSON access
+    idioms are now covered and cross-checked on the same column).
+
+    Malformed/missing fields become NULLs (PERMISSIVE), counted
+    explicitly so silent parse failures would shift an oracle-checked
+    number.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+        F.sum(F.col("p.k").isNull().cast("int")).cast("bigint").alias("n_null_k"),
+    )
+
+
+@query(
+    "array_set_functions",
+    oracle="""
+    WITH b AS (
+      SELECT o.o_custkey,
+             list_sort(list(DISTINCT CASE WHEN o.o_orderkey % 2 = 0
+                                          THEN o.o_orderpriority END)) AS even_p,
+             list_sort(list(DISTINCT CASE WHEN o.o_orderkey % 2 = 1
+                                          THEN o.o_orderpriority END)) AS odd_p
+      FROM orders o GROUP BY o.o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(list_intersect(even_p, odd_p)) AS INTEGER) AS n_both,
+           CAST(len(list_filter(even_p, x -> NOT list_contains(odd_p, x)))
+                AS INTEGER) AS n_even_only,
+           CAST(len(list_distinct(list_concat(even_p, odd_p))) AS INTEGER)
+             AS n_union
+    FROM b
+    WHERE o_custkey % 17 = 0
+    """,
+)
+def q_array_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / distinct-union) over
+    per-customer order-priority sets split by order parity — the
+    collect-then-set-op pattern for basket comparisons.
+
+    One shuffle builds both arrays in a single grouped aggregation
+    (conditional collect_set), then the set ops run element-wise in
+    codegen; output is the integer cardinalities so the oracle hash is
+    exact regardless of engine-internal array ordering.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority"))
+                )
+            )
+        ).alias("even_p"),
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("o_orderkey") % 2 == 1, F.col("o_orderpriority"))
+                )
+            )
+        ).alias("odd_p"),
+    )
+    return b.filter(F.col("o_custkey") % 17 == 0).select(
+        "o_custkey",
+        F.size(F.array_intersect("even_p", "odd_p")).alias("n_both"),
+        F.size(F.array_except("even_p", "odd_p")).alias("n_even_only"),
+        F.size(F.array_distinct(F.array_union("even_p", "odd_p"))).alias("n_union"),
+    )
+
+
+@query(
+    "bitwise_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_or(user_id % 256) AS BIGINT) AS flags_or,
+           CAST(bit_and(user_id % 256 + 256) AS BIGINT) AS flags_and,
+           CAST(bit_xor(user_id) AS BIGINT) AS checksum_xor,
+           CAST(SUM(CASE WHEN (user_id & 7) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_aligned8
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate battery: bit_or/bit_and accumulate flag
+    masks, bit_xor is the order-independent checksum (the cheap
+    content-drift detector for replication audits), plus a mask-test
+    predicate count.
+
+    All are commutative-associative integer aggregates — partial+final
+    safe, order-independent by algebra (no DECIMAL trick needed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_or(F.col("user_id") % 256).cast("bigint").alias("flags_or"),
+        F.bit_and(F.col("user_id") % 256 + 256).cast("bigint").alias("flags_and"),
+        F.bit_xor("user_id").cast("bigint").alias("checksum_xor"),
+        F.sum(F.when(F.col("user_id").bitwiseAND(7) == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_aligned8"),
+    )
