@@ -62,6 +62,7 @@ def _load_all() -> None:
         strings,
         similarity,
         text,
+        tpch_extra,
         webservice,
     )
     from .streaming import queries as streaming_queries  # noqa: F401

@@ -253,6 +253,11 @@ def test_shuffle_exchange_budgets(spark):
         "waiting_supplier_check": 3,
         "top_supplier_revenue": 3,
         "degree_distribution": 4,
+        # TPC-H anchor batch (Q2/Q7/Q8/Q12 shapes)
+        "late_shipment_priority": 2,
+        "market_share": 2,
+        "min_cost_supplier": 3,
+        "volume_shipping": 4,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
