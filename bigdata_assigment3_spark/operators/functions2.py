@@ -1,0 +1,238 @@
+"""Scalar-function batteries, round-4 closing set.
+
+Covers the function families SURVEY.md §2.8 lists that earlier
+batteries (coverage.py `math_functions`/`datetime_functions`,
+strings.py `string_functions`/`regexp_functions`) did not yet pin:
+URL parsing, three-valued-logic/NULL handling, positional explode, and
+FILTER-clause aggregates — plus LIMIT/OFFSET pagination as the O-family
+completion (reference: Rest_webservice pagination-style endpoints,
+app/routers/analytics.py).
+
+All run on the shared testdata tables with deterministic derived
+inputs, so every battery is DuckDB-oracle-checked.  Each stays
+JVM-side (no Python UDFs): at 100 TB these are pure narrow map stages
+fused into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "url_functions",
+    oracle="""
+    -- The URL is built deterministically from document columns, so the
+    -- oracle derives the expected parse results straight from those
+    -- columns (ground truth), not by mirroring Spark's parser.
+    SELECT doc_id,
+           'https' AS protocol,
+           source || '.example.com' AS host,
+           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query,
+           lang AS lang_param,
+           's' || CAST(doc_id % 10 AS VARCHAR) AS fragment
+    FROM documents
+    WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+)
+def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` battery: PROTOCOL/HOST/PATH/QUERY/QUERY:key/REF.
+
+    URLs are constructed from document columns and parsed back with the
+    built-in ``parse_url`` (JVM java.net.URI under the hood); the
+    oracle states the expected components directly from the source
+    columns, so a parser regression cannot self-confirm.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars"),
+        F.lit("#s"),
+        F.col("doc_id") % 10,
+    )
+    u = docs.select("doc_id", url.alias("u"))
+    return u.select(
+        "doc_id",
+        F.parse_url("u", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY")).alias("query"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("u", F.lit("REF")).alias("fragment"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    -- Three-valued logic over a derived nullable column:
+    -- bal = NULLIF(ROUND(c_acctbal, 0), 0) is NULL where the rounded
+    -- balance is exactly zero (and for no other rows).
+    WITH t AS (
+        SELECT c_custkey,
+               NULLIF(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 0), 0) AS bal,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_nonnull,
+           CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nullsafe_eq_null,
+           CAST(SUM(CASE WHEN COALESCE(bal, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_coalesce_default,
+           CAST(SUM(CASE WHEN (bal > 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unknown_predicate,
+           CAST(ROUND(SUM(COALESCE(bal, 0)), 2) AS DOUBLE) AS sum_ifnull
+    FROM t
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL / three-valued-logic battery: NULLIF, COALESCE, ``<=>``,
+    COUNT(col) vs COUNT(*), and UNKNOWN-valued predicates.
+
+    Exercises the exact traps that silently corrupt pipeline metrics:
+    COUNT skips NULLs, comparisons to NULL are UNKNOWN (not false),
+    and only the null-safe ``<=>`` treats NULL = NULL as true.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.nullif(F.round(F.col("c_acctbal").cast("decimal(12,2)"), 0), F.lit(0))
+    t = cust.select("c_custkey", bal.alias("bal"), "c_mktsegment")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        t.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("bal").alias("n_nonnull"),
+            one_if(F.col("bal").isNull()).alias("n_null"),
+            one_if(F.col("bal").eqNullSafe(F.lit(None).cast("decimal(12,2)")))
+            .alias("n_nullsafe_eq_null"),
+            one_if(F.coalesce(F.col("bal"), F.lit(-1)) == -1).alias("n_coalesce_default"),
+            one_if((F.col("bal") > 0).isNull()).alias("n_unknown_predicate"),
+            F.round(F.sum(F.coalesce(F.col("bal"), F.lit(0))), 2)
+            .cast("double")
+            .alias("sum_ifnull"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    -- DuckDB has no WITH ORDINALITY: pair each token with its 0-based
+    -- index via a lateral range() unnest (posexplode is 0-based).
+    SELECT d.doc_id,
+           CAST(g.i AS INTEGER) AS pos,
+           d.toks[CAST(g.i AS INTEGER) + 1] AS tok
+    FROM (SELECT doc_id, str_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 8) d,
+         LATERAL (SELECT UNNEST(range(0, least(len(d.toks), 12))) AS i) g
+    ORDER BY d.doc_id, pos
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: ``posexplode(split(text))`` with position.
+
+    The generator runs inside the scan stage (no shuffle) — at 100 TB
+    the token stream never materializes as a table, it pipelines into
+    whatever consumes it.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("pos") < 12)
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of the price-ranked orders).
+
+    Spark plans ORDER+LIMIT+OFFSET as TakeOrderedAndProject with
+    limit+offset pushed together — each partition keeps only its top
+    60 candidates, the driver merges and drops the first 40; no global
+    sort materializes (the O-family completion next to top-k).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("decimal(12,2)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                      FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS rev_discounted,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                      FILTER (WHERE l_discount <= 0.05), 2) AS DOUBLE) AS rev_full,
+           CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+             AS n_return_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER-clause aggregates (one pass, many predicates).
+
+    The idiomatic replacement for N filtered subqueries: a single
+    grouped aggregate where each measure carries its own predicate —
+    one scan, one shuffle, regardless of how many measures pile on.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("COUNT(*) FILTER (WHERE l_quantity > 25)").alias("n_bulk"),
+            F.expr(
+                f"CAST(ROUND(SUM({ext}) FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE)"
+            ).alias("rev_discounted"),
+            F.expr(
+                f"CAST(ROUND(SUM({ext}) FILTER (WHERE l_discount <= 0.05), 2) AS DOUBLE)"
+            ).alias("rev_full"),
+            F.expr(
+                "COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')"
+            ).alias("n_return_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -46,6 +46,7 @@ def _load_all() -> None:
         coverage,
         curation,
         dedup,
+        functions2,
         funnel,
         graph,
         hmrf,

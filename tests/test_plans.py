@@ -258,6 +258,12 @@ def test_shuffle_exchange_budgets(spark):
         "market_share": 2,
         "min_cost_supplier": 3,
         "volume_shipping": 4,
+        # function-battery batch
+        "url_functions": 1,
+        "null_semantics": 2,
+        "posexplode_tokens": 1,
+        "offset_pagination": 0,   # TakeOrderedAndProject w/ offset, no exchange
+        "filtered_aggregates": 3,  # Expand-based filtered count-distinct + sort
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
