@@ -236,3 +236,40 @@ def q_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "collation_group",
+    oracle="""
+    -- The case-variant column lowercases back to ``lang``, so grouping
+    -- under a case-insensitive collation must reproduce the plain
+    -- per-lang counts; if collation failed to merge variants, Spark
+    -- would emit ~3x the rows and fail the row-count gate.
+    SELECT lang AS lang_ci, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive collation grouping (Spark 4 UTF8_LCASE).
+
+    A deterministic case-mangled variant of ``lang`` (upper / initcap /
+    as-is by doc_id mod 3) is grouped under the UTF8_LCASE collation;
+    comparison/grouping happens in collation space JVM-side — no
+    lower() normalization column needed, and at scale the collation key
+    participates in hash partitioning like any other grouping key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    variant = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("lang"))
+        .when(F.col("doc_id") % 3 == 1, F.initcap("lang"))
+        .otherwise(F.col("lang"))
+    )
+    return (
+        docs.select(F.collate(variant, "UTF8_LCASE").alias("lang_var"))
+        .groupBy("lang_var")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("lang_var")).cast("string").alias("lang_ci"), "n")
+        .orderBy("lang_ci")
+    )

@@ -550,3 +550,56 @@ def q_langid_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    -- Sliding-window RAG chunking: 16-token chunks, stride 8.  A
+    -- trailing start whose chunk adds no token beyond the previous
+    -- chunk's coverage (start > 0 AND start + 8 >= len) is dropped.
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 60
+    ),
+    s AS (
+        SELECT t.doc_id, t.toks, CAST(g.i AS INTEGER) AS start
+        FROM t, LATERAL (SELECT UNNEST(range(0, len(t.toks), 8)) AS i) g
+    )
+    SELECT doc_id,
+           CAST(start / 8 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + 16)) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text
+    FROM s
+    WHERE start = 0 OR start + 8 < len(toks)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (16-token chunks, 50% overlap)
+    — the retrieval/embedding prep step of an LLM data pipeline.
+
+    Pure higher-order array ops on the scan stage: split → sequence of
+    starts → explode → slice/array_join.  No shuffle besides the
+    presentation sort; at 100 TB the chunk stream pipelines straight
+    into the embedding UDF without materializing.  A trailing window
+    fully covered by its predecessor is dropped (start + stride >=
+    len), matching the dedup rule chunkers use to avoid indexing pure
+    suffix-duplicates.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(8))
+    s = t.select("doc_id", "toks", "n", F.explode(starts).alias("start"))
+    chunk = F.slice("toks", F.col("start") + 1, 16)
+    return (
+        s.filter((F.col("start") == 0) | (F.col("start") + 8 < F.col("n")))
+        .select(
+            "doc_id",
+            (F.col("start") / 8).cast("bigint").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -881,3 +881,40 @@ def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.size("users").cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static-dimension enrichment (the canonical streaming
+    topology Spark documents as stream-static join: each micro-batch
+    joins against the latest snapshot of the batch side).
+
+    The static customer dim is broadcast into every micro-batch —
+    stateless, no watermark needed on either side (unlike
+    stream-stream), so at 100 TB/day ingest the only state is the
+    windowless aggregation itself.  Oracle = the same join in batch
+    SQL, which availableNow + complete mode must reproduce exactly.
+    """
+    ev = _stream_events(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3)
+        .cast("double")
+        .alias("total_value"),
+    )
+    _run_to_memory(agg, "stream_static_join_sink")
+    return spark.table("stream_static_join_sink")

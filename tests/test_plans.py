@@ -264,6 +264,8 @@ def test_shuffle_exchange_budgets(spark):
         "posexplode_tokens": 1,
         "offset_pagination": 0,   # TakeOrderedAndProject w/ offset, no exchange
         "filtered_aggregates": 3,  # Expand-based filtered count-distinct + sort
+        "chunk_documents": 1,
+        "collation_group": 2,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
