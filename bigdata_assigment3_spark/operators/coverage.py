@@ -280,7 +280,18 @@ def q_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("parquet_sink_roundtrip")  # rows-only: writes local temp files
+@query(
+    "parquet_sink_roundtrip",
+    # like orc_sink_roundtrip, the read-back aggregate is
+    # SQL-expressible, so the roundtrip gets a full value oracle: the
+    # partitioned write + read must preserve every value bit-for-bit
+    # (partition-column round-tripping included).
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
 def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink coverage (SURVEY S13/S14): write an aggregate partitioned
     by a key to parquet (Spark's atomic commit protocol = the
@@ -408,7 +419,13 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query("csv_json_roundtrip")  # rows-only: writes local temp files
+@query(
+    "csv_json_roundtrip",
+    # the agree-join returns the full aggregate iff BOTH text-format
+    # roundtrips preserved every (event_type, n) pair, so the batch
+    # aggregate is the exact oracle — any drop/corruption loses rows.
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
 def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format coverage (SURVEY S13 + sources table): the same
     aggregate written to CSV (header, explicit schema on read — never
@@ -679,7 +696,19 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unpivot("flag", ["qty", "price", "disc"], "metric", "value")
 
 
-@query("csv_malformed_handling")  # rows-only: writes local temp files
+@query(
+    "csv_malformed_handling",
+    # The fixture is deterministic (100 good rows 0..99, one type
+    # failure, one short row, one long row), so the oracle states the
+    # quarantine contract literally — the same convention as
+    # safe_arithmetic's stated-overflow oracle.
+    oracle="""
+    SELECT CAST(103 AS BIGINT) AS n_rows,
+           CAST(100 AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_quarantined,
+           CAST(49500 AS BIGINT) AS good_amount_sum
+    """,
+)
 def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-enforced CSV ingestion with corrupt-record capture
     (SURVEY S13's read side, hardened): PERMISSIVE mode routes rows

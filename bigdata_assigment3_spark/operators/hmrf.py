@@ -644,7 +644,7 @@ def q_posterior_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("icm_step_slab")  # rows-only: mapInPandas halo-slab variant of J3
+@query("icm_step_slab", oracle=_ICM_ORACLE)  # shares the relational twin's oracle
 def q_icm_step_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-out form of the ICM neighbor join (SURVEY §4.3): the
     volume splits into z-slabs, each voxel is duplicated into the
@@ -732,7 +732,17 @@ def q_icm_step_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = haloed.groupBy("slab").applyInPandas(
         step, "old_label BIGINT, new_label BIGINT, n BIGINT"
     )
-    return partials.groupBy("old_label", "new_label").agg(F.sum("n").alias("n"))
+    return (
+        partials.groupBy("old_label", "new_label")
+        .agg(F.sum("n").alias("n"))
+        # int labels: match the relational twin's schema so both forms
+        # satisfy the same oracle
+        .select(
+            F.col("old_label").cast("int").alias("old_label"),
+            F.col("new_label").cast("int").alias("new_label"),
+            "n",
+        )
+    )
 
 
 SLAB_Z_CC = 8

@@ -460,7 +460,12 @@ def q_ellipse_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hough_peak_udf")  # rows-only: per-image numpy accumulator (U3 vehicle)
+@query(
+    "hough_peak_udf",
+    # the per-image numpy accumulator must reproduce the relational
+    # vote pipeline exactly, so it shares hough_peak's oracle
+    oracle=f"WITH edge AS ({EDGE_POINTS_SQL}){_VOTES_SQL}{_NMS_PEAK_SQL}",
+)
 def q_hough_peak_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image dense-accumulator Hough via applyInPandas — the
     cost-based ALTERNATIVE to the relational vote pipeline (SURVEY

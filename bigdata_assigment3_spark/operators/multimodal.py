@@ -136,7 +136,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("binary_dir_scan")  # rows-only: filesystem-dependent
+@query(
+    "binary_dir_scan",
+    # DuckDB reads the same directory with read_blob, so the dir-scan
+    # source is value-checked end to end (names + byte sizes).  The
+    # oracle pins the driver's oracle scale (sf0.01), same as the
+    # pre-registered views.
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           CAST(octet_length(content) AS BIGINT) AS content_len
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY 1
+    """,
+)
 def q_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory scan as a source: binaryFile over the sf_dir parquet
     files with glob filter, name-token exclusion, and path ordering —

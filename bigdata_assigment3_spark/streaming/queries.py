@@ -358,7 +358,13 @@ if _tws_available():
     )
 
 
-@query("stream_etl_append")  # rows-only: writes local files (streaming sink)
+@query(
+    "stream_etl_append",
+    # the sink-read-back per-type counts must equal the batch counts —
+    # any dropped/duplicated append breaks the row values, so this is
+    # a full value oracle for the exactly-once file sink.
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
 def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ETL to a file sink (SURVEY S6/ST1: the per-request
     append log): parquet stream -> projection/enrichment -> parquet
