@@ -1281,3 +1281,62 @@ def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_aligned8"),
     )
+
+
+@query(
+    "dynamic_partition_overwrite",
+    # After the second (dynamic) write, ONLY the 1996/1997 partitions
+    # hold the doubled counts; every other year keeps its original
+    # values — the oracle states that end state from the base tables.
+    oracle="""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderpriority,
+             COUNT(*) AS n0
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, o_orderpriority,
+           CAST(CASE WHEN yr IN (1996, 1997) THEN 2 * n0 ELSE n0 END AS BIGINT) AS n
+    FROM base
+    ORDER BY 1, 2
+    """,
+)
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (SURVEY S4/S13 depth): the
+    incremental-reload contract — rewriting two partitions must leave
+    every other partition untouched.
+
+    Write 1 lands the full per-year aggregate partitioned by year;
+    write 2 uses ``partitionOverwriteMode=dynamic`` with ONLY
+    1996/1997 rows (doubled counts).  Static overwrite mode would
+    truncate the whole table first — exactly the production incident
+    this mode exists to prevent; at 100 TB the daily reload touches
+    one date partition out of thousands.
+    """
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_dyn_overwrite_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg.write.mode("overwrite").partitionBy("yr").parquet(out_dir)
+    patch = agg.filter(F.col("yr").isin(1996, 1997)).withColumn(
+        "n", (F.col("n") * 2).cast("bigint")
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("yr")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return back.select(
+        F.col("yr").cast("int").alias("yr"), "o_orderpriority", F.col("n").cast("bigint").alias("n")
+    ).orderBy("yr", "o_orderpriority")

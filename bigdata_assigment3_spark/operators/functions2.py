@@ -273,3 +273,107 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("lang_var")).cast("string").alias("lang_ci"), "n")
         .orderBy("lang_ci")
     )
+
+
+@query(
+    "udtf_chunk_spans",
+    oracle="""
+    -- ground truth: the span arithmetic restated over token counts
+    WITH t AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS n
+      FROM documents WHERE doc_id < 30
+    ),
+    s AS (
+      SELECT t.doc_id, t.n, CAST(g.i AS INTEGER) AS start
+      FROM t, LATERAL (SELECT UNNEST(range(0, t.n, 8)) AS i) g
+    )
+    SELECT doc_id,
+           CAST(start / 8 AS BIGINT) AS chunk_idx,
+           start,
+           CAST(LEAST(16, n - start) AS INTEGER) AS n_tokens
+    FROM s
+    WHERE start = 0 OR start + 8 < n
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10): a table function expanding
+    each document's token count into its sliding-window chunk spans —
+    the same span rule as ``chunk_documents``, emitted by a registered
+    UDTF consumed via SQL LATERAL.
+
+    UDTFs are the one-row-to-N-rows Python escape hatch; here the
+    per-row work is O(#chunks) integer arithmetic, and the heavy
+    string handling stays JVM-side (only the token COUNT crosses into
+    Python) — the right split when a UDTF is genuinely needed.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, start int, n_tokens int")
+    class ChunkSpans:
+        def eval(self, n: int):
+            start = 0
+            while start < n:
+                if start == 0 or start + 8 < n:
+                    yield start // 8, start, min(16, n - start)
+                start += 8
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).createOrReplaceTempView(
+        "udtf_chunk_input"
+    )
+    return spark.sql(
+        """
+        SELECT i.doc_id, s.chunk_idx, s.start, s.n_tokens
+        FROM udtf_chunk_input i, LATERAL chunk_spans(i.n) s
+        ORDER BY i.doc_id, s.chunk_idx
+        """
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    -- ground truth restated from the scalar columns: the map is
+    -- {len: n_chars, words: |split|, id: doc_id} ++ {extra: 1};
+    -- map_filter keeps v > 10, transform_values doubles.
+    SELECT doc_id,
+           CAST(4 AS INTEGER) AS n_entries,
+           CAST((CASE WHEN n_chars > 10 THEN 1 ELSE 0 END)
+              + (CASE WHEN len(str_split(text, ' ')) > 10 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id > 10 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+           CAST(2 * (n_chars + len(str_split(text, ' ')) + doc_id + 1) AS BIGINT)
+             AS sum_doubled,
+           'extra,id,len,words' AS keys_csv
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function battery beyond map_from_entries/element_at:
+    map_from_arrays, map_concat, map_filter, transform_values,
+    map_keys, and an aggregate over map_values — the full MapType
+    manipulation surface, all JVM higher-order functions.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    m = F.map_from_arrays(
+        F.array(F.lit("len"), F.lit("words"), F.lit("id")),
+        F.array(
+            F.col("n_chars"),
+            F.size(F.split("text", " ")).cast("bigint"),
+            F.col("doc_id"),
+        ),
+    )
+    full = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1).cast("bigint")))
+    doubled = F.transform_values(full, lambda k, v: v * 2)
+    return docs.select(
+        "doc_id",
+        F.size(full).alias("n_entries"),
+        F.size(F.map_filter(full, lambda k, v: v > 10)).alias("n_big"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("sum_doubled"),
+        F.array_join(F.array_sort(F.map_keys(full)), ",").alias("keys_csv"),
+    ).orderBy("doc_id")

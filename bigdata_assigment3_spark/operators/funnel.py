@@ -431,3 +431,127 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_next"),
     )
+
+
+@query(
+    "timeseries_interpolate",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM events WHERE user_id < 40
+    ),
+    grid AS (
+      SELECT u.user_id, g.day
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 40) u
+      CROSS JOIN span
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(span.d0, span.d1, INTERVAL 1 DAY)) AS day
+      ) g
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.total,
+             LAST_VALUE(d.total IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN d.total IS NOT NULL
+                             THEN epoch(g.day) END IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+             FIRST_VALUE(d.total IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN d.total IS NOT NULL
+                              THEN epoch(g.day) END IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id,
+           CAST(epoch(day) AS BIGINT) AS day,
+           total IS NULL AS is_interpolated,
+           ROUND(CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nd <> pd
+               THEN pv + (nv - pv) * (CAST(epoch(day) - pd AS DOUBLE)
+                                      / CAST(nd - pd AS DOUBLE))
+             ELSE COALESCE(pv, nv)
+           END, 4) AS value_interp
+    FROM j
+    """,
+)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a densified daily series — the
+    resample + interpolate('linear') step of time-series prep (the
+    gapfill twin with a slope instead of a carry-forward).
+
+    Each gap day takes prev + (next - prev) * elapsed/gap_width, where
+    prev/next come from two IGNORE NULLS windows (one forward, one
+    reversed) — still one shuffle on user_id, two ordered window
+    passes, no self-join against the observation table.  Edge gaps
+    (before first / after last observation) extend the nearest value.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(F.sum("v"), 3).cast("double").alias("total")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "ep", F.unix_timestamp("day")
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ep = F.when(F.col("total").isNotNull(), F.col("ep"))
+    j = j.select(
+        "user_id",
+        "day",
+        "ep",
+        "total",
+        F.last("total", ignorenulls=True).over(fwd).alias("pv"),
+        F.last(obs_ep, ignorenulls=True).over(fwd).alias("pd"),
+        F.first("total", ignorenulls=True).over(bwd).alias("nv"),
+        F.first(obs_ep, ignorenulls=True).over(bwd).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nd") != F.col("pd")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("ep") - F.col("pd")).cast("double") / (F.col("nd") - F.col("pd")).cast("double")),
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return j.select(
+        "user_id",
+        F.col("ep").cast("bigint").alias("day"),
+        F.col("total").isNull().alias("is_interpolated"),
+        F.round(interp, 4).alias("value_interp"),
+    )

@@ -434,3 +434,55 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak").cast("bigint").alias("n_active_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS lo,
+             ROUND(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           b.lo, b.hi,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           ROUND(MIN(GREATEST(LEAST(e.value, b.hi), b.lo)), 6) AS min_winsor,
+           ROUND(MAX(GREATEST(LEAST(e.value, b.hi), b.lo)), 6) AS max_winsor
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) — the outlier-capping step
+    of metric cleaning: clip each value into its group's [p05, p95]
+    band and report the clip census.
+
+    The 100 TB shape: boundaries are a tiny per-group aggregate
+    broadcast back into the fact scan (exactly the curriculum_buckets
+    pattern — never a global sort, never a per-row percentile
+    window).  Clip statistics are counts/min/max against rounded
+    boundaries, so the output is drift-free cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    e = ev.join(F.broadcast(b), "event_type")
+    wv = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return e.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_high"),
+        F.round(F.min(wv), 6).alias("min_winsor"),
+        F.round(F.max(wv), 6).alias("max_winsor"),
+    ).select("event_type", "n", "lo", "hi", "n_clip_low", "n_clip_high",
+             "min_winsor", "max_winsor")

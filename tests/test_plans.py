@@ -270,6 +270,11 @@ def test_shuffle_exchange_budgets(spark):
         "filtered_aggregates": 3,  # Expand-based filtered count-distinct + sort
         "chunk_documents": 1,
         "collation_group": 2,
+        "timeseries_interpolate": 3,
+        "winsorize_values": 2,
+        "dynamic_partition_overwrite": 1,
+        "udtf_chunk_spans": 1,
+        "map_functions": 1,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
