@@ -59,6 +59,13 @@ HEADLINE = [
     "regression_stats",
     "ewma_user_value",
     "max_concurrent_orders",
+    # round-4 closing batch: TPC-H join anchors + pipeline ops
+    "volume_shipping",
+    "market_share",
+    "min_cost_supplier",
+    "chunk_documents",
+    "timeseries_interpolate",
+    "winsorize_values",
 ]
 
 
