@@ -486,3 +486,96 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(wv), 6).alias("max_winsor"),
     ).select("event_type", "n", "lo", "hi", "n_clip_low", "n_clip_high",
              "min_winsor", "max_winsor")
+
+
+@query(
+    "hll_distinct_audit",
+    oracle="""
+    -- The sketch estimate itself is implementation-defined, so the
+    -- checked contract is (a) the exact distinct count and (b) the
+    -- estimate landing inside the published error bound (5% >> the
+    -- ~1.6% expected at lgConfigK=12) — stated as a literal TRUE.
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           TRUE AS est_in_bounds
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    """,
+)
+def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch audit: per-type HLL estimates and their
+    union (the mergeable-sketch property that makes HLL the 100 TB
+    tool — partial sketches combine associatively across partitions
+    and even across separately-computed tables) checked against exact
+    distinct counts within the published error bound.
+
+    The 'ALL' row estimates from the UNION of the per-type sketches —
+    never re-scanning the data — which is exactly how a production
+    rollup serves global cardinality from per-partition sketches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_nd"),
+    )
+    per_out = per.select(
+        "event_type",
+        "exact_nd",
+        (
+            F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_nd"))
+            <= F.greatest((F.col("exact_nd") * 0.05), F.lit(1.0))
+        ).alias("est_in_bounds"),
+    )
+    glob = (
+        per.agg(
+            F.expr("hll_union_agg(sk)").alias("sk"),
+        )
+        .crossJoin(
+            F.broadcast(ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_nd")))
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_nd",
+            (
+                F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_nd"))
+                <= F.greatest((F.col("exact_nd") * 0.05), F.lit(1.0))
+            ).alias("est_in_bounds"),
+        )
+    )
+    return per_out.unionByName(glob)
+
+
+@query(
+    "approx_topk_tokens",
+    oracle="""
+    -- the corpus has far fewer distinct tokens than the tracker
+    -- capacity, so approx_top_k degenerates to EXACT counts — the
+    -- oracle is the exact top-5 (count desc, token asc).
+    WITH tok AS (
+      SELECT UNNEST(str_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 5
+    """,
+)
+def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` — the sketched frequent-items
+    aggregate (Misra-Gries family).  Under capacity the sketch is
+    exact, so the oracle pins exact counts; above capacity (the 100 TB
+    case) the same plan degrades gracefully to approximate counts with
+    bounded error instead of OOMing a full group-by.
+
+    Re-sorted (count desc, token) after the sketch so tie order is
+    engine-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    res = tok.agg(F.expr("approx_top_k(token, 5, 10000)").alias("tk"))
+    return (
+        res.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "token")
+    )

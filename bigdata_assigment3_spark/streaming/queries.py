@@ -924,3 +924,33 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_static_join_sink")
     return spark.table("stream_static_join_sink")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 4's bounded-state dedup):
+    the doubled stream (self-union = an at-least-once replay) collapses
+    back to exactly-once counts, with state expiring at the watermark
+    horizon instead of growing with the full key history — the fix for
+    the unbounded-state problem of plain ``dropDuplicates`` on an
+    infinite stream.
+
+    Unlike ``dropDuplicates``, the within-watermark variant admits a
+    duplicate whose event time differs — matching at-least-once
+    transports, where the replayed record carries the same payload.
+    """
+    ev = _stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    _run_to_memory(agg, "stream_dedup_ww_sink")
+    return spark.table("stream_dedup_ww_sink")

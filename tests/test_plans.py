@@ -275,6 +275,9 @@ def test_shuffle_exchange_budgets(spark):
         "dynamic_partition_overwrite": 1,
         "udtf_chunk_spans": 1,
         "map_functions": 1,
+        # audit query: deliberately computes exact AND sketch paths
+        "hll_distinct_audit": 6,
+        "approx_topk_tokens": 1,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
