@@ -377,3 +377,58 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_doubled"),
         F.array_join(F.array_sort(F.map_keys(full)), ",").alias("keys_csv"),
     ).orderBy("doc_id")
+
+
+@query(
+    "higher_order_functions",
+    oracle="""
+    -- arr = sequence(1, n) with n = doc_id % 5 + 3, so every lambda
+    -- result has a closed form the oracle states arithmetically —
+    -- no list machinery mirrored, pure ground truth.
+    WITH t AS (
+      SELECT doc_id, doc_id % 5 + 3 AS n FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(n * (n + 1) * (2 * n + 1) / 6 AS BIGINT) AS weighted_sum, -- sum i*arr[i] = sum i^2
+           CAST(n // 2 AS INTEGER) AS n_even,
+           TRUE AS has_big,
+           TRUE AS all_in_range,
+           CAST(n * (n + 1) AS BIGINT) AS zip_sum,          -- zip with reverse: n+1 each, n times
+           CAST(n * (n + 1) AS BIGINT) AS reduced_doubled   -- finish lambda: 2 * sum
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order-function battery: transform (with index),
+    filter, exists, forall, zip_with, and reduce with a finish lambda —
+    the full SparkSQL HOF surface over a derived integer array.
+
+    All seven results reduce to closed forms of the array length, so
+    the oracle asserts ground truth, not a mirrored implementation.
+    HOFs evaluate inside the scan stage (no UDF, no shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    t = docs.select("doc_id", (F.col("doc_id") % 5 + 3).cast("int").alias("n"))
+    arr = F.sequence(F.lit(1), F.col("n"))
+    return t.select(
+        "doc_id",
+        F.aggregate(
+            F.expr("transform(sequence(1, n), (x, i) -> CAST(x AS BIGINT) * (i + 1))"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("weighted_sum"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
+        F.exists(arr, lambda x: x >= F.col("n")).alias("has_big"),
+        F.forall(arr, lambda x: x <= F.col("n")).alias("all_in_range"),
+        F.aggregate(
+            F.zip_with(arr, F.reverse(arr), lambda a, b: (a + b).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("zip_sum"),
+        F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+            lambda acc: acc * 2,
+        ).alias("reduced_doubled"),
+    ).orderBy("doc_id")

@@ -274,3 +274,114 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "supplier_part_variety",
+    oracle="""
+    -- Q16 shape (no partsupp table: the supplier-part relation is
+    -- derived from lineitem).  Chronically-complained-about suppliers
+    -- (> 200 'R' lines) are excluded via NOT IN, then distinct
+    -- suppliers are counted per (brand, type) for small parts.
+    WITH complained AS (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_suppkey HAVING COUNT(*) > 200
+    ),
+    rel AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_suppkey NOT IN (SELECT l_suppkey FROM complained)
+    )
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT r.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM rel r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE p.p_size <= 15
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier variety per (brand, type) with a
+    NOT IN exclusion subquery.
+
+    NOT IN compiles to a null-aware anti-join; the excluded-supplier
+    set is a tiny distinct aggregate, so Catalyst broadcasts it.  The
+    count-distinct runs on the deduplicated (part, supp) relation —
+    dedup BEFORE the dimension join, so the wide join carries no
+    duplicate pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    complained = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+        .filter(F.col("n_r") > 200)  # chronic complainers only
+        .select("l_suppkey")
+    )
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(complained), "l_suppkey", "left_anti")
+    )
+    return (
+        rel.join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "excess_stock_suppliers",
+    oracle="""
+    -- Q20 shape: suppliers qualify when, for SOME small part, their
+    -- shipped quantity in 1996 exceeds a fixed threshold — the nested
+    -- IN (parts) inside IN (qualifying supplier set).
+    WITH qualifying AS (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 60
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN supplier qualification (suppliers
+    who shipped > 60 units of some small part in 1996).
+
+    Both IN subqueries become semi-joins: the part filter broadcasts
+    into the lineitem scan (partition-pruning-shaped reduction), the
+    per-(supp, part) HAVING aggregate is the only wide shuffle, and
+    the final qualification semi-joins into the supplier dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    qualifying = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )

@@ -278,6 +278,10 @@ def test_shuffle_exchange_budgets(spark):
         # audit query: deliberately computes exact AND sketch paths
         "hll_distinct_audit": 6,
         "approx_topk_tokens": 1,
+        "higher_order_functions": 1,
+        # Q16/Q20 shapes: distinct + anti-join + count-distinct chains
+        "supplier_part_variety": 5,
+        "excess_stock_suppliers": 3,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
