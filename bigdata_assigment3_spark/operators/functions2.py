@@ -432,3 +432,78 @@ def q_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc: acc * 2,
         ).alias("reduced_doubled"),
     ).orderBy("doc_id")
+
+
+@query(
+    "xml_functions",
+    oracle="""
+    -- XML is constructed from the document columns, so the oracle is
+    -- ground truth from those columns (the parse must invert the
+    -- construction exactly).
+    SELECT doc_id,
+           lang AS lang_xp,
+           n_chars AS n_xp,
+           source AS src_attr,
+           CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words
+    FROM documents
+    WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+)
+def q_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath battery (F-surface beyond JSON/VARIANT): xpath_string /
+    xpath_long / attribute access / node-list counting over an XML
+    payload built from the document columns.
+
+    The third serialization idiom next to `json_extract` and
+    `variant_extract`: same columns, same ground-truth oracle shape,
+    JVM-side javax.xml evaluation — no Python in the row path.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    words = F.array_join(
+        F.transform(F.split("text", " "), lambda w: F.concat(F.lit("<w>"), w, F.lit("</w>"))),
+        "",
+    )
+    xml = F.concat(
+        F.lit("<doc src='"),
+        F.col("source"),
+        F.lit("'><lang>"),
+        F.col("lang"),
+        F.lit("</lang><n>"),
+        F.col("n_chars"),
+        F.lit("</n><body>"),
+        words,
+        F.lit("</body></doc>"),
+    )
+    t = docs.select("doc_id", xml.alias("x"))
+    return t.select(
+        "doc_id",
+        F.xpath_string("x", F.lit("/doc/lang")).alias("lang_xp"),
+        F.xpath_long("x", F.lit("/doc/n")).alias("n_xp"),
+        F.xpath_string("x", F.lit("/doc/@src")).alias("src_attr"),
+        F.size(F.xpath("x", F.lit("/doc/body/w/text()"))).alias("n_words"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "csv_column_parse",
+    oracle="""
+    -- the CSV line is built from the columns, so parsing it back must
+    -- reproduce them (ground truth, not a mirrored parser)
+    SELECT doc_id, lang AS lang_c, n_chars AS len_c, source AS src_c
+    FROM documents WHERE doc_id < 40 ORDER BY doc_id
+    """,
+)
+def q_csv_column_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_csv`` typed in-column parsing — the embedded-CSV twin of
+    ``json_schema_parse`` (logs and Kafka payloads routinely carry CSV
+    fragments in a string field; parsing stays JVM-side UniVocity,
+    never a Python split loop).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    line = F.concat_ws(",", "lang", "n_chars", "source")
+    parsed = docs.select(
+        "doc_id",
+        F.from_csv(line, F.lit("lang_c STRING, len_c BIGINT, src_c STRING")).alias("s"),
+    )
+    return parsed.select("doc_id", "s.lang_c", "s.len_c", "s.src_c").orderBy("doc_id")

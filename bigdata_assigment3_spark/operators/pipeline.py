@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import REGISTRY, query
+from ..sources import load_table
 from .curation import _DUCK_QUALITY_DOC_SQL, _quality_verdict_df, q_lm_bigram_score
 from .dedup import q_dedup_canonical_docs
 
@@ -67,4 +68,106 @@ def q_curation_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_dup_loser.alias("is_dup_loser"),
             ((F.col("verdict") == "keep") & ~is_dup_loser).alias("final_keep"),
         )
+    )
+
+
+@query(
+    "rag_chunk_index",
+    oracle="""
+    -- the retrieval-side capstone: chunk rule (16-token windows,
+    -- stride 8, suffix-covered trailing windows dropped) + exact
+    -- chunk-level dup census + an embedding norm from the aligned
+    -- embeddings table, folded into one per-doc indexing verdict.
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT t.doc_id,
+               array_to_string(list_slice(t.toks, CAST(g.i AS INTEGER) + 1,
+                                          CAST(g.i AS INTEGER) + 16), ' ') AS chunk_text
+        FROM t, LATERAL (SELECT UNNEST(range(0, len(t.toks), 8)) AS i) g
+        WHERE g.i = 0 OR g.i + 8 < len(t.toks)
+    ),
+    occ AS (
+        SELECT chunk_text, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_text
+    ),
+    per_doc AS (
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM chunks c JOIN occ o USING (chunk_text)
+        GROUP BY c.doc_id
+    ),
+    emb AS (
+        -- micro-unit integer fold: FLOOR(|x| * 1e6) is identical IEEE
+        -- arithmetic in both engines (float->decimal cast rounding is
+        -- not), and the BIGINT sum is order-independent.
+        SELECT e.vec_id AS doc_id,
+               CAST(SUM(CAST(FLOOR(ABS(CAST(u.x AS DOUBLE)) * 1000000) AS BIGINT))
+                 AS BIGINT) AS emb_l1_micro,
+               ANY_VALUE(e.label) AS cluster_label
+        FROM embeddings e, UNNEST(e.embedding) AS u(x)
+        GROUP BY e.vec_id
+    )
+    SELECT p.doc_id, p.n_chunks, p.n_dup_chunks,
+           emb.emb_l1_micro, CAST(emb.cluster_label AS INTEGER) AS cluster_label,
+           p.n_chunks >= 2 AND p.n_dup_chunks * 2 <= p.n_chunks AS index_keep
+    FROM per_doc p JOIN emb USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def q_rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-side capstone (the RAG twin of
+    ``curation_pipeline_verdict``): corpus-wide sliding-window chunking,
+    an exact chunk-level duplicate census, and the aligned embedding's
+    L1 norm + cluster label, composed into one per-document indexing
+    verdict (enough unique chunks → worth indexing).
+
+    Scale shape: the chunk stream is generated in the scan stage and
+    aggregated by chunk_text hash — one shuffle proportional to the
+    chunk count; the dup census joins back by the same key (no pair
+    explosion — this is the exact-dedup pattern applied at chunk
+    granularity); the embedding fold is a narrow map over the aligned
+    table, DECIMAL-exact so the fold order can't drift the sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    s = t.select("doc_id", "toks", "n", F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(8))).alias("start"))
+    chunks = (
+        s.filter((F.col("start") == 0) | (F.col("start") + 8 < F.col("n")))
+        .select("doc_id", F.array_join(F.slice("toks", F.col("start") + 1, 16), " ").alias("chunk_text"))
+    )
+    occ = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        chunks.join(occ, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.floor(F.abs(x.cast("double")) * 1000000).cast("bigint"),
+        ).alias("emb_l1_micro"),
+        F.col("label").cast("int").alias("cluster_label"),
+    )
+    return (
+        per_doc.join(emb, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            "emb_l1_micro",
+            "cluster_label",
+            ((F.col("n_chunks") >= 2) & (F.col("n_dup_chunks") * 2 <= F.col("n_chunks"))).alias(
+                "index_keep"
+            ),
+        )
+        .orderBy("doc_id")
     )

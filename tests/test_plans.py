@@ -282,6 +282,9 @@ def test_shuffle_exchange_budgets(spark):
         # Q16/Q20 shapes: distinct + anti-join + count-distinct chains
         "supplier_part_variety": 5,
         "excess_stock_suppliers": 3,
+        "xml_functions": 1,
+        "csv_column_parse": 1,
+        "rag_chunk_index": 3,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
