@@ -66,6 +66,8 @@ HEADLINE = [
     "chunk_documents",
     "timeseries_interpolate",
     "winsorize_values",
+    "rag_chunk_index",
+    "supplier_part_variety",
 ]
 
 

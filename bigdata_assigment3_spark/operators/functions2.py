@@ -507,3 +507,52 @@ def q_csv_column_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_csv(line, F.lit("lang_c STRING, len_c BIGINT, src_c STRING")).alias("s"),
     )
     return parsed.select("doc_id", "s.lang_c", "s.len_c", "s.src_c").orderBy("doc_id")
+
+
+@query(
+    "not_in_null_trap",
+    oracle="""
+    -- ANSI three-valued logic: NOT IN against a set containing NULL
+    -- is never TRUE (x <> NULL is UNKNOWN), so n_not_in = 0 even
+    -- though n_not_exists and the null-filtered NOT IN are positive.
+    WITH sub AS (SELECT NULLIF(n_regionkey, 3) AS rk FROM nation)
+    SELECT
+      CAST((SELECT COUNT(*) FROM region
+            WHERE r_regionkey NOT IN (SELECT rk FROM sub)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT COUNT(*) FROM region r
+            WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.rk = r.r_regionkey)) AS BIGINT)
+        AS n_not_exists,
+      CAST((SELECT COUNT(*) FROM region
+            WHERE r_regionkey NOT IN (SELECT rk FROM sub WHERE rk IS NOT NULL)) AS BIGINT)
+        AS n_not_in_filtered
+    """,
+)
+def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS null trap, executed not just described:
+    against a subquery producing a NULL, NOT IN returns zero rows
+    (null-aware anti-join semantics), while NOT EXISTS and the
+    null-filtered NOT IN return the real complement.
+
+    Catalyst plans the NOT IN as a null-aware anti join (the expensive
+    form — one reason production pipelines prefer NOT EXISTS), which
+    is exactly the behavior difference this query pins cross-engine.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH sub AS (SELECT NULLIF(n_regionkey, 3) AS rk FROM nation)
+        SELECT
+          CAST((SELECT COUNT(*) FROM region
+                WHERE r_regionkey NOT IN (SELECT rk FROM sub)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM region r
+                WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.rk = r.r_regionkey)) AS BIGINT)
+            AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM region
+                WHERE r_regionkey NOT IN (SELECT rk FROM sub WHERE rk IS NOT NULL)) AS BIGINT)
+            AS n_not_in_filtered
+        """
+    )

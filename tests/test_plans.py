@@ -285,6 +285,7 @@ def test_shuffle_exchange_budgets(spark):
         "xml_functions": 1,
         "csv_column_parse": 1,
         "rag_chunk_index": 3,
+        "not_in_null_trap": 3,  # three scalar subqueries over dim tables
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
