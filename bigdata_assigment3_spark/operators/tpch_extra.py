@@ -77,8 +77,11 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast(_DEC_EXT)
         * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT))
     )
+    # nation (25 rows) is force-broadcast above; the supplier/customer
+    # slices are NOT — they grow ~SF, so the join strategy is left to
+    # Catalyst/AQE (broadcast at test scale, shuffle at 100 TB).
     return (
-        li.join(F.broadcast(supp.select("s_suppkey", "supp_nation")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp.select("s_suppkey", "supp_nation"), li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust.select("c_custkey", "cust_nation"), orders.o_custkey == F.col("c_custkey"))
         .filter(
@@ -155,11 +158,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT))
     )
     zero = F.lit(0).cast(_DEC_EXT)
+    # part/customer/supplier slices grow ~SF: no forced broadcast —
+    # AQE picks broadcast at test scale, shuffle semi-join at 100 TB.
     vols = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "leftsemi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"), "leftsemi")
-        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"), "leftsemi")
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             vol.alias("volume"),
@@ -223,9 +228,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # only nation (constant 25 rows) is force-broadcast; part/supplier
+    # grow ~SF, so their join strategy is left to AQE
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             "p_partkey",
@@ -319,13 +326,16 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_r") > 200)  # chronic complainers only
         .select("l_suppkey")
     )
+    # the complained set and the filtered part dim both grow ~SF —
+    # no forced broadcast (AQE decides; null-aware anti stays correct
+    # under either strategy)
     rel = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(complained), "l_suppkey", "left_anti")
+        .join(complained, "l_suppkey", "left_anti")
     )
     return (
-        rel.join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        rel.join(part, rel.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -372,7 +382,7 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
         )
-        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "leftsemi")
+        .join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "leftsemi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 60)
@@ -380,7 +390,7 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "leftsemi")
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .orderBy("s_suppkey")

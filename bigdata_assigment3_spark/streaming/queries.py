@@ -905,16 +905,18 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology Spark documents as stream-static join: each micro-batch
     joins against the latest snapshot of the batch side).
 
-    The static customer dim is broadcast into every micro-batch —
+    The static customer dim joins into every micro-batch (broadcast
+    while it fits, shuffled when it outgrows the threshold) —
     stateless, no watermark needed on either side (unlike
     stream-stream), so at 100 TB/day ingest the only state is the
     windowless aggregation itself.  Oracle = the same join in batch
     SQL, which availableNow + complete mode must reproduce exactly.
     """
     ev = _stream_events(spark, sf_dir)
-    cust = F.broadcast(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    )
+    # no forced broadcast: the planner broadcasts the dim while it fits
+    # the threshold and falls back to a shuffled stream-static join when
+    # the customer dim outgrows it at scale
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
