@@ -78,12 +78,13 @@ def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "null_semantics",
     oracle="""
-    -- Three-valued logic over a derived nullable column:
-    -- bal = NULLIF(ROUND(c_acctbal, 0), 0) is NULL where the rounded
-    -- balance is exactly zero (and for no other rows).
+    -- Three-valued logic over a derived nullable column: every 7th
+    -- customer key gets a NULL balance, so each segment genuinely
+    -- carries NULLs (~14%) and the battery is non-vacuous.
     WITH t AS (
         SELECT c_custkey,
-               NULLIF(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 0), 0) AS bal,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 0) END AS bal,
                c_mktsegment
         FROM customer
     )
@@ -112,7 +113,9 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only the null-safe ``<=>`` treats NULL = NULL as true.
     """
     cust = load_table(spark, sf_dir, "customer")
-    bal = F.nullif(F.round(F.col("c_acctbal").cast("decimal(12,2)"), 0), F.lit(0))
+    bal = F.when(
+        F.col("c_custkey") % 7 == 0, F.lit(None).cast("decimal(12,2)")
+    ).otherwise(F.round(F.col("c_acctbal").cast("decimal(12,2)"), 0))
     t = cust.select("c_custkey", bal.alias("bal"), "c_mktsegment")
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return (
@@ -275,27 +278,31 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "udtf_chunk_spans",
-    oracle="""
-    -- ground truth: the span arithmetic restated over token counts
+def _udtf_chunk_oracle() -> str:
+    from .text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    return f"""
+    -- ground truth: the shared chunk rule's span arithmetic restated
+    -- over token counts (constants from operators.text)
     WITH t AS (
       SELECT doc_id, len(str_split(text, ' ')) AS n
       FROM documents WHERE doc_id < 30
     ),
     s AS (
       SELECT t.doc_id, t.n, CAST(g.i AS INTEGER) AS start
-      FROM t, LATERAL (SELECT UNNEST(range(0, t.n, 8)) AS i) g
+      FROM t, LATERAL (SELECT UNNEST(range(0, t.n, {CHUNK_STRIDE})) AS i) g
     )
     SELECT doc_id,
-           CAST(start / 8 AS BIGINT) AS chunk_idx,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
            start,
-           CAST(LEAST(16, n - start) AS INTEGER) AS n_tokens
+           CAST(LEAST({CHUNK_TOKENS}, n - start) AS INTEGER) AS n_tokens
     FROM s
-    WHERE start = 0 OR start + 8 < n
+    WHERE start = 0 OR start + {CHUNK_STRIDE} < n
     ORDER BY doc_id, chunk_idx
-    """,
-)
+    """
+
+
+@query("udtf_chunk_spans", oracle=_udtf_chunk_oracle())
 def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (SURVEY §2.10): a table function expanding
     each document's token count into its sliding-window chunk spans —
@@ -309,14 +316,18 @@ def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
+    from .text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    stride, width = CHUNK_STRIDE, CHUNK_TOKENS
+
     @udtf(returnType="chunk_idx bigint, start int, n_tokens int")
     class ChunkSpans:
         def eval(self, n: int):
             start = 0
             while start < n:
-                if start == 0 or start + 8 < n:
-                    yield start // 8, start, min(16, n - start)
-                start += 8
+                if start == 0 or start + stride < n:
+                    yield start // stride, start, min(width, n - start)
+                start += stride
 
     spark.udtf.register("chunk_spans", ChunkSpans)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)

@@ -19,6 +19,7 @@ feature aggregation is an ordinary groupBy afterwards.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -136,17 +137,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR",
+    f"{os.environ.get('SPARK_GRAFT_TESTDATA', '/root/testdata')}/sf0.01",
+)
+
+
 @query(
     "binary_dir_scan",
     # DuckDB reads the same directory with read_blob, so the dir-scan
     # source is value-checked end to end (names + byte sizes).  The
-    # oracle pins the driver's oracle scale (sf0.01), same as the
-    # pre-registered views.
-    oracle="""
+    # oracle is composed against the oracle SF dir (same env overrides
+    # as tests/conftest.py) since read_blob cannot use the views.
+    oracle=f"""
     SELECT regexp_extract(filename, '[^/]+$') AS file_name,
            CAST(octet_length(content) AS BIGINT) AS n_bytes,
            CAST(octet_length(content) AS BIGINT) AS content_len
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{_ORACLE_SF_DIR}/*.parquet')
     ORDER BY 1
     """,
 )

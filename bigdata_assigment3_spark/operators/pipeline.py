@@ -71,22 +71,21 @@ def q_curation_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rag_chunk_index",
-    oracle="""
-    -- the retrieval-side capstone: chunk rule (16-token windows,
-    -- stride 8, suffix-covered trailing windows dropped) + exact
-    -- chunk-level dup census + an embedding norm from the aligned
-    -- embeddings table, folded into one per-doc indexing verdict.
-    WITH t AS (
-        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-    ),
+def _rag_oracle() -> str:
+    from .text import CHUNK_TOKENS, chunk_spans_sql
+
+    return f"""
+    -- the retrieval-side capstone: the SHARED chunk rule (constants
+    -- and CTE text from operators.text, so this census can't drift
+    -- from the chunker it mirrors) + exact chunk-level dup census +
+    -- an embedding norm from the aligned embeddings table, folded
+    -- into one per-doc indexing verdict.
+    WITH {chunk_spans_sql()},
     chunks AS (
-        SELECT t.doc_id,
-               array_to_string(list_slice(t.toks, CAST(g.i AS INTEGER) + 1,
-                                          CAST(g.i AS INTEGER) + 16), ' ') AS chunk_text
-        FROM t, LATERAL (SELECT UNNEST(range(0, len(t.toks), 8)) AS i) g
-        WHERE g.i = 0 OR g.i + 8 < len(t.toks)
+        SELECT doc_id,
+               array_to_string(list_slice(toks, start + 1,
+                                          start + {CHUNK_TOKENS}), ' ') AS chunk_text
+        FROM chunk_s
     ),
     occ AS (
         SELECT chunk_text, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_text
@@ -114,8 +113,10 @@ def q_curation_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.n_chunks >= 2 AND p.n_dup_chunks * 2 <= p.n_chunks AS index_keep
     FROM per_doc p JOIN emb USING (doc_id)
     ORDER BY p.doc_id
-    """,
-)
+    """
+
+
+@query("rag_chunk_index", oracle=_rag_oracle())
 def q_rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrieval-side capstone (the RAG twin of
     ``curation_pipeline_verdict``): corpus-wide sliding-window chunking,
@@ -130,13 +131,12 @@ def q_rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity); the embedding fold is a narrow map over the aligned
     table, DECIMAL-exact so the fold order can't drift the sum.
     """
+    from .text import CHUNK_TOKENS, chunk_spans
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
-    s = t.select("doc_id", "toks", "n", F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(8))).alias("start"))
-    chunks = (
-        s.filter((F.col("start") == 0) | (F.col("start") + 8 < F.col("n")))
-        .select("doc_id", F.array_join(F.slice("toks", F.col("start") + 1, 16), " ").alias("chunk_text"))
+    chunks = chunk_spans(docs).select(
+        "doc_id",
+        F.array_join(F.slice("toks", F.col("start") + 1, CHUNK_TOKENS), " ").alias("chunk_text"),
     )
     occ = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc = (

@@ -573,9 +573,14 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    res = tok.agg(F.expr("approx_top_k(token, 5, 10000)").alias("tk"))
+    # ask the sketch for 20 and cut to 5 AFTER the deterministic
+    # re-sort: a count tie at the 5/6 boundary is then resolved by the
+    # same (count desc, token) rule as the oracle, not by whichever
+    # item the sketch happened to surface (membership, not just order)
+    res = tok.agg(F.expr("approx_top_k(token, 20, 10000)").alias("tk"))
     return (
         res.select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "token")
+        .limit(5)
     )

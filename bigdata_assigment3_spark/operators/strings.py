@@ -84,7 +84,9 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_rows"),
         F.sum(F.expr("c * (c - 1) div 2")).alias("n_same"),
     )
-    out = per_brand.join(cross_agg, "p_brand", "left")
+    # brands with a single part have no pairs: the row-level join form
+    # (and the oracle) never emits them, so drop them here too
+    out = per_brand.filter(F.col("n_rows") >= 2).join(cross_agg, "p_brand", "left")
     return out.select(
         "p_brand",
         F.expr("n_rows * (n_rows - 1) div 2").cast("bigint").alias("n_pairs"),

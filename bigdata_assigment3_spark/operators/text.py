@@ -21,6 +21,44 @@ from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
 from ..sources import load_table
 
+# Shared sliding-window chunk rule (used by chunk_documents here, the
+# UDTF span expander in functions2.py, and the rag_chunk_index census
+# in pipeline.py — one source of truth for all three + their oracles).
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 8
+
+
+def chunk_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, n, start) under the chunk rule: starts every
+    CHUNK_STRIDE tokens; a trailing start whose window adds no token
+    beyond the previous window (start > 0 AND start + stride >= n) is
+    dropped."""
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))).alias("start"),
+    )
+    return s.filter((F.col("start") == 0) | (F.col("start") + CHUNK_STRIDE < F.col("n")))
+
+
+def chunk_spans_sql(where: str = "TRUE") -> str:
+    """DuckDB CTE text for the same rule (docs filtered by ``where``),
+    exposing (doc_id, toks, start)."""
+    return f"""
+    chunk_t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks
+        FROM documents WHERE {where}
+    ),
+    chunk_s AS (
+        SELECT chunk_t.doc_id, chunk_t.toks, CAST(g.i AS INTEGER) AS start
+        FROM chunk_t,
+             LATERAL (SELECT UNNEST(range(0, len(chunk_t.toks), {CHUNK_STRIDE})) AS i) g
+        WHERE g.i = 0 OR g.i + {CHUNK_STRIDE} < len(chunk_t.toks)
+    )"""
+
 _STOPWORDS = ("the", "a", "of", "to", "and")
 _STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
@@ -554,24 +592,16 @@ def q_langid_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "chunk_documents",
-    oracle="""
-    -- Sliding-window RAG chunking: 16-token chunks, stride 8.  A
-    -- trailing start whose chunk adds no token beyond the previous
-    -- chunk's coverage (start > 0 AND start + 8 >= len) is dropped.
-    WITH t AS (
-        SELECT doc_id, str_split(text, ' ') AS toks
-        FROM documents WHERE doc_id < 60
-    ),
-    s AS (
-        SELECT t.doc_id, t.toks, CAST(g.i AS INTEGER) AS start
-        FROM t, LATERAL (SELECT UNNEST(range(0, len(t.toks), 8)) AS i) g
-    )
+    oracle=f"""
+    -- Sliding-window RAG chunking over the shared chunk rule (see
+    -- chunk_spans_sql: {CHUNK_TOKENS}-token chunks, stride {CHUNK_STRIDE},
+    -- suffix-covered trailing windows dropped).
+    WITH {chunk_spans_sql("doc_id < 60")}
     SELECT doc_id,
-           CAST(start / 8 AS BIGINT) AS chunk_idx,
-           CAST(len(list_slice(toks, start + 1, start + 16)) AS INTEGER) AS n_tokens,
-           array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text
-    FROM s
-    WHERE start = 0 OR start + 8 < len(toks)
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ') AS chunk_text
+    FROM chunk_s
     ORDER BY doc_id, chunk_idx
     """,
 )
@@ -588,18 +618,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-duplicates.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    toks = F.split("text", " ")
-    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
-    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(8))
-    s = t.select("doc_id", "toks", "n", F.explode(starts).alias("start"))
-    chunk = F.slice("toks", F.col("start") + 1, 16)
-    return (
-        s.filter((F.col("start") == 0) | (F.col("start") + 8 < F.col("n")))
-        .select(
-            "doc_id",
-            (F.col("start") / 8).cast("bigint").alias("chunk_idx"),
-            F.size(chunk).alias("n_tokens"),
-            F.array_join(chunk, " ").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_idx")
-    )
+    s = chunk_spans(docs)
+    chunk = F.slice("toks", F.col("start") + 1, CHUNK_TOKENS)
+    return s.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
