@@ -21,6 +21,7 @@ Scale design (the point of each variant):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import REGISTRY, query
@@ -687,4 +688,67 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("jaccard").alias("exact_jaccard"),
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle="""
+    -- snapshot-incremental dedup: docs 0..249 are the accepted prior
+    -- snapshot; a new-batch doc (250..499) is dropped if its exact
+    -- text hash already exists in the snapshot OR duplicates an
+    -- earlier-id doc within its own batch (first writer wins).
+    WITH snap AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id >= 250
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vs_snapshot,
+           CAST(SUM(CASE WHEN s.h IS NULL AND b.rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_batch,
+           CAST(SUM(CASE WHEN s.h IS NULL AND b.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted
+    FROM batch b LEFT JOIN snap s USING (h)
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup — the recurring-crawl pattern:
+    each new batch dedups against the accepted corpus (hash anti-join)
+    AND within itself (first-writer-wins ROW_NUMBER on the hash),
+    reported as a per-source admission census.
+
+    Scale shape: the snapshot side reduces to a distinct-hash set
+    partitioned by hash — the incremental join is hash-to-hash, never
+    text-to-text, and only new-batch hashes shuffle; at 100 TB the
+    snapshot hash set lives as a bucketed table keyed the same way so
+    the daily join is co-partitioned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    snap = docs.filter(F.col("doc_id") < 250).select(h.alias("h")).distinct()
+    w = Window.partitionBy("h").orderBy("doc_id")
+    batch = (
+        docs.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    joined = batch.join(snap.withColumn("in_snap", F.lit(True)), "h", "left")
+    in_snap = F.col("in_snap").isNotNull()
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(in_snap.cast("int")).cast("bigint").alias("n_vs_snapshot"),
+            F.sum((~in_snap & (F.col("rn") > 1)).cast("int")).cast("bigint").alias("n_within_batch"),
+            F.sum((~in_snap & (F.col("rn") == 1)).cast("int")).cast("bigint").alias("n_accepted"),
+        )
+        .orderBy("source")
     )

@@ -289,6 +289,7 @@ def test_shuffle_exchange_budgets(spark):
         "csv_column_parse": 1,
         "rag_chunk_index": 3,
         "not_in_null_trap": 3,  # three scalar subqueries over dim tables
+        "incremental_dedup": 4,  # snapshot distinct + batch window + hash join + agg
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
