@@ -567,3 +567,86 @@ def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_in_filtered
         """
     )
+
+
+@query(
+    "pipe_syntax_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 300000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_pipe_syntax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the same relational
+    pipeline as the classic form, written as FROM → WHERE → AGGREGATE →
+    ORDER BY stages.  Pure parser surface — the logical plan (and so
+    the physical plan) is identical to the classic query, which is
+    exactly what the oracle asserts.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 300000
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, CAST(n AS BIGINT) AS n, total
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_variables_query",
+    oracle="""
+    -- the variable is set to the 'BUILDING'-segment customer count;
+    -- the oracle inlines the same scalar
+    WITH v AS (
+      SELECT COUNT(*) AS thr FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST((SELECT thr FROM v) AS BIGINT) AS threshold_used
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) * 25 > (SELECT thr FROM v)
+    ORDER BY n_name
+    """,
+)
+def q_sql_variables_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE / SET VARIABLE):
+    a scalar computed once into a session variable, then consumed by a
+    later statement — the multi-statement parameterization idiom
+    (dashboards, jobs passing thresholds between steps).
+
+    The variable holds the BUILDING-segment customer count; nations
+    keep rows only when their customer count (x25) beats it.  The
+    oracle inlines the same scalar via a CTE.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE bd3_thr BIGINT DEFAULT 0")
+    spark.sql(
+        "SET VARIABLE bd3_thr = "
+        "(SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING')"
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               CAST(bd3_thr AS BIGINT) AS threshold_used
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n_name, bd3_thr
+        HAVING COUNT(*) * 25 > bd3_thr
+        ORDER BY n_name
+        """
+    )

@@ -290,6 +290,8 @@ def test_shuffle_exchange_budgets(spark):
         "rag_chunk_index": 3,
         "not_in_null_trap": 3,  # three scalar subqueries over dim tables
         "incremental_dedup": 4,  # snapshot distinct + batch window + hash join + agg
+        "pipe_syntax_query": 2,
+        "sql_variables_query": 2,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
