@@ -1007,3 +1007,75 @@ def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    -- SCD Type 2 built from the order stream: one row per customer x
+    -- consecutive run of order priorities, with validity interval and
+    -- version number.  Change detection: priority <> previous order's
+    -- priority (ordered by date, orderkey).
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS version
+      FROM seq
+      WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           CAST(version AS BIGINT) AS version,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY version), '%Y-%m-%d'), '9999-12-31')
+             AS valid_to,
+           LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+    FROM changes
+    ORDER BY custkey, version
+    """,
+)
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build — the warehouse
+    pattern for attribute tracking: collapse each customer's order
+    stream into versioned validity intervals of its priority attribute
+    (change rows via lag, interval close via lead, open intervals
+    pinned to the 9999-12-31 sentinel).
+
+    Two ordered windows over the same customer partitioning — one
+    shuffle; no self-join against the history (the anti-pattern SCD
+    builders fall into).  At 100 TB the change stream is a tiny
+    fraction of the input and the output partitions by customer for
+    the downstream point-in-time join.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    changes = (
+        seq.filter(F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p")))
+        .withColumn("version", F.row_number().over(w))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("o_orderdate").over(wv)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("version").cast("bigint").alias("version"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("custkey", "version")

@@ -292,6 +292,7 @@ def test_shuffle_exchange_budgets(spark):
         "incremental_dedup": 4,  # snapshot distinct + batch window + hash join + agg
         "pipe_syntax_query": 2,
         "sql_variables_query": 2,
+        "scd2_customer_history": 2,  # one customer shuffle + presentation sort
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
