@@ -288,11 +288,17 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- Q16 shape (no partsupp table: the supplier-part relation is
     -- derived from lineitem).  Chronically-complained-about suppliers
-    -- (> 200 'R' lines) are excluded via NOT IN, then distinct
-    -- suppliers are counted per (brand, type) for small parts.
-    WITH complained AS (
-      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-      GROUP BY l_suppkey HAVING COUNT(*) > 200
+    -- (above the MEDIAN per-supplier 'R'-line count, so the exclusion
+    -- scales with the data instead of a fixed constant) are excluded
+    -- via NOT IN, then distinct suppliers are counted per
+    -- (brand, type) for small parts.
+    WITH rcnt AS (
+      SELECT l_suppkey, COUNT(*) AS n_r FROM lineitem
+      WHERE l_returnflag = 'R' GROUP BY l_suppkey
+    ),
+    complained AS (
+      SELECT l_suppkey FROM rcnt
+      WHERE n_r > (SELECT quantile_cont(n_r, 0.5) FROM rcnt)
     ),
     rel AS (
       SELECT DISTINCT l.l_partkey, l.l_suppkey
@@ -319,13 +325,17 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
-    complained = (
+    rcnt = (
         li.filter(F.col("l_returnflag") == "R")
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_r"))
-        .filter(F.col("n_r") > 200)  # chronic complainers only
-        .select("l_suppkey")
     )
+    med = rcnt.agg(F.percentile("n_r", F.lit(0.5)).alias("m"))
+    # chronic complainers: above the per-supplier median — a
+    # data-relative cut that behaves identically at every SF
+    complained = rcnt.crossJoin(F.broadcast(med)).filter(
+        F.col("n_r") > F.col("m")
+    ).select("l_suppkey")
     # the complained set and the filtered part dim both grow ~SF —
     # no forced broadcast (AQE decides; null-aware anti stays correct
     # under either strategy)

@@ -283,7 +283,9 @@ def test_shuffle_exchange_budgets(spark):
         "approx_topk_tokens": 1,
         "higher_order_functions": 1,
         # Q16/Q20 shapes: distinct + anti-join + count-distinct chains
-        "supplier_part_variety": 5,
+        # +2 exchanges for the data-relative (median) complaint cut —
+        # the fixed-constant version returned 0 rows at sf0.1
+        "supplier_part_variety": 7,
         "excess_stock_suppliers": 3,
         "xml_functions": 1,
         "csv_column_parse": 1,
