@@ -29,7 +29,9 @@ from .dedup import _docs_parallel
 
 
 def _words(col: str = "text") -> Column:
-    return F.filter(F.split(col, " "), lambda x: x != "")
+    # NULL text is an empty word list (not -1 under non-ANSI size());
+    # keeps Spark and DuckDB verdicts identical on nullable inputs
+    return F.filter(F.split(F.coalesce(F.col(col), F.lit("")), " "), lambda x: x != "")
 
 
 def _ngrams(words: Column, n: int) -> Column:
@@ -51,7 +53,7 @@ def _duck_ngrams(n: int, words: str = "w.words") -> str:
     )
 
 
-_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DUCK_WORDS = "list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')"
 
 
 # ------------------------------------------------- repetition (Gopher rule)
@@ -200,8 +202,12 @@ PACK_BUDGET = 256  # tokens per training sequence
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-           CAST(SUM(CASE WHEN (start_off + n_tokens) // {PACK_BUDGET}
-                         > start_off // {PACK_BUDGET}
+           -- straddle = LAST token's chunk beyond the first token's
+           -- chunk (exclusive-end would miscount flush-fit docs that
+           -- end exactly on a boundary); empty docs never straddle
+           CAST(SUM(CASE WHEN n_tokens > 0
+                          AND (start_off + n_tokens - 1) // {PACK_BUDGET}
+                              > start_off // {PACK_BUDGET}
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
     FROM c GROUP BY source, chunk_id
     """,
@@ -229,14 +235,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = t.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     chunk = F.floor(F.col("start_off") / PACK_BUDGET)
-    end_chunk = F.floor((F.col("start_off") + F.col("n_tokens")) / PACK_BUDGET)
+    # last-token chunk, not exclusive end: a doc ending exactly on a
+    # boundary fits flush and does NOT straddle
+    end_chunk = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / PACK_BUDGET)
     return (
         c.select(
             "source",
             "doc_id",
             "n_tokens",
             chunk.alias("chunk_id"),
-            (end_chunk > chunk).cast("int").alias("straddles"),
+            ((F.col("n_tokens") > 0) & (end_chunk > chunk)).cast("int").alias("straddles"),
         )
         .groupBy("source", "chunk_id")
         .agg(
@@ -262,8 +270,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.source,
            CAST(t.n_docs AS BIGINT) AS n_docs,
            CAST(t.n_tokens AS BIGINT) AS n_tokens,
-           ROUND(CAST(t.n_tokens AS DOUBLE) / tot.total, 6) AS empirical_share,
-           ROUND(CAST(tot.total AS DOUBLE) / (tot.n_sources * t.n_tokens), 6)
+           ROUND(CAST(t.n_tokens AS DOUBLE) / NULLIF(tot.total, 0), 6)
+               AS empirical_share,
+           ROUND(CAST(tot.total AS DOUBLE) / NULLIF(tot.n_sources * t.n_tokens, 0), 6)
                AS uniform_weight
     FROM t CROSS JOIN tot
     """,
@@ -289,11 +298,14 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
-            "empirical_share"
-        ),
+        # NULLIF guards: a degenerate all-empty source yields NULL in
+        # both engines instead of Infinity-vs-NULL (or an ANSI error)
         F.round(
-            F.col("total").cast("double") / (F.col("n_sources") * F.col("n_tokens")),
+            F.col("n_tokens").cast("double") / F.nullif(F.col("total"), F.lit(0)), 6
+        ).alias("empirical_share"),
+        F.round(
+            F.col("total").cast("double")
+            / F.nullif(F.col("n_sources") * F.col("n_tokens"), F.lit(0)),
             6,
         ).alias("uniform_weight"),
     )

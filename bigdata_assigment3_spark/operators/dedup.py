@@ -29,7 +29,22 @@ from ..sources import load_table
 
 K = 16        # char-shingle length
 STRIDE = 4
-DF_CAP = 50   # drop shingles appearing in more docs than this
+DF_CAP = 50   # df-prune floor: effective cap = max(DF_CAP, n_docs // DF_CAP_DIV)
+DF_CAP_DIV = 50  # ...so the cap scales as 2% of the corpus beyond 2500 docs:
+# an absolute cap would prune EVERY shingle of a dup cluster larger
+# than itself, making exactly the template-spam pathology dedup exists
+# to catch invisible at large corpus sizes.  Identical to the old
+# constant at the shipped SFs (<= 2500 docs).
+
+
+def _df_cap(docs_df: DataFrame) -> int:
+    """Effective df cap for this corpus (deterministic scalar; the
+    count is one cheap job and the result is memoized with the
+    index)."""
+    return max(DF_CAP, docs_df.count() // DF_CAP_DIV)
+
+
+_DUCK_DF_CAP = f"GREATEST({DF_CAP}, (SELECT COUNT(*) // {DF_CAP_DIV} FROM documents))"
 J_HASH = 8    # minhash functions
 P = 1_000_000_007
 JACC_T = 0.5
@@ -48,7 +63,7 @@ sh_all AS (
        unnest(range(0, (LEN(d.text) - {K}) // {STRIDE} + 1)) AS p(i)
   WHERE LEN(d.text) >= {K}
 ),
-sh_df AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {DF_CAP}),
+sh_df AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= {_DUCK_DF_CAP}),
 shingles AS (SELECT a.doc_id, a.sh FROM sh_all a JOIN sh_df USING (sh)),
 doc_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
@@ -129,7 +144,7 @@ def _inverted_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = (
         sh_all.groupBy("sh")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= DF_CAP)
+        .filter(F.size("docs") <= _df_cap(docs))
         .persist()
     )
     built.count()  # materialize NOW: every consumer fans into several
@@ -388,22 +403,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     words = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
     w = docs.select("doc_id", F.explode(words).alias("word"))
-    bits = spark.range(SIM_BITS).select(
-        F.col("id").alias("b"), F.pow(F.lit(2.0), F.col("id")).cast("bigint").alias("p2")
-    )
-    h = F.expr(md5_int56_spark("word"))
-    # exact bit test: h % 2^(b+1) >= 2^b (double division would lose
-    # low bits of a 56-bit hash)
-    bit = (h % (2 * F.col("p2"))) >= F.col("p2")
-    votes = (
-        w.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", "p2", F.when(bit, 1).otherwise(-1).alias("vote"))
-        .groupBy("doc_id", "b", "p2")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.col("p2")).otherwise(0)).cast("bigint").alias("simhash")
-    )
+    wh = w.select("doc_id", F.expr(md5_int56_spark("word")).alias("h"))
+    # one static SUM per bit (integer div/mod bit test — exact on the
+    # 56-bit hash) instead of a bits crossJoin: the word stream never
+    # multiplies by SIM_BITS, and the single doc_id groupBy shuffles a
+    # 1-row-per-doc partial with 24 columns after map-side combine
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIM_BITS)
+    ]
+    votes = wh.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0)
+    for b in range(SIM_BITS):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
 COS_T = 0.95          # near-dup cosine threshold
@@ -422,7 +437,7 @@ COS_DIMS = 1 << 20    # hashed feature space: sparse -> join cost tracks true ov
       WHERE LEN(d.text) >= {K}
       GROUP BY 1, 2
     ),
-    keep AS (SELECT dim FROM feat0 GROUP BY dim HAVING COUNT(*) <= {DF_CAP}),
+    keep AS (SELECT dim FROM feat0 GROUP BY dim HAVING COUNT(*) <= {_DUCK_DF_CAP}),
     feat AS (SELECT f.* FROM feat0 f JOIN keep USING (dim)),
     norms AS (SELECT doc_id, SUM(cnt * cnt) AS n2 FROM feat GROUP BY 1),
     dots AS (
@@ -478,7 +493,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = (
         feat0.groupBy("dim")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "cnt"))).alias("docs"))
-        .filter(F.size("docs") <= DF_CAP)
+        .filter(F.size("docs") <= _df_cap(docs))
     )
     pair_expr = F.expr(
         "flatten(transform(docs, (a, i) -> transform(slice(docs, i + 1, size(docs)),"
@@ -542,11 +557,11 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id per component.
 
     Scale shape: min-label propagation — each round is one shuffle
-    join (labels x undirected pair edges) + a min-agg, lineage
-    truncated per round; rounds needed = component diameter, which
-    for dup clusters is tiny (pairs come from shared content).  The
-    round cap raises rather than returning unconverged labels
-    (same contract as largest_component).
+    join (labels x undirected pair edges) + a min-agg + a
+    pointer-doubling relabel, lineage truncated per round; rounds
+    needed = O(log component diameter), so the cap is effectively
+    unreachable.  The cap raises rather than returning unconverged
+    labels (same contract as largest_component).
     """
     from ..session import lineage_checkpoint
 
@@ -560,7 +575,13 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = lineage_checkpoint(und)  # pair mining runs once, reused per round
     lbl = und.select("v").distinct().select("v", F.col("v").alias("lbl"))
-    for _ in range(12):
+    # Each round takes the neighbor minimum AND the current label's own
+    # label (pointer-doubling): labels fall to the component minimum in
+    # O(log diameter) rounds instead of O(diameter), so a 50-round cap
+    # covers any component a real corpus can produce (2^50 diameter) —
+    # a plain neighbor-min loop with a small fixed cap hard-fails on a
+    # long mutation chain of near-dups.
+    for _ in range(50):
         nbr = (
             und.join(lbl.select(F.col("v").alias("u"), "lbl"), "u")
             .groupBy("v")
@@ -569,10 +590,22 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # carry the previous label through the round so convergence is
         # a filter over the checkpointed result — no extra join+shuffle
         # per round just to detect "no change"
-        nxt = lbl.join(nbr, "v", "left").select(
+        step = lbl.join(nbr, "v", "left").select(
             "v",
             F.col("lbl").alias("old_lbl"),
-            F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("mid"),
+        )
+        nxt = (
+            step.join(
+                lbl.select(F.col("v").alias("mid"), F.col("lbl").alias("mid_lbl")),
+                "mid",
+                "left",
+            )
+            .select(
+                "v",
+                "old_lbl",
+                F.least("mid", F.coalesce("mid_lbl", "mid")).alias("lbl"),
+            )
         )
         nxt = lineage_checkpoint(nxt)
         changed = nxt.filter(F.col("lbl") != F.col("old_lbl")).count()
@@ -580,7 +613,7 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise RuntimeError("label propagation did not converge in 12 rounds")
+        raise RuntimeError("label propagation did not converge in 50 rounds")
     return lbl.select(
         F.col("v").alias("doc_id"),
         F.col("lbl").cast("bigint").alias("canonical_id"),
@@ -694,17 +727,20 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "incremental_dedup",
     oracle="""
-    -- snapshot-incremental dedup: docs 0..249 are the accepted prior
-    -- snapshot; a new-batch doc (250..499) is dropped if its exact
-    -- text hash already exists in the snapshot OR duplicates an
+    -- snapshot-incremental dedup: the id-lower half of the corpus is
+    -- the accepted prior snapshot (data-relative split, so both sides
+    -- stay populated at every SF); a new-batch doc is dropped if its
+    -- exact text hash already exists in the snapshot OR duplicates an
     -- earlier-id doc within its own batch (first writer wins).
-    WITH snap AS (
-        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    WITH cut AS (SELECT (MAX(doc_id) + 1) // 2 AS half FROM documents),
+    snap AS (
+        SELECT DISTINCT md5(text) AS h
+        FROM documents, cut WHERE doc_id < cut.half
     ),
     batch AS (
         SELECT doc_id, source, md5(text) AS h,
                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        FROM documents WHERE doc_id >= 250
+        FROM documents, cut WHERE doc_id >= cut.half
     )
     SELECT b.source,
            CAST(COUNT(*) AS BIGINT) AS n_new,
@@ -733,10 +769,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5("text")
-    snap = docs.filter(F.col("doc_id") < 250).select(h.alias("h")).distinct()
+    # data-relative split: both sides populated at every SF
+    cut = docs.agg(F.expr("(MAX(doc_id) + 1) div 2").alias("half"))
+    halved = docs.crossJoin(F.broadcast(cut))
+    snap = halved.filter(F.col("doc_id") < F.col("half")).select(h.alias("h")).distinct()
     w = Window.partitionBy("h").orderBy("doc_id")
     batch = (
-        docs.filter(F.col("doc_id") >= 250)
+        halved.filter(F.col("doc_id") >= F.col("half"))
         .select("doc_id", "source", h.alias("h"))
         .withColumn("rn", F.row_number().over(w))
     )

@@ -25,6 +25,10 @@ _SQL_CONF = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DuckDB (the correctness oracle) is UTC-naive; pin Spark to UTC.
     "spark.sql.session.timeZone": "UTC",
+    # Pin ANSI mode (the Spark 4 default) explicitly: size(NULL) is -1
+    # under non-ANSI legacy sessions, which silently flips NULL-input
+    # semantics away from the DuckDB oracles on driver-owned sessions.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
