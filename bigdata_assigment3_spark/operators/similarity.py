@@ -90,11 +90,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("cand_id"))
     dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
-    scored = pairs.select(
+    # zero-norm guard BEFORE the division: under the session's pinned
+    # ANSI mode double/0.0 throws (a post-hoc isNotNull filter is dead
+    # code), and the oracle excludes zero-norm vectors the same way
+    scored = pairs.filter((F.col("na2") > 0) & (F.col("nb2") > 0)).select(
         "query_id",
         "cand_id",
         (dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))).alias("cos_raw"),
-    ).filter(F.col("cos_raw").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -261,11 +264,14 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id") != F.col("cand_id")
     )
     dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
-    scored = pairs.select(
+    # zero-norm guard BEFORE the division: under the session's pinned
+    # ANSI mode double/0.0 throws (a post-hoc isNotNull filter is dead
+    # code), and the oracle excludes zero-norm vectors the same way
+    scored = pairs.filter((F.col("na2") > 0) & (F.col("nb2") > 0)).select(
         "query_id",
         "cand_id",
         (dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))).alias("cos_raw"),
-    ).filter(F.col("cos_raw").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -317,25 +323,40 @@ def q_ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q = np.array(q_vecs, dtype=np.int64)
         qn = (Q * Q).sum(axis=1)
         qid = np.array(q_ids, dtype=np.int64)
+        # zero-norm guard (mirrors the codegen twin's na2/nb2 > 0
+        # filter): a zero-quantized vector would produce NaN cosines,
+        # and NaN sorts FIRST under desc — silently taking rank 1
+        qmask = qn > 0
+        Q, qn, qid = Q[qmask], qn[qmask], qid[qmask]
         for pdf in batches:
             E = np.array(pdf["e"].tolist(), dtype=np.int64)
+            if len(E) == 0 or len(Q) == 0:
+                continue
+            en = (E * E).sum(axis=1)
+            emask = en > 0
+            E, en = E[emask], en[emask]
+            cids = pdf["vec_id"].to_numpy()[emask]
             if len(E) == 0:
                 continue
             dots = E @ Q.T
-            en = (E * E).sum(axis=1)
             cos = dots / np.sqrt(en[:, None].astype(np.float64) * qn[None, :].astype(np.float64))
             n, m = cos.shape
             yield pd.DataFrame(
                 {
                     "query_id": np.tile(qid, n),
-                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cand_id": np.repeat(cids, m),
                     "cos_raw": cos.ravel(),
                 }
             )
 
     n_parts = spark.sparkContext.defaultParallelism
+    # widen only when the scan is narrower than the cluster (single
+    # test file): a real corpus already has >= parallelism splits and
+    # must NOT pay a full-corpus shuffle here
+    if len(emb.inputFiles()) < n_parts:
+        quant = quant.repartition(n_parts)
     scored = (
-        quant.repartition(n_parts)
+        quant
         .mapInPandas(score_batches, "query_id BIGINT, cand_id BIGINT, cos_raw DOUBLE")
         .filter(F.col("query_id") != F.col("cand_id"))
     )
@@ -380,7 +401,13 @@ def _pq_index(spark: SparkSession, sf_dir: str):
         "sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * v),"
         " CAST(0.0 AS DOUBLE), (a, b) -> a + b)))"
     )
-    vecs = emb.select("vec_id", norm.alias("e"))
+    # an exactly-zero embedding would divide by zero (an ERROR under
+    # the session's pinned ANSI mode) — drop it before normalizing
+    nonzero = F.expr(
+        "aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * v),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b) > 0"
+    )
+    vecs = emb.filter(nonzero).select("vec_id", norm.alias("e"))
 
     # train codebooks on a bounded deterministic sample (driver-side)
     train = np.array(

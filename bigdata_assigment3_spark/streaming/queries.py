@@ -41,11 +41,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hardening must run here too: a bare driver session cannot even
     read a TIMESTAMP(NANOS) probe without nanosAsLong."""
     ensure_session_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # stream the table path itself (works whether events.parquet is a
+    # single file or a directory of part files) — a pathGlobFilter on
+    # the parent dir would match only a literal single-file name and
+    # silently stream zero rows if the driver ever ships a directory
     stream = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
     )
     return normalize_events_ts(stream)
 
@@ -239,7 +244,22 @@ def q_stream_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table("stream_stateful_rl_sink")
+    sink = spark.table("stream_stateful_rl_sink")
+    # the update-mode memory sink APPENDS one cumulative row per key
+    # per micro-batch; keep only each user's final (largest-total) row
+    # so the result is correct even when the source splits into
+    # multiple batches (n_allowed + n_rejected is the strictly
+    # increasing total processed)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_days", "n_allowed", "n_rejected"),
+                F.col("n_allowed") + F.col("n_rejected"),
+            ).alias("s")
+        )
+        .select("user_id", "s.n_days", "s.n_allowed", "s.n_rejected")
+    )
 
 
 def _tws_available() -> bool:
@@ -349,7 +369,18 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.conf.set(provider_key, saved)
         else:
             spark.conf.unset(provider_key)
-    return spark.table("stream_tws_sink")
+    sink = spark.table("stream_tws_sink")
+    # update-mode memory sink appends per-batch cumulative rows: keep
+    # each user's final row (largest n_events) for multi-batch safety
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "max_value", "first_event_id"), F.col("n_events")
+            ).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.max_value", "s.first_event_id")
+    )
 
 
 if _tws_available():
@@ -407,10 +438,12 @@ def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
+      -- EXACT-microsecond gap rule (session_window merges on the raw
+      -- timestamps): flooring to whole seconds first would misclassify
+      -- a fractional-second gap straddling the boundary
       SELECT user_id, ts,
              CASE WHEN prev IS NULL
-                  OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev)) AS BIGINT)
-                     >= {_SESSION_GAP_S}
+                  OR epoch_us(ts) - epoch_us(prev) >= {_SESSION_GAP_S} * 1000000::BIGINT
                   THEN 1 ELSE 0 END AS new_sess
       FROM l
     )
@@ -515,7 +548,16 @@ def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle comparison fail instead of being self-confirming.
     Scale shape: state is one key per event within the watermark
     horizon, partitioned by key — the standard streaming-ETL dedup
-    stage in front of an append sink."""
+    stage in front of an append sink.
+
+    Determinism contract: the staged source is a single file, so
+    availableNow delivers everything in ONE micro-batch and no replica
+    can arrive after the watermark evicted its key's state.  In a
+    multi-batch deployment (Kafka, file-per-trigger) the exact-2x
+    property holds only for replicas arriving within the watermark
+    delay — which is precisely the documented semantics of
+    dropDuplicatesWithinWatermark, not a bug, but the exact equality
+    this oracle asserts depends on the single-batch drain."""
     s1 = _stream_events(spark, sf_dir)
     s2 = _stream_events(spark, sf_dir)
     dup = (
@@ -557,8 +599,20 @@ def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the watermark the on-time batch established.  Late rows never
     # pollute closed windows, and open windows are never emitted.
     oracle="""
+    -- the emission watermark is established AFTER the bridge batch,
+    -- so it derives from on-time UNION bridge rows — deriving it from
+    -- on-time rows alone is only equal when the globally-latest event
+    -- happens to be on-time (a data accident, not a guarantee)
     WITH b1 AS (SELECT * FROM events WHERE event_id % 4 <> 0),
-    wm AS (SELECT MAX(ts) - INTERVAL 2 DAY AS w FROM b1)
+    md AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+    bridge AS (
+      SELECT e.* FROM events e, md
+      WHERE e.event_id % 4 = 0 AND CAST(e.ts AS DATE) >= md.d - 1
+    ),
+    wm AS (
+      SELECT MAX(ts) - INTERVAL 2 DAY AS w
+      FROM (SELECT ts FROM b1 UNION ALL SELECT ts FROM bridge)
+    )
     SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
            event_type, COUNT(*) AS n
     FROM b1, wm
@@ -868,9 +922,16 @@ def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"bd3_union_src_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
-    if not os.path.exists(stage):
+    # completion marker, not bare dir existence: a crash between the
+    # two writes would otherwise poison every later run in this app
+    # with a half-staged source (missing/partial even leg)
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
         ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(f"{stage}/odd")
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(f"{stage}/even")
+        with open(marker, "w") as fh:
+            fh.write("ok")
     schema = ev.schema
     s_odd = spark.readStream.schema(schema).parquet(f"{stage}/odd")
     s_even = spark.readStream.schema(schema).parquet(f"{stage}/even")
@@ -946,6 +1007,11 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     Unlike ``dropDuplicates``, the within-watermark variant admits a
     duplicate whose event time differs — matching at-least-once
     transports, where the replayed record carries the same payload.
+
+    Determinism contract (same as stream_dedup_exactly_once): the
+    single-file staged source drains in one availableNow batch, so
+    every replica lands before any state eviction; multi-batch
+    transports only guarantee dedup within the watermark delay.
     """
     ev = _stream_events(spark, sf_dir)
     doubled = ev.unionByName(ev)
