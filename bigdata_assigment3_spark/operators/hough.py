@@ -402,8 +402,16 @@ def q_ellipse_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edge = spark.sql(ELLIPSE_EDGE_SQL).alias("e")
     imgs = edge.select("image_id").distinct()
-    imgs.createOrReplaceTempView("imgs")
-    cands = spark.sql(_ELL_CANDS_SQL)
+    # candidate grid composed as a crossJoin (like the circle sibling)
+    # — registering a session-global 'imgs' view here was a hidden
+    # side effect that could clobber/get clobbered in the shared session
+    grid = spark.range(81).select(
+        (28 + F.floor(F.col("id") / 27) * 2).cast("bigint").alias("ey"),
+        (30 + (F.floor(F.col("id") / 9) % 3) * 2).cast("bigint").alias("ex"),
+        (10 + (F.floor(F.col("id") / 3) % 3) * 2).cast("bigint").alias("ea"),
+        (6 + F.col("id") % 3).cast("bigint").alias("eb"),
+    )
+    cands = imgs.crossJoin(F.broadcast(grid))
     thetas = spark.sql(f"SELECT * FROM (VALUES {_ELL_THETAS}) AS t(t, ct, st)")
     samples = (
         cands.crossJoin(F.broadcast(thetas))
@@ -499,9 +507,14 @@ def q_hough_peak_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (votes DESC, y0, x0) tie-break — so no explicit NMS pass needed.
         peak_v = int(acc.max())
         if peak_v < acc_thresh:
+            # an all-out-of-bounds accumulator (possible when module
+            # constants make SIZE < 2R+1) has no vote rows at all in
+            # the relational twin — report NULL votes, not 0, so both
+            # forms satisfy the same oracle
             return pd.DataFrame(
                 {"image_id": [img], "status": ["NO_CIRCLE"],
-                 "cy": [None], "cx": [None], "peak_votes": [peak_v]}
+                 "cy": [None], "cx": [None],
+                 "peak_votes": [peak_v if peak_v > 0 else None]}
             )
         cy, cx = np.unravel_index(int(np.argmax(acc)), acc.shape)
         return pd.DataFrame(

@@ -216,7 +216,7 @@ def q_motion_decision_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = _mad_df(spark)
     th = _thresholds_df(spark)
     cls = (
-        mad.join(F.broadcast(th), "video_id")
+        mad.join(th, "video_id")
         .select(
             "video_id",
             "frame_idx",
@@ -354,7 +354,7 @@ def q_block_match_routed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = _mad_df(spark)
     th = _thresholds_df(spark)
     cls = (
-        mad.join(F.broadcast(th), "video_id")
+        mad.join(th, "video_id")
         .filter(F.col("video_id") == "moderate")
         .select(
             "frame_idx",
@@ -366,7 +366,7 @@ def q_block_match_routed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     medium = cls.filter(F.col("motion_class") == "MEDIUM").select("frame_idx")
     px = _px(spark).filter(F.col("video_id") == "moderate")
-    cur = px.filter(F.col("frame_idx") >= 1).join(F.broadcast(medium), "frame_idx")
+    cur = px.filter(F.col("frame_idx") >= 1).join(medium, "frame_idx")
     win = _bm_winners(spark, cur)
     agg = win.groupBy("frame_idx").agg(
         F.count(F.lit(1)).alias("n_blocks"),
@@ -500,7 +500,7 @@ def q_illum_invariant_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("vc") - F.sum("vp")).alias("dsum")
     )
     return (
-        j.join(F.broadcast(sums), ["video_id", "frame_idx"])
+        j.join(sums, ["video_id", "frame_idx"])
         .groupBy("video_id", "frame_idx")
         .agg(
             (F.sum(F.abs(F.col("vc") - F.col("vp"))).cast("double") / (H * W)).alias("mad_raw"),

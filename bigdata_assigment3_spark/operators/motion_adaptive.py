@@ -107,6 +107,17 @@ def _make_search(kind: str):
                         if c is not None and c < best:
                             best, best_y, best_x = c, ny, nx
                 else:  # three-step search (motion_codec.py TSS)
+                    # Canonical ladder: one round per step, halving from
+                    # search//2.  Known reach limit: covered displacement
+                    # is search//2 + search//4 + ... + 1 < search, so a
+                    # true match at the window edge can be missed — that
+                    # is inherent to TSS (wider first hops or
+                    # repeat-while-improving variants were tried and walk
+                    # into periodic-texture aliasing minima instead).
+                    # The routed pipeline compensates by sending
+                    # MEDIUM/HIGH-motion frames to full search
+                    # (block_match_routed_full), which is the production
+                    # answer to edge-of-window motion.
                     step = max(1, search // 2)
                     while step >= 1:
                         improved_y, improved_x = best_y, best_x
@@ -163,7 +174,7 @@ def q_block_match_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mad = _mad_df(spark)
     th = _thresholds_df(spark)
-    cls = mad.join(F.broadcast(th), "video_id").select(
+    cls = mad.join(th, "video_id").select(
         "video_id",
         "frame_idx",
         F.when(F.col("mad") < F.col("t_low"), "LOW")
@@ -174,7 +185,7 @@ def q_block_match_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     medium = cls.filter(
         (F.col("video_id") == "moderate") & (F.col("motion_class") == "MEDIUM")
     ).select("frame_idx")
-    paired = _paired_pixels(spark).join(F.broadcast(medium), "frame_idx")
+    paired = _paired_pixels(spark).join(medium, "frame_idx")
     vectors = paired.groupBy("frame_idx").applyInPandas(_make_search("diamond"), _OUT_SCHEMA)
     return (
         cls.filter(F.col("video_id") == "moderate")
