@@ -368,9 +368,6 @@ def q_correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the boundary never depends on float-avg association order.
     Catalyst decorrelates both subqueries into aggregates +
     equi-joins — the declarative form is enough."""
-    register_views = __import__(
-        "bigdata_assigment3_spark.sources", fromlist=["register_views"]
-    ).register_views
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT p.p_partkey AS partkey, p.p_brand AS brand,
@@ -403,8 +400,6 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated average over the fact table itself
     (decorrelated by Catalyst into a partial agg + join — the manual
     alternative would double-scan lineitem)."""
-    from ..sources import register_views
-
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 3) AS DOUBLE)
@@ -718,17 +713,26 @@ def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract.  Returns per-disposition counts plus the parsed sum
     (proving bad rows never pollute the aggregate)."""
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_badcsv_{tag}")
+    # keyed by app id (the staging convention everywhere else in this
+    # file): concurrent sessions must not share the fixture; written
+    # via tmp+rename so a killed run can't leave a truncated file that
+    # later runs trust
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_badcsv_{tag}_{spark.sparkContext.applicationId}",
+    )
     path = os.path.join(base, "input.csv")
     if not os.path.exists(path):
         os.makedirs(base, exist_ok=True)
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             f.write("id,amount\n")
             for i in range(100):
                 f.write(f"{i},{i * 10}\n")
             f.write("oops,not_a_number\n")
             f.write("42\n")  # too few columns
             f.write("7,77,extra\n")  # too many columns
+        os.replace(tmp, path)
     schema = "id BIGINT, amount BIGINT, _corrupt_record STRING"
     df = (
         spark.read.schema(schema)
@@ -991,8 +995,12 @@ def q_argmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(k) AS BIGINT) AS max_k,
            COUNT(DISTINCT k) AS n_distinct_k
     FROM (
+      -- TRUNC, not a rounding cast: Spark's variant_get(..., 'bigint')
+      -- truncates a non-integer JSON number while DuckDB's
+      -- string->BIGINT cast rounds — state the truncation explicitly
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CAST(TRUNC(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+               AS BIGINT) AS k
       FROM events
     )
     GROUP BY event_type
@@ -1162,13 +1170,22 @@ def q_asof_merge_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_schema_parse",
     oracle="""
+    -- from_json('k BIGINT') is STRICT: a non-integer k parses to NULL
+    -- (DuckDB's plain string->BIGINT cast would round it instead), so
+    -- the oracle admits only integer-literal strings
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                      '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
-           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+    FROM x
     GROUP BY event_type
     """,
 )

@@ -95,8 +95,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: dim filter -> fact joins -> agg -> top-k.
 
-    customer is filtered then broadcast (no shuffle of orders on the
-    dim side); orders⋈lineitem is the one real shuffle, on orderkey.
+    customer is filtered first; the planner broadcasts it while it
+    fits (and AQE falls back to shuffle when it grows with SF) —
+    orders⋈lineitem is the one always-wide shuffle, on orderkey.
     Top-10 runs as TakeOrdered, never a global sort.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -105,7 +106,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast(_DEC_EXT)
            * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT)))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate"))
         .agg(F.round(F.sum(rev), 3).cast("double").alias("revenue"))
@@ -133,9 +134,9 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with a correlated supplier condition.
 
-    region/nation/supplier/customer are broadcast (dim-sized); the
-    only big shuffle is orders⋈lineitem on orderkey.  Catalyst
-    reorders the joins; AQE re-plans if a side turns out small.
+    region/nation are force-broadcast (constant-size); supplier and
+    customer grow ~SF so their strategy is left to Catalyst/AQE.  The
+    only always-wide shuffle is orders⋈lineitem on orderkey.
     """
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
@@ -147,8 +148,8 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT)))
     return (
         o.join(l, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -199,8 +200,8 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(0.8).cast("decimal(2,1)")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), F.col("s_suppkey") == li.l_suppkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, F.col("s_suppkey") == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
@@ -516,7 +517,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice").cast(_DEC_EXT) * (F.lit(1) - F.col("l_discount").cast(_DEC_PCT))
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     promo = F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))) * 100, 3)
     total = F.round(F.sum(rev), 3)
     return j.agg((promo.cast("double") / total.cast("double")).alias("promo_share_pct"))
@@ -543,7 +544,7 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     then applies the residual predicate post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
@@ -751,7 +752,10 @@ def q_waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+        # timestamp + interval, NOT date_add: date_add truncates the
+        # timestamp to a date first, which silently shifts the late
+        # threshold for any non-midnight order timestamp
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
     )
     per_order = joined.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -764,7 +768,7 @@ def q_waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.element_at("late_supps", 1).alias("l_suppkey"))
     )
     return (
-        blame.join(F.broadcast(s), blame.l_suppkey == s.s_suppkey)
+        blame.join(s, blame.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
@@ -778,10 +782,13 @@ def q_waiting_supplier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 3) AS DOUBLE)
              AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (
-            SELECT AVG(CAST(c2.c_acctbal AS DOUBLE)) FROM customer c2
-            WHERE c2.c_acctbal > 0.0
-          )
+    -- exact-rational threshold: bal > avg  <=>  bal * n > s with the
+    -- DECIMAL sum s and count n (a float avg is association-order
+    -- dependent and can differ between engines in the last ulps)
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+            * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+             FROM customer c2 WHERE c2.c_acctbal > 0.0)
       AND NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
@@ -794,21 +801,25 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (none since 1999) — scalar aggregate subquery as threshold +
     NOT EXISTS as anti-join, grouped by market segment.
 
-    The scalar avg is a 1-row broadcast (cross join), the NOT EXISTS
-    a left_anti on c_custkey; both are the canonical Spark rewrites
-    and neither shuffles the customer table more than once.  The avg
-    threshold comparison runs in DOUBLE with identical shape in both
+    The scalar stats are a 1-row broadcast (cross join), the NOT
+    EXISTS a left_anti on c_custkey; both are the canonical Spark
+    rewrites and neither shuffles the customer table more than once.
+    The threshold comparison cross-multiplies by the count so it runs
+    on exact DECIMAL/BIGINT values with identical results in both
     engines; the kept set is integer-keyed so the branch is
     hash-stable.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg(F.col("c_acctbal").cast("double")).alias("threshold")
+    # exact-rational threshold (see oracle comment): DECIMAL sum and
+    # count are association-order independent, unlike a double avg
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
     kept = (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("threshold"))
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n") > F.col("s"))
         .join(
             o.filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")),
             c.c_custkey == o.o_custkey,
@@ -905,7 +916,7 @@ def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name")
         .agg(
             F.round(F.sum(rev), 3).cast("double").alias("revenue"),
@@ -960,7 +971,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("r") == F.col("mr"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_name", F.round("r", 3).cast("double").alias("total_revenue"))
     )
 
@@ -1000,9 +1011,9 @@ def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        F.broadcast(big)
+        big
         .join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", F.round("sum_qty", 3).cast("double").alias("sum_qty"))
         .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
         .limit(20)

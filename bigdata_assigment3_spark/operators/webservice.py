@@ -199,8 +199,9 @@ def q_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     "Delete every event of users with >= 16 error events" — the
     delete-key set is a DataFrame, removal is a left_anti join (the
-    Spark-native form of DELETE WHERE IN).  The key set is small ->
-    broadcast; no full shuffle of the fact table.
+    Spark-native form of DELETE WHERE IN).  The key set grows ~SF, so
+    broadcast-vs-shuffle is the planner's call (broadcast at test
+    scale; shuffled anti-join when the doomed set outgrows it).
     """
     ev = load_table(spark, sf_dir, "events")
     doomed = (
@@ -210,7 +211,7 @@ def q_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_err") >= 16)
         .select("user_id")
     )
-    kept = ev.join(F.broadcast(doomed), "user_id", "left_anti")
+    kept = ev.join(doomed, "user_id", "left_anti")
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -244,7 +245,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 12)
     )
-    merged = cust.join(F.broadcast(updates), cust.c_custkey == updates.o_custkey, "left")
+    merged = cust.join(updates, cust.c_custkey == updates.o_custkey, "left")
     segment = F.when(F.col("o_custkey").isNotNull(), "VIP").otherwise(F.col("c_mktsegment"))
     return (
         merged.select(segment.alias("segment"), "c_acctbal")
@@ -326,7 +327,11 @@ def q_request_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract",
     oracle="""
-    SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_bucket,
+    -- TRY_CAST via DOUBLE then FLOOR: identical semantics in both
+    -- engines for non-integer or malformed k (NULL bucket), where a
+    -- direct string->int cast crashes Spark under ANSI and ROUNDS in
+    -- DuckDB
+    SELECT CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10) AS BIGINT) AS k_bucket,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total_value
     FROM events
@@ -337,11 +342,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload extraction (ref app/services.py:20 payload JSON).
 
     get_json_object pulls the field without a Python UDF; bucketing +
-    aggregation stays in codegen.  (DuckDB INTEGER/10 truncates toward
-    zero; k >= 0 here so floor == trunc.)
+    aggregation stays in codegen.  The extracted string goes through
+    try_cast-to-DOUBLE then FLOOR in BOTH engines: a direct
+    string->int cast would crash Spark under ANSI on a non-integer k
+    while DuckDB rounds it — try/double/floor agree everywhere
+    (malformed k -> NULL bucket).
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return (
         ev.select(F.floor(k / 10).cast("bigint").alias("k_bucket"), "value")
         .groupBy("k_bucket")
