@@ -65,7 +65,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per Arrow batch via mapInPandas into typed metadata (SURVEY S8/U1).
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
 
     # NOTE: the closure must be fully self-contained (stdlib-only refs):
@@ -90,7 +90,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width": [m[1] for m in metas],
                     "channels": [m[2] for m in metas],
                     "content_hash": [
-                        hashlib.md5(bytes(p)).hexdigest()[:16] for p in pdf["payload"]
+                        _hl.md5(bytes(p)).hexdigest()[:16] for p in pdf["payload"]
                     ],
                 }
             )
@@ -105,7 +105,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation per source — UDF only where SQL can't reach, agg
     stays JVM-side (SURVEY U2-U4 shape)."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+        "doc_id", "source", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
     schema = StructType(
         [
@@ -183,9 +183,9 @@ def q_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id,
-             16 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 48) AS h,
-             16 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 48) AS w,
-             CASE WHEN ('0x' || substr(md5(text), 5, 2))::BIGINT % 2 = 0
+             16 + (('0x' || substr(md5(COALESCE(text, '')), 1, 2))::BIGINT % 48) AS h,
+             16 + (('0x' || substr(md5(COALESCE(text, '')), 3, 2))::BIGINT % 48) AS w,
+             CASE WHEN ('0x' || substr(md5(COALESCE(text, '')), 5, 2))::BIGINT % 2 = 0
                   THEN 1 ELSE 3 END AS c
       FROM documents
     )
@@ -206,7 +206,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv2.resize touches only the inner function; schema, batching and
     partitioning are the real, tested surface."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
     schema = StructType(
         [
@@ -255,7 +255,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id,
-             LEAST(8 + LEN(text) % 56, 64) AS n_eff
+             LEAST(8 + strlen(COALESCE(text, '')) % 56, 64) AS n_eff  -- strlen = BYTES, matching the utf-8 payload
       FROM documents
     )
     SELECT doc_id,
@@ -274,7 +274,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed to a deterministic hash.  Downstream per-video stats are
     an ordinary JVM-side aggregation."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
     schema = StructType(
         [
@@ -320,14 +320,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH imgs AS (
       SELECT doc_id AS img_id, text, 0 AS variant FROM documents
       UNION ALL
-      SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id % 10 = 0
+      SELECT -(doc_id + 1), text, 1 FROM documents WHERE doc_id % 10 = 0
     ),
     px AS (
       SELECT img_id, j.j AS j,
              CASE WHEN variant = 1 AND j.j % 29 = 1
-                  THEN (('0x' || substr(md5(text || CAST(j.j // 16 AS VARCHAR)),
+                  THEN (('0x' || substr(md5(COALESCE(text, '') || CAST(j.j // 16 AS VARCHAR)),
                                         (j.j % 16) * 2 + 1, 2))::BIGINT + 8) % 256
-                  ELSE ('0x' || substr(md5(text || CAST(j.j // 16 AS VARCHAR)),
+                  ELSE ('0x' || substr(md5(COALESCE(text, '') || CAST(j.j // 16 AS VARCHAR)),
                                        (j.j % 16) * 2 + 1, 2))::BIGINT
              END AS p
       FROM imgs, range(0, 64) AS j(j)
@@ -388,7 +388,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     images.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
     schema = StructType(
         [
@@ -432,7 +432,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (v + 8) % 256 if j % 29 == 1 else v
                         for j, v in enumerate(px)
                     ]
-                    rows.append((int(doc_id) + 100000,) + bands(pv))
+                    rows.append((-(int(doc_id) + 1),) + bands(pv))
             yield pd.DataFrame(rows, columns=["img_id", "b0", "b1", "b2", "b3"])
 
     bw = docs.mapInPandas(phash_batches, schema)
@@ -478,11 +478,11 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (('0x'||substr(md5(...)))::BIGINT == digest[j] — see README
     # exactness rules), so the audio pipeline is fully oracle-checked.
     oracle="""
-    WITH m AS (SELECT doc_id, text, 64 + LEN(text) % 192 AS n_samples FROM documents),
+    WITH m AS (SELECT doc_id, text, 64 + strlen(COALESCE(text, '')) % 192 AS n_samples FROM documents),  -- strlen = BYTES
     samples AS (
       SELECT doc_id,
              s.i AS idx,
-             ('0x' || substr(md5(text || CAST(s.i // 16 AS VARCHAR)),
+             ('0x' || substr(md5(COALESCE(text, '') || CAST(s.i // 16 AS VARCHAR)),
                              (s.i % 16) * 2 + 1, 2))::BIGINT - 128 AS v
       FROM m, unnest(range(0, n_samples)) AS s(i)
     ),
@@ -511,7 +511,7 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow (doc_id, win_idx, energy) and aggregate with map-side
     combine."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
     schema = StructType(
         [

@@ -48,17 +48,20 @@ _DEC_P = "decimal(12,2)"  # l_extendedprice
                     * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
+    -- NULLIF guards mirror the Spark side: a constant-x/-y group
+    -- yields NULL slope/corr in BOTH engines (DuckDB would otherwise
+    -- emit inf under ieee_floating_point_ops)
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n, 6)
              AS intercept,
            ROUND((n * sxy - sx * sy)
-                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+                 / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6) AS corr,
            ROUND(((n * sxy - sx * sy)
-                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                  / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0))
                  * ((n * sxy - sx * sy)
-                    / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS r2
+                    / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)), 6) AS r2
     FROM s
     """,
 )
@@ -86,8 +89,12 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # NULLIF guards: constant-x (or constant-y) groups yield NULL
+    # slope/corr like the oracle, instead of an ANSI DIVIDE_BY_ZERO
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
@@ -222,7 +229,8 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT e.event_type,
              ABS((e.value - s.sx / s.n)
-                 / SQRT((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1)))) AS az
+                 / NULLIF(SQRT((s.n * s.sxx - s.sx * s.sx)
+                               / (s.n * (s.n - 1))), 0)) AS az
       FROM events e JOIN s ON e.event_type = s.event_type
     )
     SELECT event_type,
@@ -252,8 +260,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     joined = ev.join(F.broadcast(s), "event_type")
+    # NULLIF guard: a single-row or zero-variance group must yield a
+    # NULL z-score (as the oracle does), not an ANSI DIVIDE_BY_ZERO
     az = F.abs(
-        (F.col("value") - sx / n) / F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+        (F.col("value") - sx / n)
+        / F.nullif(
+            F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))), F.lit(0.0)
+        )
     )
     return (
         joined.select("event_type", az.alias("az"))

@@ -118,7 +118,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_tokens,
            CAST(SUM(LEN(text)) AS BIGINT) AS n_chars,
            ROUND(CAST(SUM(LEN(text)) AS DOUBLE)
-                 / SUM(len(regexp_extract_all(text, '[a-z0-9]+'))), 6) AS chars_per_token
+                 / NULLIF(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))), 0), 6)
+             AS chars_per_token
     FROM documents
     GROUP BY lang
     """,
@@ -135,7 +136,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").cast("bigint").alias("n_tokens"),
             F.sum("len").cast("bigint").alias("n_chars"),
-            F.round(F.sum("len").cast("double") / F.sum("toks"), 6).alias("chars_per_token"),
+            F.round(
+                F.sum("len").cast("double") / F.nullif(F.sum("toks"), F.lit(0)), 6
+            ).alias("chars_per_token"),
         )
     )
 
@@ -267,13 +270,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", F.explode(words).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df, "term").select(
+    # corpus size rides along as a 1-row broadcast (graph.py's pattern)
+    # instead of an eager driver-side count that scans documents twice
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "term",
         F.col("tf").cast("bigint").alias("tf"),
         F.col("df").cast("bigint").alias("df"),
-        (F.col("tf").cast("double") * n_docs / F.col("df")).alias("score"),
+        (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("score"),
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -443,6 +448,13 @@ def _bpe_learn(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS):
             ).otherwise(F.concat(acc, F.array(x))),
         )
         words = words.select(F.array_join(folded, " ").alias("s"), "freq")
+        # truncate lineage per round (graph.py's iterative pattern):
+        # without it, round r's collect re-executes the corpus scan,
+        # the word-frequency agg, and all r-1 prior folds from scratch
+        # — O(rounds^2) recompute of the distinct-word table
+        from ..session import lineage_checkpoint
+
+        words = lineage_checkpoint(words)
     return words, merges
 
 

@@ -566,12 +566,14 @@ def test_triangle_count_matches_python_recompute(spark):
 def test_image_phash_recovers_planted_variants(spark):
     """The perceptual-hash pipeline must recover exactly the planted
     (original, re-encoded-variant) image pairs: every 10th doc plants
-    one variant at img_id + 100000 with 3 perturbed pixels (hamming
+    one variant at -(img_id + 1) (the negative id space can never
+    collide with a real doc_id at any corpus size) with 3 perturbed
+    pixels (hamming
     <= 3 after threshold-crossing slack), and no random pair sits
     within the hamming-6 verify radius."""
     rows = REGISTRY["image_phash_dedup"].fn(spark, SF_ORACLE).collect()
     got = {(r.img_a, r.img_b): r.hamming for r in rows}
-    want = {(d, d + 100000) for d in range(0, 500, 10)}
+    want = {(-(d + 1), d) for d in range(0, 500, 10)}
     assert set(got) == want, set(got) ^ want
     assert all(h <= 3 for h in got.values()), got
 
