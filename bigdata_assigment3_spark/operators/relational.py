@@ -1090,3 +1090,98 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     ).orderBy("custkey", "version")
+
+
+@query(
+    "point_in_time_join",
+    oracle="""
+    -- as-of join against the SCD2 history: each order picks the
+    -- priority version valid at its order date.  The history is
+    -- rebuilt inline with the same change-detection rule as
+    -- scd2_customer_history, then matched on the half-open interval
+    -- [valid_from, valid_to).
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS version
+      FROM seq
+      WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority, version,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY version)
+               AS valid_to
+      FROM changes
+    )
+    SELECT h.priority AS effective_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN h.priority = o.o_orderpriority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_actual
+    FROM orders o
+    JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    WHERE o.o_custkey < 100
+    GROUP BY h.priority
+    ORDER BY h.priority
+    """,
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the consumer side of SCD Type 2:
+    each fact row joins the dimension VERSION that was valid at its
+    event date (the ML-feature-store / audit-reporting lookup).
+
+    Composes the scd2_customer_history build (same change-detection
+    windows) and matches on the half-open validity interval.  A
+    boundary-date order (exactly at valid_from of the next version)
+    belongs to the NEW version — asserted by n_matching_actual: the
+    change row itself always matches its own new priority.
+
+    Scale shape: the interval join is an equi-join on custkey plus a
+    range predicate — Spark executes it as a hash join with the range
+    as a post-join filter; at 100 TB, bucketing both sides by custkey
+    makes it co-partitioned, and the history side is change-rate-sized
+    (tiny vs the facts).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    changes = (
+        seq.filter(F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p")))
+        .withColumn("version", F.row_number().over(w))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    hist = changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(wv).alias("valid_to"),
+    )
+    j = o.join(
+        hist,
+        (o.o_custkey == hist.custkey)
+        & (o.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (o.o_orderdate < hist.valid_to)),
+    )
+    return (
+        j.groupBy(F.col("priority").alias("effective_priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("priority") == F.col("o_orderpriority"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matching_actual"),
+        )
+        .orderBy("effective_priority")
+    )

@@ -298,6 +298,7 @@ def test_shuffle_exchange_budgets(spark):
         "pipe_syntax_query": 2,
         "sql_variables_query": 2,
         "scd2_customer_history": 2,  # one customer shuffle + presentation sort
+        "point_in_time_join": 3,     # history build + interval hash join + agg
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
