@@ -68,6 +68,10 @@ HEADLINE = [
     "winsorize_values",
     "rag_chunk_index",
     "supplier_part_variety",
+    # fifth-session batch: 2-D layout + containment dedup + Arrow kernel
+    "zorder_layout_stats",
+    "dedup_containment",
+    "arrow_batch_norm",
 ]
 
 

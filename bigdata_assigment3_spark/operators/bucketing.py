@@ -132,3 +132,68 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "runtime_bloom_filter_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: lineitem ⋈ a
+    selectively-filtered orders slice, with Catalyst's
+    InjectRuntimeFilter rule pushing a bloom filter built from the
+    filtered orders keys INTO the lineitem scan
+    (``might_contain(bloom, xxhash64(l_orderkey))``), so ~80% of fact
+    rows die before the shuffle instead of after it.
+
+    On the tiny testdata the planner would rather broadcast the dim
+    (and the application-side scan is below the 10 GiB threshold), so
+    the confs that gate the rule are scoped to THIS query plan —
+    forced while the logical plan optimizes, restored immediately
+    after — pinning exactly the plan a 100 TB fact table gets
+    naturally, where the dim outgrows the broadcast threshold and the
+    fact scan dwarfs the application-side floor.  A plan test asserts
+    ``might_contain`` is really in the optimized plan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+    )
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # force logical optimization NOW (lazy vals cache on the
+        # DataFrame's QueryExecution, so later actions reuse this plan)
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

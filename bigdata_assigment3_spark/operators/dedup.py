@@ -791,3 +791,53 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CONT_NUM, CONT_DEN = 4, 5  # containment threshold 4/5 = 0.8, integer-exact
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_JACCARD_PAIRS}
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(LEAST(n_a, n_b) AS BIGINT) AS n_small,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6) AS containment,
+           ROUND(jaccard, 6) AS jaccard,
+           (jaccard < {JACC_T}) AS jaccard_missed
+    FROM jacc
+    WHERE n_common * {CONT_DEN} >= LEAST(n_a, n_b) * {CONT_NUM}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C = |A∩B| / min(|A|,|B|) >=
+    {CONT_NUM}/{CONT_DEN} — the asymmetric measure that catches a
+    small document embedded verbatim inside a much larger one (quote
+    farms, boilerplate wrappers, doc-in-doc scrapes), which symmetric
+    Jaccard structurally misses: for |A| << |B| the union term drives
+    J -> 0 no matter how completely A is contained.  The
+    ``jaccard_missed`` flag marks exactly those pairs — the reason a
+    production dedup runs BOTH measures over the same shingle index.
+
+    Threshold compares via integer cross-multiplication
+    (n_common*{CONT_DEN} >= n_small*{CONT_NUM}) so membership never
+    depends on a float rounding edge.
+
+    Scale shape: reuses the cached df-pruned inverted index and the
+    in-array pair generation — zero additional shuffles beyond the
+    shared pair aggregation; the containment scoring is a projection
+    on the already-joined pair row."""
+    jc = _jaccard_pairs_df(spark, sf_dir)
+    n_small = F.least("n_a", "n_b")
+    return jc.filter(
+        F.col("n_common") * CONT_DEN >= n_small * CONT_NUM
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        n_small.cast("bigint").alias("n_small"),
+        F.round(F.col("n_common").cast("double") / n_small, 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+        (F.col("jaccard") < JACC_T).alias("jaccard_missed"),
+    )

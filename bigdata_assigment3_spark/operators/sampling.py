@@ -199,3 +199,57 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+W_CAP = 2000  # per-doc weight cap = the hash-threshold denominator
+
+
+@query(
+    "importance_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, doc_id, LEAST(n_chars, {W_CAP}) AS weight,
+             ({md5_int56_duck("(CAST(doc_id AS VARCHAR) || 'iw')")} % {W_CAP}
+              < LEAST(n_chars, {W_CAP})) AS kept
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weight) AS BIGINT) AS sum_weight,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN weight ELSE 0 END) AS BIGINT) AS kept_weight,
+           CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+    FROM w GROUP BY lang
+    """,
+)
+def q_importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance-weighted Bernoulli sampling: each document
+    is kept with probability weight/{W_CAP} where weight =
+    min(n_chars, {W_CAP}) — longer documents (more training tokens)
+    are proportionally more likely to survive, the standard
+    token-budget-aware down-sampling step.  Membership is the
+    hash-threshold test on a salted key (the 'iw' suffix decouples it
+    from the train/test split hash), so it is deterministic,
+    append-stable, and bit-identical across engines; expected kept
+    mass = sum_weight/{W_CAP} per language, and sum_kept_ids pins
+    exact membership, not just counts.
+
+    Scale shape: a single projection + conditional aggregate — zero
+    joins, zero state, one shuffle of per-language partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least("n_chars", F.lit(W_CAP))
+    h = F.expr(md5_int56_spark("(CAST(doc_id AS STRING) || 'iw')"))
+    w = docs.select(
+        "lang",
+        "doc_id",
+        weight.alias("weight"),
+        (h % W_CAP < weight).alias("kept"),
+    )
+    kept = F.when(F.col("kept"), 1).otherwise(0)
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("weight").cast("bigint").alias("sum_weight"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("weight")).otherwise(0)).cast("bigint").alias("kept_weight"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).cast("bigint").alias("sum_kept_ids"),
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
         hough,
         imagekernels,
         imagekernels2,
+        layout,
         motion,
         motion_adaptive,
         multimodal,

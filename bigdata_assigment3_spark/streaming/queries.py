@@ -1022,3 +1022,58 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     _run_to_memory(agg, "stream_dedup_ww_sink")
     return spark.table("stream_dedup_ww_sink")
+
+
+TOPK_PER_WINDOW = 3
+
+
+@query(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT window_start, event_type, n, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= {TOPK_PER_WINDOW}
+    """,
+)
+def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-{TOPK_PER_WINDOW} event types per tumbling
+    day window.  The streaming job maintains the per-(window, type)
+    counts — the only state that must live in the stream — and the
+    rank is applied OVER THE SINK, the standard two-tier topology for
+    streaming top-k (rank inside the stream would need complete-mode
+    rescans of all state every trigger; ranking the compact sink
+    table costs one window over #types rows per day).
+
+    Ties break by event_type so the result is deterministic and
+    exactly equals the batch rank — the oracle.
+
+    Scale: stream state is O(windows_in_watermark x #types); the sink
+    rank is a per-window window function over a few rows per window,
+    never a global sort."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "2 days")
+    agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    _run_to_memory(agg, "stream_topk_window_sink")
+    sink = spark.table("stream_topk_window_sink")
+    w = Window.partitionBy("window").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_WINDOW)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "rk",
+        )
+    )

@@ -144,6 +144,17 @@ def test_runtime_bloom_filter_injection(spark):
             spark.conf.set(k, v)
 
 
+def test_runtime_bloom_query_plan_pinned(spark):
+    """The registered runtime_bloom_filter_join query must return a
+    DataFrame whose ALREADY-OPTIMIZED plan carries the bloom filter
+    (the query scopes the gating confs around plan optimization and
+    restores them — the pin must survive the restore)."""
+    df = _plan(spark, "runtime_bloom_filter_join")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """With thresholds scaled to the test corpus, AQE must detect the
     hot-key partition (80% of fact rows) and split it: the executed
@@ -299,6 +310,14 @@ def test_shuffle_exchange_budgets(spark):
         "sql_variables_query": 2,
         "scd2_customer_history": 2,  # one customer shuffle + presentation sort
         "point_in_time_join": 3,     # history build + interval hash join + agg
+        # fifth-session batch
+        "zorder_layout_stats": 2,    # 1-row max broadcast + final 64-group agg
+        "importance_weighted_sample": 1,  # pure projection filter + report agg
+        "arrow_batch_norm": 1,       # Arrow kernel is map-side; one label agg
+        "runtime_bloom_filter_join": 2,
+        # count taken on a cold session: the full inverted-index build
+        # chain is in-plan; warm sessions hit the cached index instead
+        "dedup_containment": 15,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
