@@ -751,7 +751,35 @@ SLAB_Z_CC = 8
 _SPECKLE = "(z * 73856093 + y * 19349663 + x * 83492791) % 97 < 25"
 
 
-@query("largest_component_3d")  # rows-only: BSP local-CC + boundary merge
+@query(
+    "largest_component_3d",
+    # recursive-CTE transitive closure over the 6-neighbor edge list —
+    # tractable because the 25/97 speckle density sits below the cubic
+    # site-percolation threshold, so components stay small and the
+    # closure is sum(|component|^2) rows, not volume^2.
+    oracle=f"""
+    WITH RECURSIVE vox AS ({VOXELS_SQL}),
+    cells AS (SELECT (z * {Y} + y) * {X} + x AS cell, z, y, x
+              FROM vox WHERE {_SPECKLE}),
+    offs(dz, dy, dx) AS (VALUES (1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1)),
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM cells a CROSS JOIN offs o
+      JOIN cells b ON b.z = a.z + o.dz AND b.y = a.y + o.dy AND b.x = a.x + o.dx
+    ),
+    reach(root, cell) AS (
+      SELECT cell, cell FROM cells
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.cell
+    ),
+    comp AS (SELECT root, MIN(cell) AS comp FROM reach GROUP BY root),
+    sizes AS (SELECT comp, COUNT(*) AS size FROM comp GROUP BY comp),
+    top AS (SELECT size, comp FROM sizes ORDER BY size DESC, comp LIMIT 10)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY size DESC, comp) AS BIGINT) AS rank,
+           CAST(size AS BIGINT) AS size
+    FROM top
+    """,
+)
 def q_largest_component_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-D connected components at scale (SURVEY A14 / §8 open item):
     the distributed BSP pattern — label each z-slab locally (dense

@@ -269,13 +269,45 @@ def q_morphology_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("largest_component")  # rows-only: iterative label propagation
+@query(
+    "largest_component",
+    # recursive-CTE transitive closure: reach(root) = every cell
+    # reachable from root over the 4-neighbor edge list; a component's
+    # label is the min cell id it can reach.  Closure size is
+    # sum(|component|^2) — fine for the bounded fixture; the Spark side
+    # uses pointer-jumping min-propagation instead, which is the shape
+    # that scales.
+    oracle=f"""
+    WITH RECURSIVE px AS ({FRAME_PIXELS_SQL}),
+    cells AS (SELECT y * {W} + x AS cell, y, x FROM px
+              WHERE {_FRAME_FILTER} AND v >= 190),
+    offs(dy, dx) AS (VALUES (1,0),(-1,0),(0,1),(0,-1)),
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM cells a CROSS JOIN offs o
+      JOIN cells b ON b.y = a.y + o.dy AND b.x = a.x + o.dx
+    ),
+    reach(root, cell) AS (
+      SELECT cell, cell FROM cells
+      UNION
+      SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.cell
+    ),
+    comp AS (SELECT root, MIN(cell) AS component FROM reach GROUP BY root)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM comp GROUP BY component ORDER BY size DESC, component
+    """,
+)
 def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on the 2-D in-mask slice via iterative
     min-label propagation (SURVEY A14; ref keep-largest-CC skull
     strip, brain_segmentation.py:88-92).  Driver loop over distributed
     joins with lineage checkpointing; converges in O(diameter) rounds.
-    Returns component sizes (largest first)."""
+    Returns component sizes (largest first).
+
+    Value-oracled: DuckDB computes the same components by recursive-CTE
+    transitive closure over the shared SQL pixel fixture — two utterly
+    different algorithms agreeing on labels AND sizes."""
     frame = (
         spark.sql(FRAME_PIXELS_SQL)
         .filter(F.expr(_FRAME_FILTER) & (F.col("v") >= 190))

@@ -154,10 +154,105 @@ def q_block_match_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("frame_idx").applyInPandas(_make_search("diamond"), _OUT_SCHEMA)
 
 
-@query("block_match_tss")  # rows-only: data-dependent walk (U5)
+def _tss_oracle() -> str:
+    """Declarative replay of the TSS walk: the ladder has a FIXED probe
+    schedule (steps {SEARCH//2, //4, ..., 1}), so each round is one
+    argmin over 8 candidate offsets around the previous round's winner
+    — strict-< improvement with first-probe tie-break is exactly
+    ROW_NUMBER ordered by (improves, cost, probe index).  Valid only
+    while sum(steps) <= SEARCH (every probe stays inside the search
+    window, making n_probes the constant 1 + 8*rounds), which holds
+    for the module's SEARCH; asserted below so a constant bump can't
+    silently skew the oracle."""
+    from .motion import FRAME_PIXELS_SQL, H, W
+
+    steps = []
+    s = max(1, SEARCH // 2)
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    assert sum(steps) <= SEARCH, "TSS probes would leave the search window"
+
+    def probe_values(step: int) -> str:
+        rows, i = [], 0
+        for oy in (-step, 0, step):
+            for ox in (-step, 0, step):
+                if (oy, ox) != (0, 0):
+                    i += 1
+                    rows.append(f"({i},{oy},{ox})")
+        return ",".join(rows)
+
+    n_off = 2 * SEARCH + 1
+    sql = f"""
+    WITH px AS ({FRAME_PIXELS_SQL}),
+    cur AS (SELECT * FROM px WHERE video_id = 'moderate' AND frame_idx >= 1),
+    prev AS (SELECT * FROM px WHERE video_id = 'moderate'),
+    offsets AS (
+      SELECT CAST(FLOOR(id / {n_off}) AS BIGINT) - {SEARCH} AS oy,
+             id % {n_off} - {SEARCH} AS ox
+      FROM range({n_off ** 2}) AS r(id)
+    ),
+    sad AS (
+      SELECT c.frame_idx,
+             CAST(FLOOR(c.y / {BLK}) AS BIGINT) AS by,
+             CAST(FLOOR(c.x / {BLK}) AS BIGINT) AS bx,
+             o.oy AS dy, o.ox AS dx,
+             SUM(ABS(c.v - p.v)) AS cost
+      FROM cur c
+      JOIN offsets o
+        ON CAST(FLOOR(c.y / {BLK}) AS BIGINT) * {BLK} + o.oy BETWEEN 0 AND {H - BLK}
+       AND CAST(FLOOR(c.x / {BLK}) AS BIGINT) * {BLK} + o.ox BETWEEN 0 AND {W - BLK}
+      JOIN prev p ON p.frame_idx = c.frame_idx - 1
+                 AND p.y = c.y + o.oy AND p.x = c.x + o.ox
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    c0 AS (SELECT frame_idx, by, bx, CAST(0 AS BIGINT) AS cy,
+                  CAST(0 AS BIGINT) AS cx, cost AS best
+           FROM sad WHERE dy = 0 AND dx = 0)"""
+    prev_c = "c0"
+    for k, step in enumerate(steps, start=1):
+        sql += f""",
+    p{k}(i, oy, ox) AS (VALUES {probe_values(step)}),
+    r{k} AS (
+      SELECT c.frame_idx, c.by, c.bx, c.cy, c.cx, c.best, p.i,
+             c.cy + p.oy AS ny, c.cx + p.ox AS nx, s.cost
+      FROM {prev_c} c CROSS JOIN p{k} p
+      LEFT JOIN sad s ON s.frame_idx = c.frame_idx AND s.by = c.by AND s.bx = c.bx
+                     AND s.dy = c.cy + p.oy AND s.dx = c.cx + p.ox
+    ),
+    w{k} AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY frame_idx, by, bx
+        ORDER BY (cost IS NULL OR cost >= best), cost, i) AS rn
+      FROM r{k}
+    ),
+    c{k} AS (
+      SELECT frame_idx, by, bx,
+             CASE WHEN cost IS NOT NULL AND cost < best THEN ny ELSE cy END AS cy,
+             CASE WHEN cost IS NOT NULL AND cost < best THEN nx ELSE cx END AS cx,
+             CASE WHEN cost IS NOT NULL AND cost < best THEN cost ELSE best END AS best
+      FROM w{k} WHERE rn = 1
+    )"""
+        prev_c = f"c{k}"
+    sql += f"""
+    SELECT frame_idx, by, bx,
+           CAST(cy AS BIGINT) AS dy, CAST(cx AS BIGINT) AS dx,
+           CAST(best AS BIGINT) AS cost,
+           CAST({1 + 8 * len(steps)} AS BIGINT) AS n_probes
+    FROM {prev_c}
+    """
+    return sql
+
+
+@query("block_match_tss", oracle=_tss_oracle())
 def q_block_match_tss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-step search per frame pair via applyInPandas (same harness
-    as diamond, log-step probe pattern)."""
+    as diamond, log-step probe pattern).
+
+    Value-oracled: TSS's probe schedule is fixed (unlike diamond's
+    open-ended walk), so the whole search unrolls into one chained-CTE
+    argmin ladder in DuckDB — the numpy walk and the declarative
+    replay agree on every vector, cost, and probe count."""
     paired = _paired_pixels(spark)
     return paired.groupBy("frame_idx").applyInPandas(_make_search("tss"), _OUT_SCHEMA)
 

@@ -58,11 +58,34 @@ _DECODE_SCHEMA = StructType(
 )
 
 
-@query("multimodal_decode")  # rows-only: pandas-UDF pipeline, not SQL
+@query(
+    "multimodal_decode",
+    # the stub decoder is pure md5 arithmetic, so DuckDB can replay it
+    # exactly: digest byte k = hex chars 2k+1..2k+2 (md5 of a VARCHAR
+    # hashes its UTF-8 bytes = the Spark-side encoded payload)
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+           CAST(16 + ('0x' || substr(md5(COALESCE(text, '')), 1, 2))::BIGINT % 48
+                AS INTEGER) AS height,
+           CAST(16 + ('0x' || substr(md5(COALESCE(text, '')), 3, 2))::BIGINT % 48
+                AS INTEGER) AS width,
+           CAST(CASE WHEN ('0x' || substr(md5(COALESCE(text, '')), 5, 2))::BIGINT % 2 = 0
+                     THEN 1 ELSE 3 END AS INTEGER) AS channels,
+           substr(md5(COALESCE(text, '')), 1, 16) AS content_hash
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary ingestion + batch decode: documents' text re-encoded as
     an opaque BinaryType payload (stand-in for image bytes), decoded
     per Arrow batch via mapInPandas into typed metadata (SURVEY S8/U1).
+
+    Value-oracled: the stub decoder is deterministic md5 arithmetic,
+    so the whole mapInPandas pipeline — binary encode, Arrow batch
+    iteration, per-payload decode, schema — is checked bit-for-bit
+    against a declarative replay, proving the UDF plumbing (not just
+    the stub) preserves every row and byte.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
@@ -98,12 +121,46 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_batches, _DECODE_SCHEMA)
 
 
-@query("multimodal_features")  # rows-only: pandas-UDF pipeline
+@query(
+    "multimodal_features",
+    # byte-exact declarative replay of the UDF's byte histogram: the
+    # payload's hex dump unnested into 2-char chunks IS the byte
+    # sequence, engine-independent for any encoding
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS nb
+      FROM documents
+    ),
+    freq AS (
+      SELECT b.doc_id, substr(b.hx, 1 + 2 * CAST(t.i AS INTEGER), 2) AS byte,
+             COUNT(*) AS cnt
+      FROM b, unnest(range(b.nb)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT b.doc_id, b.source,
+             CAST(COALESCE(COUNT(f.byte), 0) AS INTEGER) AS n_distinct_bytes,
+             CAST(COALESCE(MAX(f.cnt), 0) AS INTEGER) AS max_byte_freq
+      FROM b LEFT JOIN freq f ON f.doc_id = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_distinct_bytes) AS DOUBLE) / COUNT(*), 4) AS avg_distinct_bytes,
+           MAX(max_byte_freq) AS max_byte_freq
+    FROM per_doc GROUP BY source
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload feature extraction (byte-histogram entropy-ish
     stats, the stand-in for resize/embed), then relational
     aggregation per source — UDF only where SQL can't reach, agg
-    stays JVM-side (SURVEY U2-U4 shape)."""
+    stays JVM-side (SURVEY U2-U4 shape).
+
+    Value-oracled via a hex-dump byte-histogram replay in DuckDB, so
+    the Arrow-batched histogram kernel is checked end to end."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").cast(BinaryType()).alias("payload")
     )
