@@ -72,6 +72,8 @@ HEADLINE = [
     "zorder_layout_stats",
     "dedup_containment",
     "arrow_batch_norm",
+    "token_zipf_slope",
+    "pandas_udaf_mad",
 ]
 
 

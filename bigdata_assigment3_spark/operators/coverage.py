@@ -54,6 +54,57 @@ def q_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "custom_stream_scan",
+    oracle=f"""
+    WITH t AS (
+      SELECT id AS tx_id,
+             ['a','b','c','d'][CAST(id % 4 AS INTEGER) + 1] AS kind,
+             (id * 31) % 1000 AS amount
+      FROM range({SYNTH_ROWS}) r(id)
+    )
+    SELECT kind,
+           COUNT(*) AS n,
+           CAST(SUM(amount) AS BIGINT) AS total_amount,
+           CAST(MAX(tx_id) AS BIGINT) AS max_tx_id
+    FROM t GROUP BY kind
+    """,
+)
+def q_custom_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream through the STREAMING side of the Python DataSource
+    API (sources/custom.py 'synthtxstream', SimpleDataSourceStreamReader):
+    the same deterministic relation as custom_source_scan arrives as
+    four resumable micro-batches with JSON cursor offsets — the
+    connector shape for offset-addressable systems (internal APIs,
+    bespoke logs) that have no native Spark streaming source.
+
+    availableNow can't drain a cursor source that extends its own
+    available range batch by batch, so the query runs a default
+    trigger and blocks on ``processAllAvailable`` (no more data =>
+    cursor at end), then stops — the complete-mode aggregate at that
+    point is batch-equal, which is the oracle."""
+    from ..sources.custom import register_synthtx_stream
+
+    register_synthtx_stream(spark)
+    stream = spark.readStream.format("synthtxstream").load()
+    agg = stream.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("bigint").alias("total_amount"),
+        F.max("tx_id").cast("bigint").alias("max_tx_id"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("custom_stream_scan_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("custom_stream_scan_sink")
+
+
+@query(
     "table_profile",
     oracle="""
     SELECT 'o_orderkey' AS col_name,
@@ -235,18 +286,53 @@ def q_insert_unique_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_stats")  # rows-only: sketch-based, engine-specific algorithms
+@query(
+    "approx_stats",
+    # the sketch VALUES are engine-specific, so the oracle checks the
+    # exact side plus the sketch-accuracy CONTRACT: HLL++ within 10%
+    # (deterministic hash sketch, sparse-mode near-exact at these
+    # cardinalities), percentile_approx inside the exact p40..p60 /
+    # p90..p99 value brackets (rank error 1/accuracy = 0.01%)
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+           TRUE AS hll_within_10pct,
+           TRUE AS p50_in_bracket,
+           TRUE AS p95_in_bracket
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms of A3/A7: approx_count_distinct (HyperLogLog++)
     and percentile_approx (KLL-ish sketch) — single-pass, bounded
-    memory, mergeable across partitions.  Rows-only because sketch
-    results are engine-specific; the exact twins (event_totals,
-    request_metrics) are the oracle-checked versions."""
+    memory, mergeable across partitions.  Sketch values are
+    engine-specific, so the oracle pins the exact distinct count and
+    the sketches' ACCURACY GUARANTEES as booleans: the HLL estimate
+    within 10% of exact (2x its 5% design rsd; the sketch is a
+    deterministic hash structure, not sampled), and each approximate
+    percentile inside the exact value bracket its rank-error bound
+    implies.  A sketch regression (or an engine swapping algorithms
+    for something worse) flips a boolean and fails the value hash."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact_users"),
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("p50_approx"),
         F.percentile_approx("value", 0.95).alias("p95_approx"),
+        F.expr("percentile(value, 0.40)").alias("p40"),
+        F.expr("percentile(value, 0.60)").alias("p60"),
+        F.expr("percentile(value, 0.90)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact_users")) * 10
+            <= F.col("n_exact_users")
+        ).alias("hll_within_10pct"),
+        F.col("p50_approx").between(F.col("p40"), F.col("p60")).alias("p50_in_bracket"),
+        F.col("p95_approx").between(F.col("p90"), F.col("p99")).alias("p95_in_bracket"),
     )
 
 

@@ -650,3 +650,70 @@ def q_sql_variables_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "sql_scripting_query",
+    oracle="""
+    -- the script doubles the cutoff from 1000 until >= 90% of orders
+    -- fall below it; the oracle evaluates the whole doubling ladder
+    -- declaratively and picks the first qualifying rung
+    WITH n AS (SELECT COUNT(*) AS n_total FROM orders),
+    cands AS (SELECT 1000.0 * POWER(2, CAST(i AS INTEGER)) AS cutoff
+              FROM range(0, 20) r(i)),
+    q AS (
+      SELECT c.cutoff,
+             (SELECT COUNT(*) FROM orders o
+               WHERE CAST(o.o_totalprice AS DOUBLE) < c.cutoff) AS n_below,
+             n.n_total
+      FROM cands c, n
+    )
+    SELECT cutoff AS price_cutoff,
+           CAST(n_below AS BIGINT) AS n_below,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM q WHERE n_below * 10 >= n_total * 9
+    ORDER BY cutoff LIMIT 1
+    """,
+)
+def q_sql_scripting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): a data-dependent
+    control-flow loop entirely in SQL — double a price cutoff until it
+    covers >= 90% of orders, then report the rung and its coverage.
+    This is the migration target for stored-procedure logic
+    (Teradata/Oracle PL blocks) that previously needed driver-side
+    Python around Spark.
+
+    Each WHILE probe is one COUNT over the orders view; the loop runs
+    a handful of iterations regardless of table size, so the pattern
+    costs O(log(range)) scans — and each scan is a distributed job,
+    nothing accumulates on the driver.  The oracle replays the whole
+    doubling ladder declaratively and picks the first qualifying rung,
+    which must equal the loop's exit state."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff DOUBLE DEFAULT 1000.0;
+              WHILE (SELECT COUNT(*) FROM orders
+                      WHERE CAST(o_totalprice AS DOUBLE) < cutoff) * 10 <
+                    (SELECT COUNT(*) FROM orders) * 9 DO
+                SET cutoff = cutoff * 2;
+              END WHILE;
+              SELECT cutoff AS price_cutoff,
+                     CAST((SELECT COUNT(*) FROM orders
+                            WHERE CAST(o_totalprice AS DOUBLE) < cutoff) AS BIGINT)
+                       AS n_below,
+                     CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total;
+            END
+            """
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)

@@ -144,12 +144,110 @@ def _make_search(kind: str):
     return run
 
 
-@query("block_match_diamond")  # rows-only: data-dependent walk (U5)
+_LDP = [(-2, 0), (2, 0), (0, -2), (0, 2), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+_SDP = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+
+def _diamond_walk_sql(seed_filter: str = "") -> str:
+    """Recursive-CTE replay of the diamond walk: the numpy loop is a
+    deterministic finite automaton over (phase, step, center, best),
+    so each probe becomes one recursion step — phase 0 walks the
+    large-diamond pattern (repeating while a pass moved the center,
+    with IN-pass center movement, exactly like the sequential loop),
+    phase 1 runs the small-diamond refinement, phase 2 is terminal.
+    Probes are counted only for candidates inside the search window
+    (out-of-frame candidates count but can't win), mirroring the
+    kernel's bookkeeping.  Assumes the CTE context already defines
+    ``px``; emits MATERIALIZED sad (17x faster than re-deriving it
+    inside the recursion).  ``seed_filter`` restricts which blocks
+    start a walk (the routed pipeline seeds MEDIUM frames only)."""
+    from .motion import BLK, H, SEARCH, W
+
+    n_off = 2 * SEARCH + 1
+    pat_vals = ",".join(
+        [f"(0,{i},{oy},{ox})" for i, (oy, ox) in enumerate(_LDP)]
+        + [f"(1,{i},{oy},{ox})" for i, (oy, ox) in enumerate(_SDP)]
+    )
+    return f"""
+cur AS (SELECT * FROM px WHERE video_id = 'moderate' AND frame_idx >= 1),
+prev AS (SELECT * FROM px WHERE video_id = 'moderate'),
+woffsets AS (
+  SELECT CAST(FLOOR(id / {n_off}) AS BIGINT) - {SEARCH} AS oy,
+         id % {n_off} - {SEARCH} AS ox
+  FROM range({n_off ** 2}) AS r(id)
+),
+wsad AS MATERIALIZED (
+  SELECT c.frame_idx,
+         CAST(FLOOR(c.y / {BLK}) AS BIGINT) AS by,
+         CAST(FLOOR(c.x / {BLK}) AS BIGINT) AS bx,
+         o.oy AS dy, o.ox AS dx,
+         SUM(ABS(c.v - p.v)) AS cost
+  FROM cur c
+  JOIN woffsets o
+    ON CAST(FLOOR(c.y / {BLK}) AS BIGINT) * {BLK} + o.oy BETWEEN 0 AND {H - BLK}
+   AND CAST(FLOOR(c.x / {BLK}) AS BIGINT) * {BLK} + o.ox BETWEEN 0 AND {W - BLK}
+  JOIN prev p ON p.frame_idx = c.frame_idx - 1
+             AND p.y = c.y + o.oy AND p.x = c.x + o.ox
+  GROUP BY 1, 2, 3, 4, 5
+),
+pat(phase, i, oy, ox) AS (VALUES {pat_vals}),
+walk(frame_idx, by, bx, phase, step, cy, cx, best, probes, moved) AS (
+  SELECT s.frame_idx, s.by, s.bx, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         s.cost, CAST(1 AS BIGINT), FALSE
+  FROM wsad s {seed_filter}
+  WHERE s.dy = 0 AND s.dx = 0
+  UNION ALL
+  SELECT w.frame_idx, w.by, w.bx,
+         CASE WHEN w.phase = 0 AND w.step < {len(_LDP) - 1} THEN 0
+              WHEN w.phase = 0 AND (w.moved OR improved) THEN 0
+              WHEN w.phase = 0 THEN 1
+              WHEN w.step < {len(_SDP) - 1} THEN 1 ELSE 2 END,
+         CASE WHEN w.phase = 0 AND w.step < {len(_LDP) - 1} THEN w.step + 1
+              WHEN w.phase = 0 THEN 0
+              WHEN w.step < {len(_SDP) - 1} THEN w.step + 1 ELSE 0 END,
+         CASE WHEN improved THEN w.cy + p.oy ELSE w.cy END,
+         CASE WHEN improved THEN w.cx + p.ox ELSE w.cx END,
+         CASE WHEN improved THEN s.cost ELSE w.best END,
+         w.probes + CASE WHEN in_range THEN 1 ELSE 0 END,
+         CASE WHEN w.phase = 0 AND w.step < {len(_LDP) - 1}
+              THEN (w.moved OR improved) ELSE FALSE END
+  FROM walk w
+  JOIN pat p ON p.phase = w.phase AND p.i = w.step
+  LEFT JOIN wsad s ON s.frame_idx = w.frame_idx AND s.by = w.by AND s.bx = w.bx
+                  AND s.dy = w.cy + p.oy AND s.dx = w.cx + p.ox,
+  LATERAL (SELECT (ABS(w.cy + p.oy) <= {SEARCH}
+                   AND ABS(w.cx + p.ox) <= {SEARCH}) AS in_range,
+                  (s.cost IS NOT NULL
+                   AND ABS(w.cy + p.oy) <= {SEARCH} AND ABS(w.cx + p.ox) <= {SEARCH}
+                   AND s.cost < w.best) AS improved) f
+  WHERE w.phase < 2
+)"""
+
+
+def _diamond_oracle() -> str:
+    from .motion import FRAME_PIXELS_SQL
+
+    return f"""
+    WITH RECURSIVE px AS MATERIALIZED ({FRAME_PIXELS_SQL}),
+    {_diamond_walk_sql()}
+    SELECT frame_idx, by, bx,
+           CAST(cy AS BIGINT) AS dy, CAST(cx AS BIGINT) AS dx,
+           CAST(best AS BIGINT) AS cost, CAST(probes AS BIGINT) AS n_probes
+    FROM walk WHERE phase = 2
+    """
+
+
+@query("block_match_diamond", oracle=_diamond_oracle())
 def q_block_match_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diamond search per frame pair via applyInPandas — the ~10-20x
     cheaper adaptive search; optimality checked against the relational
     full search in tests (cost_diamond >= cost_full, planted motion
-    recovered exactly)."""
+    recovered exactly).
+
+    Value-oracled: the sequential walk is a deterministic automaton,
+    so DuckDB replays it probe-by-probe as a recursive CTE
+    (:func:`_diamond_walk_sql`) — every vector, cost, and probe count
+    bit-equal between the numpy kernel and the declarative replay."""
     paired = _paired_pixels(spark)
     return paired.groupBy("frame_idx").applyInPandas(_make_search("diamond"), _OUT_SCHEMA)
 
@@ -257,7 +355,25 @@ def q_block_match_tss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("frame_idx").applyInPandas(_make_search("tss"), _OUT_SCHEMA)
 
 
-@query("block_match_routed")  # rows-only: routing + data-dependent walk
+def _routed_oracle() -> str:
+    from .motion import _CLASSIFY_SQL, _MAD_SQL, _THRESH_SQL, FRAME_PIXELS_SQL
+
+    seed = "JOIN (SELECT frame_idx FROM cls WHERE video_id = 'moderate' AND motion_class = 'MEDIUM') mm ON mm.frame_idx = s.frame_idx"
+    return f"""
+    WITH RECURSIVE px AS MATERIALIZED ({FRAME_PIXELS_SQL}),
+    mad AS ({_MAD_SQL}), th AS ({_THRESH_SQL}), cls AS ({_CLASSIFY_SQL}),
+    {_diamond_walk_sql(seed)},
+    vec AS (SELECT frame_idx, by, bx, cy, cx, best FROM walk WHERE phase = 2)
+    SELECT c.frame_idx, c.motion_class,
+           CAST(v.by AS BIGINT) AS by, CAST(v.bx AS BIGINT) AS bx,
+           CAST(v.cy AS BIGINT) AS dy, CAST(v.cx AS BIGINT) AS dx,
+           CAST(v.best AS BIGINT) AS cost
+    FROM (SELECT frame_idx, motion_class FROM cls WHERE video_id = 'moderate') c
+    LEFT JOIN vec v ON v.frame_idx = c.frame_idx
+    """
+
+
+@query("block_match_routed", oracle=_routed_oracle())
 def q_block_match_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full cheap-first pipeline (motion_codec.py:
     252-289): classify every frame pair LOW/MEDIUM/HIGH from MAD

@@ -597,3 +597,64 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(5)
     )
+
+
+@query(
+    "pandas_udaf_mad",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority, MEDIAN(CAST(o_totalprice AS DOUBLE)) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    d AS (
+      SELECT o.o_orderpriority,
+             ABS(CAST(o.o_totalprice AS DOUBLE) - m.med) AS dev
+      FROM orders o JOIN m USING (o_orderpriority)
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MEDIAN(dev), 4) AS mad_price
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def q_pandas_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (the UDAF surface): per-priority
+    median absolute deviation of order value — the robust spread
+    statistic Spark has no built-in aggregate for (median exists, MAD
+    does not: it needs a second median over per-group deviations).
+    The UDF receives each group's values as ONE Arrow-backed Series
+    and returns one scalar — the vectorized custom-aggregate shape
+    for statistics a SQL rewrite would need two shuffles to express
+    (and the oracle pays exactly those: median join + second median).
+
+    Parity: both engines interpolate even-count medians as the mean
+    of the middle two doubles; values are exact cents, and ROUND(4)
+    absorbs any last-ulp noise in the halving.
+
+    Scale: one shuffle on the group key; per-group state is the
+    group's value vector inside an Arrow batch — fine for bounded
+    groups (5 priorities x O(rows/5)); for unbounded group sizes the
+    two-pass SQL form (the oracle's shape) is the fallback."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` turns
+    # type hints into strings the UDF inspector can't resolve here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(v):
+        med = v.median()
+        return float((v - med).abs().median())
+
+    # JVM aggregates can't share an agg with a GROUPED_AGG pandas UDF
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides as a second
+    # pandas aggregate over the same Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(v):
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        cnt("price").alias("n"),
+        F.round(mad("price"), 4).alias("mad_price"),
+    )

@@ -638,3 +638,66 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+ZIPF_TOP = 200
+
+
+@query(
+    "token_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {ZIPF_TOP}),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM top
+    ),
+    pts AS (SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y FROM ranked)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
+           ROUND((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
+                 / COUNT(*), 6) AS zipf_intercept
+    FROM pts
+    """,
+)
+def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(count) vs ln(rank) for the top-{ZIPF_TOP} tokens — the standard
+    sanity check that a scraped corpus has natural-language token
+    statistics (slope near -1) rather than template spam (flat) or
+    boilerplate explosions (cliffs).
+
+    The heavy part is one token count (groupBy) + a top-{ZIPF_TOP}
+    TakeOrdered; the rank window and the regression then run over a
+    {ZIPF_TOP}-row bounded input, never the vocabulary.  LN is the
+    only float op and both engines' libm agree (same contract as
+    lm_bigram_score), with ROUND(6) absorbing ulp noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))  # bounded: ZIPF_TOP rows
+    pts = top.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        n.cast("bigint").alias("n_ranked"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("zipf_intercept"),
+    )

@@ -77,3 +77,58 @@ def register_synthtx(spark) -> None:
             return SyntheticTxReader(self.options)
 
     spark.dataSource.register(SyntheticTxDataSource)
+
+
+SYNTH_STREAM_BATCH = 25_000
+
+
+def register_synthtx_stream(spark) -> None:
+    """Idempotent 'synthtxstream' registration: the STREAMING side of
+    the Python DataSource API (SimpleDataSourceStreamReader).  Same
+    deterministic relation as 'synthtx', delivered as resumable
+    micro-batches with JSON offsets ({"pos": n}) — the shape of a
+    connector for an offset-addressable system without a native Spark
+    source (an internal API with a cursor, a bespoke log).
+
+    API contracts found the hard way (kept here so they aren't
+    re-discovered): ``read`` must return a COPYABLE iterator
+    (``iter(list)``) — the engine's prefetch cache copy.copy()s it, so
+    a bare generator dies on pickling and a bare list on iteration;
+    offsets must be plain JSON-able dicts."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    default_rows, default_batch = SYNTH_ROWS, SYNTH_STREAM_BATCH
+    schema_str = SYNTH_SCHEMA
+
+    class SyntheticTxStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("rows", default_rows))
+            self.batch = int(options.get("batchRows", default_batch))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def _rows(self, lo: int, hi: int):
+            kinds = ("a", "b", "c", "d")
+            return [(i, i % 97, kinds[i % 4], (i * 31) % 1000) for i in range(lo, hi)]
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + self.batch, self.n_rows)
+            return (iter(self._rows(pos, end)), {"pos": end})
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(start["pos"], end["pos"]))
+
+    class SyntheticTxStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthtxstream"
+
+        def schema(self):
+            return schema_str
+
+        def simpleStreamReader(self, schema):
+            return SyntheticTxStreamReader(self.options)
+
+    spark.dataSource.register(SyntheticTxStreamSource)

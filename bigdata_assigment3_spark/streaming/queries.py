@@ -1077,3 +1077,110 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT v.user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unattributed,
+           CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view either attributes to
+    a purchase within 1 hour or emits with NULLs once the watermark
+    proves no match can still arrive — the semantic the inner join
+    can't give (unconverted views are usually the rows the funnel
+    team wants).
+
+    Outer results only materialize when the watermark passes
+    v_ts + 1h, so the staged source appends two sentinel batches far
+    past the real data; each batch's watermark is computed from the
+    PREVIOUS batch, hence two.  The sentinels are typed view/purchase
+    with user_id = -1 (not a distinct type: Catalyst pushes the
+    event-type filters below the watermark operator, so a row of any
+    other type would never reach either watermark — found the hard
+    way) and are dropped after the join.  With the state fully
+    flushed, the result equals the batch left join — the oracle.
+
+    Scale: state is bounded by watermark + the 1h join range exactly
+    like the inner form; the 1-hour delay (vs the inner join's lazy
+    30 days) is what a production attribution pipeline would run,
+    trading reorder tolerance for result latency."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_outer_join_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    mx = ev.agg(F.max("ts").alias("m"))
+
+    def sentinel(days: int) -> DataFrame:
+        one = mx.select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        return one.unionByName(
+            one.withColumn("event_type", F.lit("purchase"))
+        ).select(*ev.columns)
+
+    for i, df in enumerate((ev, sentinel(30), sentinel(90)), 1):
+        df.coalesce(1).write.parquet(f"{stage}/b{i}")
+        for f in os.listdir(f"{stage}/b{i}"):
+            os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_outer_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_stream_outer_sink").filter(F.col("v_user") >= 0)
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("p_user").isNull().cast("int")).cast("bigint").alias("n_unattributed"),
+        F.sum(F.col("p_user").isNotNull().cast("int")).cast("bigint").alias("n_attributed"),
+    )

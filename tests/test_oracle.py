@@ -46,3 +46,16 @@ def test_contract_alignment():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_driver_window_fully_oracle_backed():
+    """The driver's correctness gate samples the FIRST 50 entries of
+    queries(); every one of them must carry a value oracle — a
+    rows-only query drifting into the window silently weakens the
+    gate."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    window = list(qs)[:50]
+    missing = [n for n in window if n not in os_]
+    assert not missing, f"rows-only queries inside the driver window: {missing}"

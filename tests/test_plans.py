@@ -45,8 +45,9 @@ def test_no_cartesian_anywhere(spark):
 
     # Global windows over provably bounded inputs (fine at any scale):
     # otsu_threshold scans a <=256-row grayscale histogram;
-    # largest_component_3d ranks a LIMIT-10 result.
-    bounded_window_ok = {"otsu_threshold", "largest_component_3d"}
+    # largest_component_3d ranks a LIMIT-10 result;
+    # token_zipf_slope ranks a LIMIT-200 TakeOrdered result.
+    bounded_window_ok = {"otsu_threshold", "largest_component_3d", "token_zipf_slope"}
     for name, spec in REGISTRY.items():
         if name in ("hmrf_em_segmentation", "kmeans_init", "ann_lsh_bucketed",
                     "embedding_kmeans_purity", "stream_window_counts", "stream_type_totals",
@@ -318,6 +319,9 @@ def test_shuffle_exchange_budgets(spark):
         # count taken on a cold session: the full inverted-index build
         # chain is in-plan; warm sessions hit the cached index instead
         "dedup_containment": 15,
+        "token_zipf_slope": 1,       # token count agg; rank over LIMIT-200
+        "sql_scripting_query": 0,    # final SELECT is scalar subqueries
+        "pandas_udaf_mad": 1,        # one group-key shuffle into the UDAF
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
