@@ -122,3 +122,71 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ck") - F.min("ck")).cast("bigint").alias("custkey_span"),
         (F.max("dd") - F.min("dd")).cast("bigint").alias("day_span"),
     )
+
+
+N_SMALL = 16   # fragmented write
+N_COMPACT = 2  # target file count
+
+
+@query(
+    "compact_small_files",
+    oracle=f"""
+    SELECT CAST({N_SMALL} AS BIGINT) AS n_files_before,
+           CAST({N_COMPACT} AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_orderkeys,
+           TRUE AS ranges_disjoint
+    FROM orders
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance op a
+    streaming-ingest table needs nightly: a fragmented {N_SMALL}-file
+    write is rewritten as {N_COMPACT} range-sorted files
+    (``repartitionByRange`` on the key = the OPTIMIZE pattern), and
+    the result row PROVES the contract from the actual output files:
+    file counts measured from disk, row count and key checksum
+    preserved, and the compacted files' key ranges disjoint (read
+    back per file via the _metadata path), which is what makes
+    min/max skipping effective after compaction.
+
+    At scale this is the same job with target file size instead of a
+    count; the range shuffle is the only cost and it amortizes every
+    subsequent scan."""
+    import os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_compact_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    small, compact = f"{base}/small", f"{base}/compact"
+    orders.repartition(N_SMALL).write.parquet(small)
+    n_before = len([f for f in os.listdir(small) if f.endswith(".parquet")])
+    spark.read.parquet(small).repartitionByRange(
+        N_COMPACT, "o_orderkey"
+    ).sortWithinPartitions("o_orderkey").write.parquet(compact)
+    n_after = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    back = spark.read.parquet(compact)
+    per_file = back.groupBy(F.col("_metadata.file_path").alias("f")).agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    a, b = per_file.alias("a"), per_file.alias("b")
+    overlaps = (
+        a.join(b, F.col("a.f") < F.col("b.f"))
+        .filter(
+            (F.col("a.lo") <= F.col("b.hi")) & (F.col("b.lo") <= F.col("a.hi"))
+        )
+        .count()
+    )
+    return back.agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("sum_orderkeys"),
+        F.lit(overlaps == 0).alias("ranges_disjoint"),
+    )

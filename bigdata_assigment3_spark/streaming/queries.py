@@ -1184,3 +1184,105 @@ def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_user").isNull().cast("int")).cast("bigint").alias("n_unattributed"),
         F.sum(F.col("p_user").isNotNull().cast("int")).cast("bigint").alias("n_attributed"),
     )
+
+
+@query(
+    "stream_restart_recovery",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a crash: a streaming aggregation processes
+    ONE micro-batch, is stopped (the simulated failure), and a NEW
+    query restarts from the same checkpointLocation — the state store
+    restores the partial aggregate and the file-source offsets resume
+    at batch 2, so the drained result equals the batch aggregate with
+    no loss and no double counting.  This is the recovery contract
+    that makes streaming pipelines operable at all; the oracle is the
+    plain batch aggregation the recovered stream must reproduce.
+
+    The stop polls for the first progress with rows (phase 1 commits
+    one or two staged files depending on timing — either is a valid
+    crash point); the LAST third of the data is only staged AFTER the
+    stop, so the restarted query always has at least one new batch to
+    drive its complete-mode output (an availableNow restart with
+    nothing new can legally run zero batches and emit nothing).
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_restart_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stage, ckpt = f"{base}/stage", f"{base}/ckpt"
+    mx = ev.agg(F.max("event_id").alias("m")).collect()[0][0]
+    cuts = ((0, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, mx + 1))
+
+    def write_batch(i: int, lo: int, hi: int) -> None:
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{stage}/b{i}")
+        for f in os.listdir(f"{stage}/b{i}"):
+            os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+
+    for i, (lo, hi) in enumerate(cuts[:2], 1):
+        write_batch(i, lo, hi)
+
+    def agg_stream() -> DataFrame:
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        return s.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tv"),
+        )
+
+    q1 = (
+        agg_stream()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("restart_recovery_phase1")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    # the held-back final third arrives only now — the restart always
+    # has fresh data to trigger its complete-mode output
+    write_batch(3, *cuts[2])
+
+    q2 = (
+        agg_stream()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("restart_recovery_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return spark.table("restart_recovery_sink").select(
+        "event_type",
+        "n",
+        F.round(F.col("tv"), 3).cast("double").alias("total_value"),
+    )
