@@ -190,3 +190,170 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("sum_orderkeys"),
         F.lit(overlaps == 0).alias("ranges_disjoint"),
     )
+
+
+# ------------------------------------------- dynamic partition pruning
+
+def _dpp_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage (once per sf_dir) the month-partitioned orders fact and a
+    tiny month->fiscal-quarter dim as parquet; return both paths.
+
+    The dim must come back from DISK: a local-relation dim constant-
+    folds into a static IN-list at planning time, which tests static
+    pruning, not the runtime kind."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_dpp_{tag}")
+    fact, dim = os.path.join(base, "orders_by_month"), os.path.join(base, "month_dim")
+    if not os.path.exists(os.path.join(fact, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("order_month")
+            .parquet(fact)
+        )
+    if not os.path.exists(os.path.join(dim, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .distinct()
+            .withColumn(
+                "fiscal_quarter",
+                F.concat(
+                    F.substring("order_month", 1, 4),
+                    F.lit("-Q"),
+                    F.expr("CAST((CAST(SUBSTRING(order_month, 6, 2) AS INT) + 2) DIV 3 AS STRING)"),
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim)
+        )
+    return fact, dim
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month,
+             substr(strftime(o_orderdate, '%Y-%m'), 1, 4) || '-Q'
+               || CAST((CAST(substr(strftime(o_orderdate, '%Y-%m'), 6, 2) AS INT) + 2) // 3 AS VARCHAR)
+               AS fiscal_quarter
+      FROM orders
+    ),
+    f AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_custkey, o_totalprice
+      FROM orders
+    )
+    SELECT f.order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(f.o_totalprice AS DECIMAL(14,2))), 3) AS DOUBLE) AS total_price
+    FROM f JOIN dim USING (order_month)
+    WHERE dim.fiscal_quarter = '1997-Q1'
+    GROUP BY 1
+    """,
+)
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned by
+    month on disk, the filter lives on the DIM side (fiscal quarter),
+    and Catalyst injects a runtime subquery
+    (``dynamicpruningexpression`` in the fact scan's PartitionFilters)
+    that reads the filtered dim FIRST and prunes fact partitions
+    before any fact I/O — the star-schema pattern where the predicate
+    that saves the scan isn't written against the fact table at all.
+
+    Plan-asserted in tests (``dynamicpruning`` present in the fact
+    scan).  At 100 TB this is the difference between scanning 3 and 84
+    months when the user filters on an attribute only the calendar dim
+    knows."""
+    fact_path, dim_path = _dpp_paths(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("fiscal_quarter") == "1997-Q1")
+    return (
+        fact.join(dim, "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 3)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ------------------------------------------- surrogate key assignment
+
+@query(
+    "surrogate_keys",
+    oracle="""
+    WITH r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS sid,
+             o_orderkey
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(sid) AS BIGINT) AS min_sid,
+           CAST(MAX(sid) AS BIGINT) AS max_sid,
+           CAST(SUM(sid) AS BIGINT) AS sid_sum,
+           CAST(bit_xor(('0x' || substr(md5(CAST(sid AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 14))::BIGINT) AS BIGINT)
+             AS assignment_checksum
+    FROM r
+    """,
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment (sid = 1..N in (o_orderdate,
+    o_orderkey) order) WITHOUT the single-task global window that
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` plans naively — the standard
+    distributed total-order rank: range-repartition on the sort key,
+    per-range-partition row_number (widest window = one partition),
+    per-partition counts collected once (O(#partitions) rows) and
+    cumsum'd into offsets, global sid = offset[pid] + local rank.
+
+    The result row PROVES density and exact placement: sid_sum must be
+    N(N+1)/2 (no gap, no dup) and the checksum binds every sid to the
+    business key it was assigned to, order-independently (bit_xor of a
+    portable md5-56 of 'sid:key') — so the oracle's ROW_NUMBER and the
+    distributed rank must agree on every single assignment.
+
+    At 100 TB this is one range shuffle — the same cost class as a
+    distributed sort, and the pattern behind monotonic ID backfills
+    that zipWithIndex (an RDD action + a second pass) pays twice for."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_orderkey")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        orders.repartitionByRange(n_part, "o_orderdate", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r.pid: r.n
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    local = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    keyed = ranged.select(
+        (off_map[F.col("pid")] + F.row_number().over(local)).cast("bigint").alias("sid"),
+        "o_orderkey",
+    )
+    chk = F.expr(
+        "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(sid AS STRING), ':', CAST(o_orderkey AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("sid").cast("bigint").alias("min_sid"),
+        F.max("sid").cast("bigint").alias("max_sid"),
+        F.sum("sid").cast("bigint").alias("sid_sum"),
+        F.bit_xor(chk).cast("bigint").alias("assignment_checksum"),
+    )

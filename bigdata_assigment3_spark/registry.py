@@ -46,6 +46,7 @@ def _load_all() -> None:
         coverage,
         curation,
         dedup,
+        dq,
         functions2,
         funnel,
         graph,

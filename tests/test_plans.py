@@ -112,6 +112,15 @@ def test_partitioned_write_prunes_partitions(spark):
         raise AssertionError(plan[:3000])
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """The fiscal-quarter filter lives on the DIM side only; Catalyst
+    must inject a runtime subquery into the fact scan's
+    PartitionFilters (dynamicpruningexpression) so fact partitions are
+    pruned before any fact I/O."""
+    plan = formatted_plan(_plan(spark, "dpp_partitioned_join"))
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
 def test_runtime_bloom_filter_injection(spark):
     """A selective dim filter on a shuffle join must inject a runtime
     bloom filter on the fact side (Spark's runtime row-group skipping:
@@ -322,6 +331,13 @@ def test_shuffle_exchange_budgets(spark):
         "token_zipf_slope": 1,       # token count agg; rank over LIMIT-200
         "sql_scripting_query": 0,    # final SELECT is scalar subqueries
         "pandas_udaf_mad": 1,        # one group-key shuffle into the UDAF
+        # operational/layout closers
+        "compact_small_files": 1,    # final agg over the compacted read-back
+        "dpp_partitioned_join": 2,   # join + count-distinct agg; fact I/O pruned by DPP
+        "surrogate_keys": 4,         # range shuffle + offset-count agg + final agg
+        # 7 = two FK anti-joins + per-table aggregate passes + union;
+        # every one is an aggregate-sized exchange, no row-level shuffle
+        "dq_audit": 7,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
