@@ -74,6 +74,11 @@ HEADLINE = [
     "arrow_batch_norm",
     "token_zipf_slope",
     "pandas_udaf_mad",
+    # governance batch: runtime-pruned star join, distributed ID
+    # assignment, constraint audit
+    "dpp_partitioned_join",
+    "surrogate_keys",
+    "dq_audit",
 ]
 
 
