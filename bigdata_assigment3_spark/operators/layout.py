@@ -357,3 +357,68 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sid").cast("bigint").alias("sid_sum"),
         F.bit_xor(chk).cast("bigint").alias("assignment_checksum"),
     )
+
+
+# ------------------------------------------------- partition retention
+
+RETAIN_FROM = "1996-01"  # keep months >= this; drop everything older
+
+
+@query(
+    "retention_vacuum",
+    oracle=f"""
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderkey FROM orders)
+    SELECT CAST((SELECT COUNT(DISTINCT order_month) FROM m) AS BIGINT) AS n_parts_before,
+           CAST((SELECT COUNT(DISTINCT order_month) FROM m WHERE order_month < '{RETAIN_FROM}') AS BIGINT) AS n_parts_dropped,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_kept,
+           MIN(order_month) AS oldest_kept,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS kept_checksum
+    FROM m WHERE order_month >= '{RETAIN_FROM}'
+    """,
+)
+def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-retention vacuum — the data-lifecycle job that ages
+    out cold partitions: orders land month-partitioned on disk, every
+    partition directory older than the retention horizon is dropped at
+    the FILESYSTEM level (a metadata/directory operation — zero rows
+    are read or rewritten, which is the whole point of partitioning
+    the table on the retention key), and the result row proves the
+    contract from the surviving files: partition counts from the
+    directory listing, row count + order-key checksum of what remains,
+    oldest surviving month.
+
+    At 100 TB this is `ALTER TABLE DROP PARTITION` / Delta `VACUUM`
+    economics: retention on a partition column costs O(#partitions)
+    metadata ops; retention on a non-partition column would cost a
+    full rewrite.  Staging is keyed by applicationId — vacuum mutates
+    the layout, so the fixture is never shared across sessions."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_vacuum_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .write.partitionBy("order_month")
+        .parquet(base)
+    )
+    parts = sorted(
+        d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("order_month=")
+    )
+    dropped = [m for m in parts if m < RETAIN_FROM]
+    for m in dropped:
+        shutil.rmtree(os.path.join(base, f"order_month={m}"))
+    kept = spark.read.parquet(base)
+    return kept.agg(
+        F.lit(len(parts)).cast("bigint").alias("n_parts_before"),
+        F.lit(len(dropped)).cast("bigint").alias("n_parts_dropped"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_kept"),
+        F.min("order_month").alias("oldest_kept"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("kept_checksum"),
+    )

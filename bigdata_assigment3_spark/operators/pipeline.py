@@ -171,3 +171,89 @@ def q_rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------- incremental view maintenance (IVM)
+
+@query(
+    "incremental_view_maintenance",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders)
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN o.o_orderkey > (SELECT c FROM cut)
+                           OR l.l_linenumber >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 3) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view under
+    append-only inserts — the delta algebra every refresh pipeline
+    (Materialize/Delta Live Tables/dbt incremental) implements:
+
+        V = Q(O ⨝ L);   after appends ΔO, ΔL:
+        ΔV = Q(ΔO ⨝ L₀) ⊎ Q(O₀ ⨝ ΔL) ⊎ Q(ΔO ⨝ ΔL)
+
+    The "history" split is data-relative and DELIBERATELY misaligned
+    (orders split at the max-orderkey midpoint, lineitem split on line
+    number — late lines of OLD orders arrive in the delta), so all
+    three delta terms are provably non-empty; aligning both splits on
+    orderkey would make the cross terms vacuously empty and the test
+    blind.  The maintained view = base partial aggregate ⊎ three delta
+    partial aggregates, merged by re-aggregation (sums of sums) —
+    never a recompute over O ⨝ L in full; the oracle IS that full
+    recompute, which is exactly the IVM correctness contract, and
+    n_from_delta certifies how much of the final view came through the
+    delta path.
+
+    At 100 TB the base terms join a SMALL delta against a large
+    history — each is delta-sized I/O when history is partitioned on
+    the join key (see dpp/bucketing), which is why refresh cost tracks
+    |Δ|, not |V|."""
+    cut = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.expr("MAX(o_orderkey) DIV 2").alias("c"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .join(F.broadcast(cut))
+    )
+    o_base, o_delta = orders.filter("o_orderkey <= c"), orders.filter("o_orderkey > c")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        ).alias("rev"),
+    )
+    l_base, l_delta = li.filter("l_linenumber < 4"), li.filter("l_linenumber >= 4")
+
+    def partial(o: DataFrame, li_side: DataFrame, from_delta: bool) -> DataFrame:
+        return (
+            o.join(li_side, o.o_orderkey == li_side.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum("rev").alias("prev"),
+            )
+            .withColumn("pd", F.when(F.lit(from_delta), F.col("pn")).otherwise(F.lit(0)))
+        )
+
+    base_view = partial(o_base, l_base, False)          # V₀, built once
+    d1 = partial(o_delta, l_base, True)                 # ΔO ⨝ L₀
+    d2 = partial(o_base, l_delta, True)                 # O₀ ⨝ ΔL
+    d3 = partial(o_delta, l_delta, True)                # ΔO ⨝ ΔL
+    return (
+        base_view.unionByName(d1).unionByName(d2).unionByName(d3)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_items"),
+            F.sum("pd").cast("bigint").alias("n_from_delta"),
+            F.round(F.sum("prev"), 3).cast("double").alias("revenue"),
+        )
+    )

@@ -338,6 +338,10 @@ def test_shuffle_exchange_budgets(spark):
         # 7 = two FK anti-joins + per-table aggregate passes + union;
         # every one is an aggregate-sized exchange, no row-level shuffle
         "dq_audit": 7,
+        "retention_vacuum": 1,       # final agg over the surviving partitions
+        # 8 = the four delta-algebra join terms' partial aggregates +
+        # the merge re-aggregation; each term is delta-sized at scale
+        "incremental_view_maintenance": 8,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
