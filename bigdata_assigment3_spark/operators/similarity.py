@@ -35,15 +35,15 @@ QUERY_STRIDE = 50
 N_PROBE_QUERIES = 10
 PROBE_MAX_ID = QUERY_STRIDE * N_PROBE_QUERIES  # 500
 
-_QUANT_SPARK = "transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))"
+_QUANT_SPARK = "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 _DUCK_QUANT_PAIRS = f"""
 q AS (SELECT vec_id, embedding FROM embeddings
       WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {PROBE_MAX_ID}),
 pairs AS (
   SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
-         unnest(list_transform(q.embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))) AS ea,
-         unnest(list_transform(v.embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))) AS eb
+         unnest(list_transform(q.embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS ea,
+         unnest(list_transform(v.embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS eb
   FROM q, embeddings v
   WHERE q.vec_id <> v.vec_id
 ),
@@ -112,9 +112,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            COUNT(*) AS n,
            CAST(SUM(list_sum(list_transform(embedding,
-                x -> CAST(ROUND(x * 1000) AS BIGINT)
-                     * CAST(ROUND(x * 1000) AS BIGINT)))) AS BIGINT) AS sum_norm2_milli,
-           CAST(SUM(CAST(ROUND(embedding[1] * 1000) AS BIGINT)) AS BIGINT) AS sum_dim0_milli
+                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                     * CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS sum_norm2_milli,
+           CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_dim0_milli
     FROM embeddings
     GROUP BY label
     """,
@@ -124,10 +124,10 @@ def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer norm sums — the sanity stats an ANN index build logs."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm2 = F.expr(
-        "aggregate(transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)"
-        " * CAST(ROUND(x * 1000) AS BIGINT)), 0L, (a, b) -> a + b)"
+        "aggregate(transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+        " * CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 0L, (a, b) -> a + b)"
     )
-    dim0 = F.expr("CAST(ROUND(element_at(embedding, 1) * 1000) AS BIGINT)")
+    dim0 = F.expr("CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT)")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(norm2).cast("bigint").alias("sum_norm2_milli"),
@@ -553,7 +553,7 @@ def _arrow_norm_batches(batches):
     WITH n AS (
       SELECT label,
              list_sum(list_transform(embedding,
-               x -> CAST(ROUND(x * 1000) AS BIGINT) * CAST(ROUND(x * 1000) AS BIGINT)
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
              )) AS norm2
       FROM embeddings
     )

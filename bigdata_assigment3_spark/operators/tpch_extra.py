@@ -199,7 +199,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cost
     )
     SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS supp_nation,
-           ROUND(r.unit_cost, 4) AS unit_cost
+           CAST(ROUND(r.unit_cost * 10000) AS BIGINT) / CAST(10000 AS DOUBLE) AS unit_cost
     FROM ranked r
     JOIN part p ON p.p_partkey = r.l_partkey
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
@@ -215,7 +215,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregate + per-part ROW_NUMBER — one shuffle on
     (part, supp), one on part, never a self-join.  Unit cost is an
     IEEE double division of identical inputs, so MIN and the ordering
-    are bit-identical cross-engine; ties break on suppkey.
+    are bit-identical cross-engine; ties break on suppkey.  The
+    4-decimal presentation rounds to INTEGER deci-milli-units first
+    and divides back (identical IEEE ops in both engines) — a direct
+    ROUND(double, 4) straddles half-way boundaries differently per
+    engine (5 parts at sf0.1).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
@@ -239,7 +243,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            (F.round(F.col("unit_cost") * 10000).cast("bigint")
+             / F.lit(10000).cast("double")).alias("unit_cost"),
         )
         .orderBy("p_partkey")
     )
