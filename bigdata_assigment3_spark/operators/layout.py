@@ -422,3 +422,103 @@ def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("order_month").alias("oldest_kept"),
         F.bit_xor("o_orderkey").cast("bigint").alias("kept_checksum"),
     )
+
+
+# --------------------------------- transaction log + time travel
+
+@query(
+    "txn_log_time_travel",
+    oracle="""
+    WITH cuts AS (
+      SELECT MAX(o_orderkey) // 3 AS m1, 2 * (MAX(o_orderkey) // 3) AS m2 FROM orders
+    )
+    SELECT v.version,
+           v.n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders, cuts,
+         (VALUES (CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+                 (CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+                 (CAST(2 AS BIGINT), CAST(2 AS BIGINT))) AS v(version, n_files)
+    WHERE v.version >= 1 OR o_orderkey <= m2
+    GROUP BY 1, 2
+    """,
+)
+def q_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A minimal ACID table format: an append-only JSON transaction
+    log of (version, action, path) file operations, snapshots resolved
+    by REPLAYING the log — the Delta/Iceberg core, built from
+    primitives:
+
+      v0  add a, add b            (initial write: two files)
+      v1  add c                   (append — old files untouched)
+      v2  remove a, remove b, add d   (compaction: d = rewrite of a∪b)
+
+    A reader pinned at version V lists live files as (adds ≤ V) minus
+    (removes ≤ V) — an O(#log-entries) metadata aggregation, never a
+    data scan — then reads exactly those parquet files.  The result
+    reports every version's (n_files, n_rows, key_checksum): v1 sees
+    the append, v2 sees FEWER files with IDENTICAL rows+checksum,
+    which is the whole compaction-under-snapshot-isolation contract
+    (readers of any version never observe a half-applied rewrite).
+
+    At 100 TB the log IS the scaling trick: commits are one appended
+    JSON line + atomically-visible files, and time travel costs a log
+    replay, not a table copy.  Staging keys on applicationId (the
+    fixture mutates across versions)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_txnlog_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(os.path.join(base, "_log"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    m1, m2 = mx // 3, 2 * (mx // 3)
+
+    def write_file(name: str, df) -> str:
+        path = os.path.join(base, name)
+        df.coalesce(1).write.parquet(path)
+        return path
+
+    pa = write_file("a", orders.filter(F.col("o_orderkey") <= m1))
+    pb = write_file("b", orders.filter((F.col("o_orderkey") > m1) & (F.col("o_orderkey") <= m2)))
+    pc = write_file("c", orders.filter(F.col("o_orderkey") > m2))
+    pd_ = write_file("d", spark.read.parquet(pa, pb))  # compaction rewrite
+    log = [
+        {"version": 0, "action": "add", "path": pa},
+        {"version": 0, "action": "add", "path": pb},
+        {"version": 1, "action": "add", "path": pc},
+        {"version": 2, "action": "remove", "path": pa},
+        {"version": 2, "action": "remove", "path": pb},
+        {"version": 2, "action": "add", "path": pd_},
+    ]
+    with open(os.path.join(base, "_log", "log.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(e) for e in log))
+
+    log_df = spark.read.json(os.path.join(base, "_log"))
+    out = None
+    for v in (0, 1, 2):
+        live = (
+            log_df.filter(F.col("version") <= v)
+            .groupBy("path")
+            .agg(F.max(F.when(F.col("action") == "remove", 1).otherwise(0)).alias("removed"))
+            .filter(F.col("removed") == 0)
+            .select("path")
+            .collect()
+        )
+        paths = sorted(r.path for r in live)
+        snap = spark.read.parquet(*paths).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(len(paths)).cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

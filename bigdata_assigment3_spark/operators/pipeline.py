@@ -257,3 +257,90 @@ def q_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("prev"), 3).cast("double").alias("revenue"),
         )
     )
+
+
+# ------------------------------------ snapshot-diff CDC extraction
+
+@query(
+    "snapshot_cdc_extract",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+    ),
+    new AS (
+      -- the next snapshot: key%19==3 deleted, key%19==5 rebalanced,
+      -- and a synthetic insert wave cloned above the key space
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 19 = 5 THEN c_acctbal + 100 ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 19 <> 3
+      UNION ALL
+      SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer), c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    diff AS (
+      SELECT CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS op,
+             COALESCE(o.k, n.k) AS k
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+      WHERE o.k IS NULL OR n.k IS NULL OR o.bal <> n.bal
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bit_xor(k) AS BIGINT) AS key_checksum
+    FROM diff GROUP BY op
+    """,
+)
+def q_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diffing — the batch CDC
+    pattern for sources with no change log (nightly dump diffing,
+    Debezium snapshot mode): FULL OUTER join the two snapshots on the
+    key, classify each row as insert (old missing), delete (new
+    missing) or update (both present, tracked columns differ),
+    suppress no-ops.  The emitted change feed is exactly what
+    `upsert_merge` / `stream_foreachbatch_upsert` consume downstream.
+
+    The "new" snapshot is derived deterministically from customer
+    (modular delete/update waves + a cloned insert wave), so both
+    engines build identical snapshots and the oracle replays the same
+    diff.  Scale: ONE co-partitioned full outer join on the key — at
+    100 TB both snapshots hash-shuffle once; with both sides bucketed
+    on the key (see bucketed_colocated_join) even that shuffle
+    disappears.  No-op suppression happens before anything aggregates,
+    so the change feed, not the table, is what flows downstream."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    mx = cust.agg(F.max("k").alias("m"))
+    old = cust
+    new = (
+        cust.filter(F.col("k") % 19 != 3)
+        .select(
+            "k",
+            F.when(F.col("k") % 19 == 5, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 7 == 0)
+            .join(F.broadcast(mx))
+            .select((F.col("k") + F.col("m")).alias("k"), "bal")
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    diff = (
+        o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+        .filter(
+            F.col("o.k").isNull()
+            | F.col("n.k").isNull()
+            | (F.col("o.bal") != F.col("n.bal"))
+        )
+        .select(
+            F.when(F.col("o.k").isNull(), "insert")
+            .when(F.col("n.k").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        )
+    )
+    return diff.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.bit_xor("k").cast("bigint").alias("key_checksum"),
+    )

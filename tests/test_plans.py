@@ -342,6 +342,8 @@ def test_shuffle_exchange_budgets(spark):
         # 8 = the four delta-algebra join terms' partial aggregates +
         # the merge re-aggregation; each term is delta-sized at scale
         "incremental_view_maintenance": 8,
+        "txn_log_time_travel": 3,    # one per-version snapshot aggregate
+        "snapshot_cdc_extract": 4,   # full-outer diff join + final op agg
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
