@@ -522,3 +522,90 @@ def q_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+# --------------------------------- catalog statistics (ANALYZE/CBO)
+
+_STATS_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "catalog_stats_cbo",
+    oracle="""
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS num_nulls,
+           CAST(MIN(CASE col_name WHEN 'o_orderkey' THEN o_orderkey
+                                  WHEN 'o_custkey' THEN o_custkey
+                                  ELSE o_totalprice END) AS DOUBLE) AS min_val,
+           CAST(MAX(CASE col_name WHEN 'o_orderkey' THEN o_orderkey
+                                  WHEN 'o_custkey' THEN o_custkey
+                                  ELSE o_totalprice END) AS DOUBLE) AS max_val,
+           TRUE AS ndv_within_10pct
+    FROM orders, (VALUES ('o_orderkey'), ('o_custkey'), ('o_totalprice')) AS c(col_name)
+    GROUP BY col_name
+    """,
+)
+def q_catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics collection — the `ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS` pass a CBO deployment runs after every
+    load, surfaced as data: one row per analyzed column whose
+    n_rows / num_nulls / min / max come FROM THE CATALOG STATS (not a
+    recompute), so the oracle's exact aggregates passing the value
+    hash proves the stats pipeline records exact row counts, null
+    counts and min/max envelopes; the HLL-approximated NDV is held to
+    a 10% contract like `approx_stats`.
+
+    At 100 TB these stats are what let the optimizer pick broadcast
+    sides, reorder joins, and size shuffle partitions without
+    scanning — and min/max envelopes are the same machinery file
+    skipping uses (see zorder_layout_stats).  The ANALYZE scan itself
+    is one pass, amortized over every subsequent plan."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tname = f"orders_stats_{tag}"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stats_{tag}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", base)
+        .format("parquet")
+        .saveAsTable(tname)
+    )
+    spark.sql(f"ANALYZE TABLE {tname} COMPUTE STATISTICS FOR COLUMNS {', '.join(_STATS_COLS)}")
+
+    def col_stats(c: str) -> dict[str, str]:
+        rows = spark.sql(f"DESCRIBE EXTENDED {tname} {c}").collect()
+        return {r.info_name: r.info_value for r in rows}
+
+    tbl_stats = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {tname}").collect()
+    }
+    # "N bytes, M rows" — the table-level stat CBO sizes plans with
+    stat_rows = int(tbl_stats["Statistics"].split(",")[1].strip().split(" ")[0])
+
+    orders = spark.table(tname)
+    out = None
+    for c in _STATS_COLS:
+        st = col_stats(c)
+        per = orders.agg(
+            F.lit(c).alias("col_name"),
+            F.countDistinct(c).alias("ndv_exact"),
+        ).select(
+            "col_name",
+            # catalog-reported values; the oracle recomputes them
+            # exactly, so the hash compare IS the stats-accuracy proof
+            F.lit(stat_rows).cast("bigint").alias("n_rows"),
+            F.lit(int(st["num_nulls"])).cast("bigint").alias("num_nulls"),
+            F.lit(float(st["min"])).alias("min_val"),
+            F.lit(float(st["max"])).alias("max_val"),
+            (
+                F.abs(F.lit(int(st["distinct_count"])) - F.col("ndv_exact"))
+                <= 0.1 * F.col("ndv_exact")
+            ).alias("ndv_within_10pct"),
+        )
+        out = per if out is None else out.unionByName(per)
+    return out

@@ -344,6 +344,7 @@ def test_shuffle_exchange_budgets(spark):
         "incremental_view_maintenance": 8,
         "txn_log_time_travel": 3,    # one per-version snapshot aggregate
         "snapshot_cdc_extract": 4,   # full-outer diff join + final op agg
+        "catalog_stats_cbo": 6,      # three per-column count-distinct passes
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
