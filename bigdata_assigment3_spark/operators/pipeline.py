@@ -274,7 +274,7 @@ def q_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
              CASE WHEN c_custkey % 19 = 5 THEN c_acctbal + 100 ELSE c_acctbal END AS bal
       FROM customer WHERE c_custkey % 19 <> 3
       UNION ALL
-      SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer), c_acctbal
+      SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer), c_acctbal
       FROM customer WHERE c_custkey % 7 = 0
     ),
     diff AS (
@@ -321,7 +321,7 @@ def q_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             cust.filter(F.col("k") % 7 == 0)
             .join(F.broadcast(mx))
-            .select((F.col("k") + F.col("m")).alias("k"), "bal")
+            .select((F.col("k") + F.col("m") + 1).alias("k"), "bal")
         )
     )
     o, n = old.alias("o"), new.alias("n")

@@ -931,3 +931,50 @@ def test_max_concurrent_orders_python_sweep(spark):
             cur += by_t[t]
             peak = max(peak, cur)
         assert got[name] == peak, (name, got[name], peak)
+
+
+def test_cdc_feed_reproduces_new_snapshot(spark):
+    """The CDC contract behind snapshot_cdc_extract: applying the
+    emitted change feed to the OLD snapshot must reproduce the NEW
+    snapshot exactly (delete the deletes, upsert the updates+inserts).
+    Checked on the full row-level diff, not just the op counts the
+    oracle hashes."""
+    from bigdata_assigment3_spark.sources import load_table
+
+    cust = load_table(spark, SF_ORACLE, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    mx = cust.agg(F.max("k").alias("m"))
+    old = cust
+    new = (
+        cust.filter(F.col("k") % 19 != 3)
+        .select(
+            "k",
+            F.when(F.col("k") % 19 == 5, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 7 == 0)
+            .join(F.broadcast(mx))
+            .select((F.col("k") + F.col("m") + 1).alias("k"), "bal")
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    feed = (
+        o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+        .filter(F.col("o.k").isNull() | F.col("n.k").isNull() | (F.col("o.bal") != F.col("n.bal")))
+        .select(
+            F.when(F.col("o.k").isNull(), "insert")
+            .when(F.col("n.k").isNull(), "delete")
+            .otherwise("update").alias("op"),
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+            F.col("n.bal").alias("new_bal"),
+        )
+    )
+    applied = (
+        old.join(feed, "k", "left")
+        .filter((F.col("op").isNull()) | (F.col("op") != "delete"))
+        .select("k", F.coalesce("new_bal", "bal").alias("bal"))
+        .unionByName(feed.filter(F.col("op") == "insert").select("k", F.col("new_bal").alias("bal")))
+    )
+    diff = applied.exceptAll(new).count() + new.exceptAll(applied).count()
+    assert diff == 0
