@@ -54,6 +54,61 @@ def q_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "custom_sink_write",
+    oracle=f"""
+    WITH t AS (
+      SELECT id AS tx_id, id % 97 AS user_id,
+             (id * 31) % 1000 AS amount
+      FROM range({SYNTH_ROWS}) r(id)
+    )
+    SELECT CAST(8 AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows,
+           CAST(SUM(amount) AS BIGINT) AS total_amount,
+           CAST(bit_xor(tx_id * 31 + user_id) AS BIGINT) AS row_checksum
+    FROM t
+    """,
+)
+def q_custom_sink_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through a CUSTOM Python DataSource WRITER
+    (sources/custom.py 'synthtxsink'): the synthtx relation flows out
+    through the two-phase commit protocol — per-task part files +
+    WriterCommitMessages, manifest published only by driver-side
+    commit() — and the read-back consults ONLY the manifest, so
+    uncommitted or orphaned task output can never leak into results
+    (the exactly-once batch-sink contract; abort() leaves zero
+    visible rows).  The aggregate over the manifested files is
+    value-checked against the same range() oracle as the source —
+    write path and read path close the loop under the gate."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.custom import register_synthtx, register_synthtx_sink
+
+    register_synthtx(spark)
+    register_synthtx_sink(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_synthtxsink_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    src = spark.read.format("synthtx").load().select("tx_id", "user_id", "amount")
+    src.write.format("synthtxsink").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_manifest", "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema("tx_id BIGINT, user_id BIGINT, amount BIGINT").json(
+        manifest["files"]
+    )
+    return back.agg(
+        F.lit(len(manifest["files"])).cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").cast("bigint").alias("total_amount"),
+        F.bit_xor(F.col("tx_id") * 31 + F.col("user_id")).cast("bigint").alias("row_checksum"),
+    )
+
+
+@query(
     "custom_stream_scan",
     oracle=f"""
     WITH t AS (

@@ -132,3 +132,75 @@ def register_synthtx_stream(spark) -> None:
             return SyntheticTxStreamReader(self.options)
 
     spark.dataSource.register(SyntheticTxStreamSource)
+
+
+def register_synthtx_sink(spark) -> None:
+    """Idempotent 'synthtxsink' registration: the WRITE side of the
+    Python DataSource API — the two-phase commit protocol every
+    exactly-once batch sink implements.  Each task writes its
+    partition to a private part file and returns a WriterCommitMessage
+    naming it; only the driver-side ``commit(messages)`` publishes the
+    manifest listing exactly the acknowledged files.  A reader that
+    honors the manifest never sees uncommitted/orphaned task output —
+    task retries and speculative duplicates die silently, which is the
+    entire point of the protocol (same contract as Hadoop
+    FileOutputCommitter v2 / Delta's transaction log).
+
+    ``abort(messages)`` removes any part files that did land, so a
+    failed job leaves no partial manifest and no visible rows."""
+    import dataclasses
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    @dataclasses.dataclass
+    class _Committed(WriterCommitMessage):
+        file: str
+        n_rows: int
+
+    class SyntheticTxWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            fname = os.path.join(self.path, f"part-{pid:05d}.json")
+            n = 0
+            with open(fname, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Committed(file=fname, n_rows=n)
+
+        def commit(self, messages):
+            import json as _json
+            import os
+
+            manifest = {
+                "files": sorted(m.file for m in messages),
+                "n_rows": sum(m.n_rows for m in messages),
+            }
+            os.makedirs(os.path.join(self.path, "_manifest"), exist_ok=True)
+            with open(os.path.join(self.path, "_manifest", "manifest.json"), "w") as fh:
+                fh.write(_json.dumps(manifest))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if os.path.exists(m.file):
+                    os.remove(m.file)
+
+    class SyntheticTxSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthtxsink"
+
+        def writer(self, schema, overwrite):
+            return SyntheticTxWriter(self.options)
+
+    spark.dataSource.register(SyntheticTxSink)

@@ -978,3 +978,36 @@ def test_cdc_feed_reproduces_new_snapshot(spark):
     )
     diff = applied.exceptAll(new).count() + new.exceptAll(applied).count()
     assert diff == 0
+
+
+def test_custom_sink_manifest_ignores_orphans(spark, tmp_path):
+    """Two-phase-commit contract of the Python DataSource writer: a
+    part file that lands WITHOUT being acknowledged in the manifest
+    (a speculative duplicate, a dead task's orphan) must never leak
+    into a manifest-honoring read."""
+    import json
+
+    from bigdata_assigment3_spark.sources.custom import (
+        register_synthtx,
+        register_synthtx_sink,
+    )
+
+    register_synthtx(spark)
+    register_synthtx_sink(spark)
+    out = str(tmp_path / "sink")
+    src = spark.read.format("synthtx").option("rows", 1000).load()
+    src.write.format("synthtxsink").option("path", out).mode("append").save()
+    manifest = json.load(open(f"{out}/_manifest/manifest.json"))
+    # plant an orphan duplicate of a committed file
+    orphan = f"{out}/part-99999.json"
+    with open(manifest["files"][0]) as fh, open(orphan, "w") as oh:
+        oh.write(fh.read())
+    back = spark.read.schema("tx_id BIGINT, user_id BIGINT, amount BIGINT").json(
+        manifest["files"]
+    )
+    assert back.count() == 1000 == manifest["n_rows"]
+    # a naive directory read WOULD see the orphan — that's the trap
+    naive = spark.read.schema("tx_id BIGINT, user_id BIGINT, amount BIGINT").json(
+        f"{out}/part-*.json"
+    )
+    assert naive.count() > 1000
