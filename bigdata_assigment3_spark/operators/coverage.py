@@ -1498,3 +1498,60 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.select(
         F.col("yr").cast("int").alias("yr"), "o_orderpriority", F.col("n").cast("bigint").alias("n")
     ).orderBy("yr", "o_orderpriority")
+
+
+@query(
+    "sql_udf_battery",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS prio_sum,
+           CAST(SUM((month(o_orderdate) * (month(o_orderdate) + 1)) // 2) AS BIGINT) AS lateral_msum
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1
+    """,
+)
+def q_sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL user-defined functions — logic shipped as CATALOG
+    objects instead of client code, so every SQL client shares one
+    definition: a scalar SQL UDF (``price_band``), a scalar UDF
+    parsing a code out of a string (``prio_num``), and a SQL TABLE
+    function (``month_seq``) consumed through a correlated LATERAL
+    aggregate.  The final SELECT also binds its date cutoff as a
+    NAMED PARAMETER (``spark.sql(..., args=...)``) — the
+    injection-safe parameterized-query API.
+
+    All three functions are pure SQL expressions, so Catalyst inlines
+    them into the plan (no Python boundary, full codegen) — the oracle
+    states the same math inline, which is exactly what the optimizer
+    sees after inlining."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING
+           RETURN CASE WHEN p < 100000 THEN 'low'
+                       WHEN p < 250000 THEN 'mid' ELSE 'high' END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION prio_num(p STRING) RETURNS BIGINT
+           RETURN CAST(SUBSTRING(p, 1, 1) AS BIGINT)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION month_seq(d DATE) RETURNS TABLE (m BIGINT)
+           RETURN SELECT explode(sequence(1, month(d))) AS m"""
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o.o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               SUM(prio_num(o.o_orderpriority)) AS prio_sum,
+               SUM(s.msum) AS lateral_msum
+        FROM orders o,
+             LATERAL (SELECT SUM(m) AS msum FROM month_seq(o.o_orderdate)) s
+        WHERE o.o_orderdate >= CAST(:min_date AS DATE)
+        GROUP BY 1
+        """,
+        args={"min_date": "1995-01-01"},
+    )
