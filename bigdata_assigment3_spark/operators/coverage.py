@@ -1555,3 +1555,46 @@ def q_sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_date": "1995-01-01"},
     )
+
+
+@query(
+    "observed_metrics_single_pass",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(ROUND(SUM(CASE WHEN o_totalprice > 150000
+                               THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 3) AS DOUBLE)
+             AS kept_revenue
+    FROM orders
+    """,
+)
+def q_observed_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch `df.observe` (the Observation API): pipeline accounting
+    metrics — rows scanned, rows surviving the gate — ride the SAME
+    job as the aggregate instead of a second scan.  A quality-gate
+    pipeline at 100 TB cannot afford `count()` before and after every
+    filter (each is a full pass); observe() attaches the counters to
+    the one pass that already runs.  The observed values are then
+    cross-checked by the oracle's recompute, proving the metric
+    pipeline reports the truth."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("gate_metrics")
+    gated = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum((F.col("o_totalprice") > 150000).cast("int")).alias("n_kept"),
+    ).filter(F.col("o_totalprice") > 150000)
+    agg = gated.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 3)
+        .cast("double")
+        .alias("kept_revenue")
+    )
+    agg.write.format("noop").mode("overwrite").save()  # the one pass
+    m = obs.get
+    return agg.select(
+        F.lit(m["n_scanned"]).cast("bigint").alias("n_scanned"),
+        F.lit(m["n_kept"]).cast("bigint").alias("n_kept"),
+        "kept_revenue",
+    )

@@ -346,6 +346,7 @@ def test_shuffle_exchange_budgets(spark):
         "snapshot_cdc_extract": 4,   # full-outer diff join + final op agg
         "catalog_stats_cbo": 6,      # three per-column count-distinct passes
         "sql_udf_battery": 3,        # inlined SQL UDFs + lateral TVF + band agg
+        "observed_metrics_single_pass": 1,  # metrics ride the one agg pass
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
