@@ -94,7 +94,9 @@ PRIORITY: tuple[str, ...] = (
     "top_revenue_orders",
     "region_revenue",
     "customers_with_orders",
-    "customers_without_orders",
+    # (customers_without_orders moved out of the window: dq_audit's FK
+    # checks exercise the same LEFT ANTI shape; still locally tested)
+    "dq_audit",
     "window_topk_orders",
     "set_operations",
     "rollup_lineitem",
@@ -122,7 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "pagerank",
     # similarity search
     "ann_cosine_topk",
-    "ann_cosine_topk_vec",
+    # (ann_cosine_topk_vec is the int64-matmul twin of the slot above;
+    # moved out for the runtime-pruned star join, still locally tested)
+    "dpp_partitioned_join",
     # dedup
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
