@@ -261,6 +261,31 @@ def q_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 # ------------------------------------ snapshot-diff CDC extraction
 
+def cdc_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff -> change feed (op, k, new_bal): insert when the
+    key is absent from old, delete when absent from new, update when
+    present in both with a differing tracked column; no-ops
+    suppressed.  Shared by the registered query and the edge-case
+    tests (empty sides, total churn)."""
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+        .filter(
+            F.col("o.k").isNull()
+            | F.col("n.k").isNull()
+            | (F.col("o.bal") != F.col("n.bal"))
+        )
+        .select(
+            F.when(F.col("o.k").isNull(), "insert")
+            .when(F.col("n.k").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+            F.col("n.bal").alias("new_bal"),
+        )
+    )
+
+
 @query(
     "snapshot_cdc_extract",
     oracle="""
@@ -324,23 +349,7 @@ def q_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("k") + F.col("m") + 1).alias("k"), "bal")
         )
     )
-    o, n = old.alias("o"), new.alias("n")
-    diff = (
-        o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
-        .filter(
-            F.col("o.k").isNull()
-            | F.col("n.k").isNull()
-            | (F.col("o.bal") != F.col("n.bal"))
-        )
-        .select(
-            F.when(F.col("o.k").isNull(), "insert")
-            .when(F.col("n.k").isNull(), "delete")
-            .otherwise("update")
-            .alias("op"),
-            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
-        )
-    )
-    return diff.groupBy("op").agg(
+    return cdc_diff(old, new).groupBy("op").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.bit_xor("k").cast("bigint").alias("key_checksum"),
     )

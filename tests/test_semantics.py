@@ -1011,3 +1011,32 @@ def test_custom_sink_manifest_ignores_orphans(spark, tmp_path):
         f"{out}/part-*.json"
     )
     assert naive.count() > 1000
+
+
+def test_cdc_diff_edge_cases(spark):
+    """cdc_diff on the degenerate snapshots a real pipeline WILL hit:
+    empty old (initial load => all inserts), empty new (truncation =>
+    all deletes), identical snapshots (=> empty feed), total update
+    churn — each checked for exact op multisets."""
+    from bigdata_assigment3_spark.operators.pipeline import cdc_diff
+
+    schema = "k BIGINT, bal DOUBLE"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    a = df([(1, 10.0), (2, 20.0), (3, 30.0)])
+    empty = df([])
+
+    def ops(old, new):
+        out = {}
+        for r in cdc_diff(old, new).collect():
+            out.setdefault(r.op, set()).add(r.k)
+        return out
+
+    assert ops(empty, a) == {"insert": {1, 2, 3}}
+    assert ops(a, empty) == {"delete": {1, 2, 3}}
+    assert ops(a, a) == {}
+    assert ops(a, df([(1, 11.0), (2, 22.0), (3, 33.0)])) == {"update": {1, 2, 3}}
+    mixed = ops(df([(1, 10.0), (2, 20.0)]), df([(2, 25.0), (9, 90.0)]))
+    assert mixed == {"delete": {1}, "update": {2}, "insert": {9}}
