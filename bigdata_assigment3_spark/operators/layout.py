@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
 from ..sources import load_table
 
@@ -291,7 +292,7 @@ def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "surrogate_keys",
-    oracle="""
+    oracle=f"""
     WITH r AS (
       SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS sid,
              o_orderkey
@@ -301,7 +302,7 @@ def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(sid) AS BIGINT) AS min_sid,
            CAST(MAX(sid) AS BIGINT) AS max_sid,
            CAST(SUM(sid) AS BIGINT) AS sid_sum,
-           CAST(bit_xor(('0x' || substr(md5(CAST(sid AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 14))::BIGINT) AS BIGINT)
+           CAST(bit_xor({md5_int56_duck("CAST(sid AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}) AS BIGINT)
              AS assignment_checksum
     FROM r
     """,
@@ -348,15 +349,21 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     chk = F.expr(
-        "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(sid AS STRING), ':', CAST(o_orderkey AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+        md5_int56_spark("CONCAT(CAST(sid AS STRING), ':', CAST(o_orderkey AS STRING))")
     )
-    return keyed.agg(
+    agg = keyed.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min("sid").cast("bigint").alias("min_sid"),
         F.max("sid").cast("bigint").alias("max_sid"),
         F.sum("sid").cast("bigint").alias("sid_sum"),
         F.bit_xor(chk).cast("bigint").alias("assignment_checksum"),
     )
+    # materialize the 1-row proof eagerly so the pinned range copy can
+    # be released — repeated invocations (bench) must not accumulate
+    # cached copies of orders
+    rows = agg.collect()
+    ranged.unpersist()
+    return spark.createDataFrame(rows, agg.schema)
 
 
 # ------------------------------------------------- partition retention
@@ -588,24 +595,28 @@ def q_catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat_rows = int(tbl_stats["Statistics"].split(",")[1].strip().split(" ")[0])
 
     orders = spark.table(tname)
-    out = None
+    # ONE scan computes every exact NDV (the per-column loop would
+    # re-scan the table once per column)
+    exact = orders.agg(
+        *[F.countDistinct(c).alias(c) for c in _STATS_COLS]
+    ).collect()[0]
+    rows = []
     for c in _STATS_COLS:
         st = col_stats(c)
-        per = orders.agg(
-            F.lit(c).alias("col_name"),
-            F.countDistinct(c).alias("ndv_exact"),
-        ).select(
-            "col_name",
-            # catalog-reported values; the oracle recomputes them
-            # exactly, so the hash compare IS the stats-accuracy proof
-            F.lit(stat_rows).cast("bigint").alias("n_rows"),
-            F.lit(int(st["num_nulls"])).cast("bigint").alias("num_nulls"),
-            F.lit(float(st["min"])).alias("min_val"),
-            F.lit(float(st["max"])).alias("max_val"),
+        # catalog-reported values; the oracle recomputes them exactly,
+        # so the hash compare IS the stats-accuracy proof
+        rows.append(
             (
-                F.abs(F.lit(int(st["distinct_count"])) - F.col("ndv_exact"))
-                <= 0.1 * F.col("ndv_exact")
-            ).alias("ndv_within_10pct"),
+                c,
+                stat_rows,
+                int(st["num_nulls"]),
+                float(st["min"]),
+                float(st["max"]),
+                abs(int(st["distinct_count"]) - exact[c]) <= 0.1 * exact[c],
+            )
         )
-        out = per if out is None else out.unionByName(per)
-    return out
+    return spark.createDataFrame(
+        rows,
+        "col_name STRING, n_rows BIGINT, num_nulls BIGINT, "
+        "min_val DOUBLE, max_val DOUBLE, ndv_within_10pct BOOLEAN",
+    )

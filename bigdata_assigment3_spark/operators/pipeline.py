@@ -261,6 +261,31 @@ def q_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
 # ------------------------------------ snapshot-diff CDC extraction
 
+def cdc_snapshots(spark: SparkSession, sf_dir: str):
+    """The (old, new) snapshot pair behind snapshot_cdc_extract:
+    deterministic modular delete/update waves + a cloned insert wave
+    above the key space (max+1 offset so clones never collide with
+    real keys).  Shared by the registered query and the round-trip
+    test."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    mx = cust.agg(F.max("k").alias("m"))
+    new = (
+        cust.filter(F.col("k") % 19 != 3)
+        .select(
+            "k",
+            F.when(F.col("k") % 19 == 5, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 7 == 0)
+            .join(F.broadcast(mx))
+            .select((F.col("k") + F.col("m") + 1).alias("k"), "bal")
+        )
+    )
+    return cust, new
+
+
 def cdc_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Snapshot diff -> change feed (op, k, new_bal): insert when the
     key is absent from old, delete when absent from new, update when
@@ -273,7 +298,9 @@ def cdc_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .filter(
             F.col("o.k").isNull()
             | F.col("n.k").isNull()
-            | (F.col("o.bal") != F.col("n.bal"))
+            # NULL-safe: a tracked column transitioning to/from NULL
+            # IS an update (a bare != would swallow it as a no-op)
+            | ~F.col("o.bal").eqNullSafe(F.col("n.bal"))
         )
         .select(
             F.when(F.col("o.k").isNull(), "insert")
@@ -308,7 +335,7 @@ def cdc_diff(old: DataFrame, new: DataFrame) -> DataFrame:
                   ELSE 'update' END AS op,
              COALESCE(o.k, n.k) AS k
       FROM old o FULL OUTER JOIN new n ON o.k = n.k
-      WHERE o.k IS NULL OR n.k IS NULL OR o.bal <> n.bal
+      WHERE o.k IS NULL OR n.k IS NULL OR o.bal IS DISTINCT FROM n.bal
     )
     SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(bit_xor(k) AS BIGINT) AS key_checksum
@@ -332,23 +359,7 @@ def q_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the key (see bucketed_colocated_join) even that shuffle
     disappears.  No-op suppression happens before anything aggregates,
     so the change feed, not the table, is what flows downstream."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
-    )
-    mx = cust.agg(F.max("k").alias("m"))
-    old = cust
-    new = (
-        cust.filter(F.col("k") % 19 != 3)
-        .select(
-            "k",
-            F.when(F.col("k") % 19 == 5, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
-        )
-        .unionByName(
-            cust.filter(F.col("k") % 7 == 0)
-            .join(F.broadcast(mx))
-            .select((F.col("k") + F.col("m") + 1).alias("k"), "bal")
-        )
-    )
+    old, new = cdc_snapshots(spark, sf_dir)
     return cdc_diff(old, new).groupBy("op").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.bit_xor("k").cast("bigint").alias("key_checksum"),

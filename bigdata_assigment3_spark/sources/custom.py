@@ -166,9 +166,15 @@ def register_synthtx_sink(spark) -> None:
             import os
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            # attempt-unique file name: a retried or speculative
+            # duplicate attempt writes its OWN file, and only the
+            # attempt whose commit message the driver acknowledges is
+            # published — concurrent attempts can never corrupt the
+            # committed file
+            ctx = TaskContext.get()
+            pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
             os.makedirs(self.path, exist_ok=True)
-            fname = os.path.join(self.path, f"part-{pid:05d}.json")
+            fname = os.path.join(self.path, f"part-{pid:05d}-{attempt}.json")
             n = 0
             with open(fname, "w") as fh:
                 for row in iterator:
@@ -191,8 +197,9 @@ def register_synthtx_sink(spark) -> None:
         def abort(self, messages):
             import os
 
+            # failed tasks contribute None messages — skip them
             for m in messages:
-                if os.path.exists(m.file):
+                if m is not None and os.path.exists(m.file):
                     os.remove(m.file)
 
     class SyntheticTxSink(DataSource):

@@ -334,7 +334,9 @@ def test_shuffle_exchange_budgets(spark):
         # operational/layout closers
         "compact_small_files": 1,    # final agg over the compacted read-back
         "dpp_partitioned_join": 2,   # join + count-distinct agg; fact I/O pruned by DPP
-        "surrogate_keys": 4,         # range shuffle + offset-count agg + final agg
+        # rank+agg run eagerly inside fn (then the range copy unpersists);
+        # the returned proof row is literal
+        "surrogate_keys": 0,
         # 7 = two FK anti-joins + per-table aggregate passes + union;
         # every one is an aggregate-sized exchange, no row-level shuffle
         "dq_audit": 7,
@@ -344,9 +346,10 @@ def test_shuffle_exchange_budgets(spark):
         "incremental_view_maintenance": 8,
         "txn_log_time_travel": 3,    # one per-version snapshot aggregate
         "snapshot_cdc_extract": 4,   # full-outer diff join + final op agg
-        "catalog_stats_cbo": 6,      # three per-column count-distinct passes
+        # stats scan (one pass, eager) happens inside fn; result is literal rows
+        "catalog_stats_cbo": 0,
         "sql_udf_battery": 3,        # inlined SQL UDFs + lateral TVF + band agg
-        "observed_metrics_single_pass": 1,  # metrics ride the one agg pass
+        "observed_metrics_single_pass": 0,  # one eager pass; literal result row
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

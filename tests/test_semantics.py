@@ -937,39 +937,13 @@ def test_cdc_feed_reproduces_new_snapshot(spark):
     """The CDC contract behind snapshot_cdc_extract: applying the
     emitted change feed to the OLD snapshot must reproduce the NEW
     snapshot exactly (delete the deletes, upsert the updates+inserts).
-    Checked on the full row-level diff, not just the op counts the
-    oracle hashes."""
-    from bigdata_assigment3_spark.sources import load_table
+    Runs the PRODUCTION helpers (cdc_snapshots + cdc_diff), not a
+    private copy, and checks the full row-level diff — not just the
+    op counts the oracle hashes."""
+    from bigdata_assigment3_spark.operators.pipeline import cdc_diff, cdc_snapshots
 
-    cust = load_table(spark, SF_ORACLE, "customer").select(
-        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
-    )
-    mx = cust.agg(F.max("k").alias("m"))
-    old = cust
-    new = (
-        cust.filter(F.col("k") % 19 != 3)
-        .select(
-            "k",
-            F.when(F.col("k") % 19 == 5, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
-        )
-        .unionByName(
-            cust.filter(F.col("k") % 7 == 0)
-            .join(F.broadcast(mx))
-            .select((F.col("k") + F.col("m") + 1).alias("k"), "bal")
-        )
-    )
-    o, n = old.alias("o"), new.alias("n")
-    feed = (
-        o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
-        .filter(F.col("o.k").isNull() | F.col("n.k").isNull() | (F.col("o.bal") != F.col("n.bal")))
-        .select(
-            F.when(F.col("o.k").isNull(), "insert")
-            .when(F.col("n.k").isNull(), "delete")
-            .otherwise("update").alias("op"),
-            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
-            F.col("n.bal").alias("new_bal"),
-        )
-    )
+    old, new = cdc_snapshots(spark, SF_ORACLE)
+    feed = cdc_diff(old, new)
     applied = (
         old.join(feed, "k", "left")
         .filter((F.col("op").isNull()) | (F.col("op") != "delete"))
@@ -1040,3 +1014,7 @@ def test_cdc_diff_edge_cases(spark):
     assert ops(a, df([(1, 11.0), (2, 22.0), (3, 33.0)])) == {"update": {1, 2, 3}}
     mixed = ops(df([(1, 10.0), (2, 20.0)]), df([(2, 25.0), (9, 90.0)]))
     assert mixed == {"delete": {1}, "update": {2}, "insert": {9}}
+    # NULL transitions ARE updates (null-safe compare), equal NULLs are not
+    assert ops(df([(1, 10.0), (2, None)]), df([(1, None), (2, None)])) == {
+        "update": {1}
+    }
