@@ -1006,3 +1006,91 @@ def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("inten_m"), 3).alias("mean_m"),
     )
+
+
+# ------------------------------------------- precomputed-mask artifact
+
+@query(
+    "mask_npy_join",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL})
+    SELECT in_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_vox,
+           CAST(SUM(inten_m) AS BIGINT) AS inten_sum,
+           CAST(bit_xor(z * {Y * X} + y * {X} + x) AS BIGINT) AS coord_checksum
+    FROM vox GROUP BY in_mask
+    """,
+)
+def q_mask_npy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 done for real: the brain mask arrives as a PRECOMPUTED .npy
+    ARTIFACT on disk (reference `brain_segmentation.py` loads exactly
+    such a mask), not as a column the SQL generator happens to carry.
+    numpy writes the (Z,Y,X) boolean volume; Spark reads the file
+    through ``binaryFile`` and a mapInPandas kernel np.loads it and
+    unrolls it to (z, y, x, in_mask) rows; the mask then joins the
+    voxel table on coordinates — the same "sidecar artifact joined to
+    the fact table" shape as loading a segmentation mask, a bad-pixel
+    map, or a tombstone bitmap.
+
+    The Spark side's in_mask comes ONLY from the decoded bytes, while
+    the oracle replays the mask RULE arithmetically — value equality
+    proves the artifact round trip bit-for-bit.  At scale: one mask
+    file per volume rides binaryFile's existing partitioning; the
+    unroll is batch-columnar (numpy reshape, no per-voxel Python) and
+    the coordinate join is an equi-join Catalyst plans like any other.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+
+    mask_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_maskfile_{spark.sparkContext.applicationId}",
+    )
+    path = os.path.join(mask_dir, "mask.npy")
+    if not os.path.exists(path):
+        os.makedirs(mask_dir, exist_ok=True)
+        zz, yy, xx = np.ogrid[0:Z, 0:Y, 0:X]
+        d2 = (zz - 8) ** 2 * 4 + (yy - 16) ** 2 + (xx - 16) ** 2
+        np.save(path, d2 < 256)
+
+    z_dim, y_dim, x_dim = Z, Y, X
+
+    def unroll(batches):
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                m = np.load(io.BytesIO(bytes(blob)))
+                assert m.shape == (z_dim, y_dim, x_dim)
+                idx = np.arange(m.size, dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "z": idx // (y_dim * x_dim),
+                        "y": (idx // x_dim) % y_dim,
+                        "x": idx % x_dim,
+                        "in_mask": m.reshape(-1),
+                    }
+                )
+
+    mask = (
+        spark.read.format("binaryFile")
+        .load(mask_dir)
+        .select("content")
+        .mapInPandas(unroll, "z BIGINT, y BIGINT, x BIGINT, in_mask BOOLEAN")
+    )
+    vox = _voxels(spark).select("z", "y", "x", "inten_m")  # NO generator mask
+    return (
+        vox.join(mask, ["z", "y", "x"])
+        .groupBy("in_mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vox"),
+            F.sum("inten_m").cast("bigint").alias("inten_sum"),
+            F.bit_xor(F.col("z") * (Y * X) + F.col("y") * X + F.col("x"))
+            .cast("bigint")
+            .alias("coord_checksum"),
+        )
+    )
