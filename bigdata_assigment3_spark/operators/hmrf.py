@@ -1094,3 +1094,96 @@ def q_mask_npy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coord_checksum"),
         )
     )
+
+
+@query(
+    "volume_npy_export",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL})
+    SELECT CASE WHEN inten_m < 400 THEN 0 WHEN inten_m < 580 THEN 1 ELSE 2 END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vox,
+           CAST(bit_xor(z * {Y * X} + y * {X} + x) AS BIGINT) AS coord_checksum
+    FROM vox GROUP BY 1
+    """,
+)
+def q_volume_npy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 made real (minus the NIfTI header — nibabel stays absent,
+    so the container is .npy): the segmented volume is EXPORTED as a
+    dense array artifact by a grouped applyInPandas kernel (one task
+    per volume scatters its rows into a (Z,Y,X) ndarray and np.saves
+    it — volumes are per-patient bounded, which is what makes the
+    per-group densify safe), then read BACK through binaryFile +
+    np.load, and the returned per-label stats are computed FROM THE
+    ARTIFACT — the oracle replays the label rule arithmetically, so
+    value equality proves the voxel->file->voxel round trip is exact.
+
+    At scale the export dir is shared storage; each volume is one
+    bounded task and the artifact write is embarrassingly parallel —
+    the reference's `nib.save` loop (`brain_segmentation.py:425-438`),
+    distributed."""
+    import os
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_volexport_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    z_dim, y_dim, x_dim = Z, Y, X
+
+    labeled = _voxels(spark).select(
+        F.lit(0).alias("vol_id"), "z", "y", "x",
+        F.expr(_INIT_LABEL).alias("label"),
+    )
+
+    def export(pdf):
+        import numpy as np
+        import pandas as pd
+
+        arr = np.full((z_dim, y_dim, x_dim), -1, dtype=np.int8)
+        arr[pdf["z"].to_numpy(), pdf["y"].to_numpy(), pdf["x"].to_numpy()] = (
+            pdf["label"].to_numpy()
+        )
+        assert (arr >= 0).all()  # every voxel present exactly once
+        path = os.path.join(out_dir, f"vol-{int(pdf['vol_id'].iloc[0])}.npy")
+        np.save(path, arr)
+        return pd.DataFrame({"vol_id": [int(pdf["vol_id"].iloc[0])], "n": [len(pdf)]})
+
+    manifest = (
+        labeled.groupBy("vol_id")
+        .applyInPandas(export, "vol_id BIGINT, n BIGINT")
+        .collect()
+    )
+    assert sum(r.n for r in manifest) == NVOX
+
+    def readback(batches):
+        import io
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                arr = np.load(io.BytesIO(bytes(blob))).reshape(-1)
+                idx = np.arange(arr.size, dtype=np.int64)
+                out = []
+                for lab in np.unique(arr):
+                    sel = idx[arr == lab]
+                    out.append(
+                        (int(lab), len(sel), int(np.bitwise_xor.reduce(sel)))
+                    )
+                yield pd.DataFrame(out, columns=["label", "n_vox", "coord_checksum"])
+
+    per_file = (
+        spark.read.format("binaryFile")
+        .load(out_dir)
+        .select("content")
+        .mapInPandas(readback, "label BIGINT, n_vox BIGINT, coord_checksum BIGINT")
+    )
+    # re-aggregate across volumes (bit_xor merges, counts sum)
+    return per_file.groupBy("label").agg(
+        F.sum("n_vox").cast("bigint").alias("n_vox"),
+        F.bit_xor("coord_checksum").cast("bigint").alias("coord_checksum"),
+    )

@@ -351,6 +351,7 @@ def test_shuffle_exchange_budgets(spark):
         "sql_udf_battery": 3,        # inlined SQL UDFs + lateral TVF + band agg
         "observed_metrics_single_pass": 0,  # one eager pass; literal result row
         "mask_npy_join": 1,          # broadcast mask join + final group agg
+        "volume_npy_export": 1,      # read-back label agg (export runs eagerly)
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
