@@ -607,3 +607,194 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("win_energy").cast("bigint").alias("total_energy"),
         F.max("win_energy").cast("bigint").alias("peak_window_energy"),
     )
+
+
+# ----------------------------------------------- REAL codecs (no cv2)
+
+N_PGM, PGM_W, PGM_H = 64, 32, 24
+
+
+@query(
+    "image_pgm_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT img, y, x, (x * 7 + y * 13 + img * 31) % 256 AS v
+      FROM range({N_PGM}) i(img), range({PGM_H}) r(y), range({PGM_W}) c(x)
+    )
+    SELECT img AS image_id,
+           CAST({PGM_W} AS INTEGER) AS width,
+           CAST({PGM_H} AS INTEGER) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(v) AS BIGINT) AS pixel_max,
+           CAST(bit_xor(v * 1024 + y * {PGM_W} + x) AS BIGINT) AS pixel_checksum
+    FROM px GROUP BY img
+    """,
+)
+def q_image_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL image codec, no cv2 required: {N_PGM} genuine binary P5
+    PGM files are staged (header + raw grayscale bytes — an actual
+    interchange format netpbm/ImageMagick/OpenCV all read), then
+    decoded DISTRIBUTED by a mapInPandas kernel that parses the header
+    tokens and np.frombuffers the pixel plane.  Per-image stats are
+    computed from the DECODED PIXELS, while the oracle replays the
+    generator arithmetic from range() — equality proves the encoder,
+    the real parser, and the batch plumbing agree on every pixel.
+
+    This is the S8 shape with the codec REAL (the cv2/JPEG variant
+    stays a stub until the sandbox grows a codec lib); at scale the
+    per-file kernel is the same one that wraps cv2.imdecode."""
+    import numpy as np
+
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_pgm_{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(os.path.join(stage, "_DONE")):
+        os.makedirs(stage, exist_ok=True)
+        yy, xx = np.mgrid[0:PGM_H, 0:PGM_W]
+        for img in range(N_PGM):
+            arr = ((xx * 7 + yy * 13 + img * 31) % 256).astype(np.uint8)
+            with open(os.path.join(stage, f"img-{img:04d}.pgm"), "wb") as fh:
+                fh.write(b"P5\n%d %d\n255\n" % (PGM_W, PGM_H) + arr.tobytes())
+        open(os.path.join(stage, "_DONE"), "w").close()
+
+    def decode(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                img_id = int(re.search(r"img-(\d+)\.pgm", path).group(1))
+                b = bytes(blob)
+                # real P5 parse: magic, 3 ASCII tokens, single ws, raster
+                m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+                w, h, maxval = (int(g) for g in m.groups())
+                assert maxval == 255
+                px = np.frombuffer(b[m.end():], dtype=np.uint8, count=w * h)
+                v = px.astype(np.int64)
+                pos = np.arange(w * h, dtype=np.int64)
+                rows.append(
+                    (
+                        img_id,
+                        w,
+                        h,
+                        int(v.sum()),
+                        int(v.max()),
+                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "pixel_sum", "pixel_max", "pixel_checksum",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pgm")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "image_id BIGINT, width INTEGER, height INTEGER, "
+            "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
+        )
+    )
+
+
+N_WAV, WAV_SAMPLES, WAV_FRAME = 16, 2048, 256
+
+
+@query(
+    "audio_wav_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT f, i, ((i * i * 37 + f * 101) % 4096) - 2048 AS amp,
+             i // {WAV_FRAME} AS frame
+      FROM range({N_WAV}) a(f), range({WAV_SAMPLES}) b(i)
+    ),
+    fr AS (
+      SELECT f, frame, SUM(amp * amp) AS energy
+      FROM s GROUP BY f, frame
+    )
+    SELECT f AS audio_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS peak_frame_energy
+    FROM fr GROUP BY f
+    """,
+)
+def q_audio_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL audio codec via the stdlib: {N_WAV} genuine RIFF/WAVE
+    PCM16 files written with the `wave` module, decoded DISTRIBUTED by
+    a kernel that re-opens each blob with `wave` and np.frombuffers
+    the PCM samples; per-{WAV_FRAME}-sample frame energies come from
+    the DECODED samples, the oracle replays the sample formula — the
+    container, the 16-bit little-endian codec, and the framing are all
+    under the value gate.  (`audio_frame_energy` keeps the SQL-fixture
+    twin; this one exercises an actual file format end to end.)"""
+    import wave
+
+    import numpy as np
+
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_wav_{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(os.path.join(stage, "_DONE")):
+        os.makedirs(stage, exist_ok=True)
+        i = np.arange(WAV_SAMPLES, dtype=np.int64)
+        for f in range(N_WAV):
+            samples = (((i * i * 37 + f * 101) % 4096) - 2048).astype(np.int16)
+            with wave.open(os.path.join(stage, f"audio-{f:03d}.wav"), "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(16000)
+                wf.writeframes(samples.tobytes())
+        open(os.path.join(stage, "_DONE"), "w").close()
+
+    frame_len = WAV_FRAME
+
+    def decode(batches):
+        import io
+        import re
+        import wave as _wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                audio_id = int(re.search(r"audio-(\d+)\.wav", path).group(1))
+                with _wave.open(io.BytesIO(bytes(blob)), "rb") as wf:
+                    assert wf.getsampwidth() == 2 and wf.getnchannels() == 1
+                    pcm = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                e = (pcm * pcm).reshape(-1, frame_len).sum(axis=1)
+                rows.append(
+                    (audio_id, len(e), int(e.sum()), int(e.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "n_frames", "total_energy", "peak_frame_energy"],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "audio_id BIGINT, n_frames BIGINT, total_energy BIGINT, peak_frame_energy BIGINT",
+        )
+    )

@@ -352,6 +352,8 @@ def test_shuffle_exchange_budgets(spark):
         "observed_metrics_single_pass": 0,  # one eager pass; literal result row
         "mask_npy_join": 1,          # broadcast mask join + final group agg
         "volume_npy_export": 1,      # read-back label agg (export runs eagerly)
+        "image_pgm_decode": 0,       # pure per-file kernel, no shuffle
+        "audio_wav_energy": 0,       # pure per-file kernel, no shuffle
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
