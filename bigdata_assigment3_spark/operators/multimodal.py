@@ -798,3 +798,108 @@ def q_audio_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "audio_id BIGINT, n_frames BIGINT, total_energy BIGINT, peak_frame_energy BIGINT",
         )
     )
+
+
+Y4M_W, Y4M_H, Y4M_FRAMES = 32, 24, 20
+
+
+@query(
+    "video_y4m_frames",
+    oracle=f"""
+    WITH y AS (
+      SELECT i, yy, xx, (xx * 3 + yy * 5 + i * 17) % 256 AS v
+      FROM range({Y4M_FRAMES}) f(i), range({Y4M_H}) r(yy), range({Y4M_W}) c(xx)
+    ),
+    fr AS (
+      SELECT i, SUM(v) AS luma_sum FROM y GROUP BY i
+    ),
+    d AS (
+      SELECT a.i,
+             (SELECT SUM(ABS(b.v - a2.v))
+              FROM y b JOIN y a2 ON b.yy = a2.yy AND b.xx = a2.xx
+              WHERE b.i = a.i AND a2.i = a.i - 1) AS sad_prev
+      FROM fr a
+    )
+    SELECT fr.i AS frame_id,
+           CAST(fr.luma_sum AS BIGINT) AS luma_sum,
+           CAST(COALESCE(d.sad_prev, 0) AS BIGINT) AS sad_vs_prev
+    FROM fr JOIN d ON d.i = fr.i
+    """,
+)
+def q_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL video container, no cv2: one genuine YUV4MPEG2 (.y4m)
+    stream — ASCII stream header, per-frame FRAME markers, raw C420
+    planes (the uncompressed interchange format ffmpeg/mjpegtools
+    read) — is staged, and a mapInPandas kernel does the actual
+    demux: parse the header geometry, split on FRAME markers, slice
+    each frame's Y plane with np.frombuffer.  Per-frame luma sums and
+    the frame-vs-previous SAD (the motion-estimation front end, S10)
+    are computed from DECODED planes; the oracle replays the generator
+    arithmetic, so header parse, frame segmentation, and plane layout
+    are all under the value gate.
+
+    One file ships as one binaryFile row here; at scale each row is a
+    clip/segment and the same kernel demuxes them in parallel — the
+    frame-diff then feeds `motion_decision_counts` exactly as the
+    reference's calibration pass does."""
+    import tempfile
+
+    import numpy as np
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_y4m_{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(os.path.join(stage, "_DONE")):
+        os.makedirs(stage, exist_ok=True)
+        yy, xx = np.mgrid[0:Y4M_H, 0:Y4M_W]
+        with open(os.path.join(stage, "clip.y4m"), "wb") as fh:
+            fh.write(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (Y4M_W, Y4M_H))
+            for i in range(Y4M_FRAMES):
+                yp = ((xx * 3 + yy * 5 + i * 17) % 256).astype(np.uint8)
+                u = np.full((Y4M_H // 2, Y4M_W // 2), 128, np.uint8)
+                fh.write(b"FRAME\n" + yp.tobytes() + u.tobytes() + u.tobytes())
+        open(os.path.join(stage, "_DONE"), "w").close()
+
+    def demux(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                b = bytes(blob)
+                nl = b.index(b"\n")
+                header = b[:nl].decode("ascii")
+                w = int(re.search(r"W(\d+)", header).group(1))
+                h = int(re.search(r"H(\d+)", header).group(1))
+                assert "C420" in header
+                fsz = w * h + 2 * (w // 2) * (h // 2)
+                body = b[nl + 1:]
+                frames = []
+                pos = 0
+                while pos < len(body):
+                    assert body[pos:pos + 6] == b"FRAME\n"
+                    pos += 6
+                    frames.append(
+                        np.frombuffer(body, np.uint8, count=w * h, offset=pos)
+                        .astype(np.int64)
+                    )
+                    pos += fsz
+                rows = []
+                prev = None
+                for i, yplane in enumerate(frames):
+                    sad = int(np.abs(yplane - prev).sum()) if prev is not None else 0
+                    rows.append((i, int(yplane.sum()), sad))
+                    prev = yplane
+                yield pd.DataFrame(
+                    rows, columns=["frame_id", "luma_sum", "sad_vs_prev"]
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(stage)
+        .select("content")
+        .mapInPandas(demux, "frame_id BIGINT, luma_sum BIGINT, sad_vs_prev BIGINT")
+    )

@@ -354,6 +354,7 @@ def test_shuffle_exchange_budgets(spark):
         "volume_npy_export": 1,      # read-back label agg (export runs eagerly)
         "image_pgm_decode": 0,       # pure per-file kernel, no shuffle
         "audio_wav_energy": 0,       # pure per-file kernel, no shuffle
+        "video_y4m_frames": 0,       # single-pass demux kernel, no shuffle
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
