@@ -903,3 +903,137 @@ def q_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content")
         .mapInPandas(demux, "frame_id BIGINT, luma_sum BIGINT, sad_vs_prev BIGINT")
     )
+
+
+DCM_N, DCM_W, DCM_H = 12, 32, 24
+DCM_SLOPE, DCM_INTERCEPT = 2, -1024
+
+
+@query(
+    "dicom_decode_rescale",
+    oracle=f"""
+    WITH px AS (
+      SELECT s, yy, xx, (xx * 11 + yy * 19 + s * 23) % 4096 AS raw
+      FROM range({DCM_N}) a(s), range({DCM_H}) r(yy), range({DCM_W}) c(xx)
+    )
+    SELECT s AS slice_id,
+           CAST({DCM_H} AS INTEGER) AS rows_,
+           CAST({DCM_W} AS INTEGER) AS cols_,
+           CAST(SUM(raw * {DCM_SLOPE} + {DCM_INTERCEPT}) AS BIGINT) AS hu_sum,
+           CAST(MAX(raw * {DCM_SLOPE} + {DCM_INTERCEPT}) AS BIGINT) AS hu_max,
+           CAST(bit_xor(raw * 1024 + yy * {DCM_W} + xx) AS BIGINT) AS raw_checksum
+    FROM px GROUP BY s
+    """,
+)
+def q_dicom_decode_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DICOM bytes, no pydicom: {DCM_N} genuine Part-10 files are
+    staged — 128-byte preamble, 'DICM' magic, explicit-VR
+    little-endian elements (TransferSyntaxUID, Rows, Columns,
+    BitsAllocated, RescaleSlope/Intercept as DS strings, OW PixelData
+    with the 4-byte long-form length) — and a mapInPandas kernel walks
+    the element stream with a real tag/VR/length parser, pulls the
+    geometry and rescale tags, np.frombuffers the uint16 plane and
+    applies HU = slope*raw + intercept (S9's modality rescale,
+    `brain_segmentation.py:25-64`).  Per-slice HU stats come from the
+    PARSED file; the oracle replays the pixel formula — magic, element
+    walk, DS string parse, and pixel layout are all value-gated.
+
+    Slope/intercept are integers here so HU stays integer-exact; a
+    fractional slope would move the oracle to the DECIMAL idiom."""
+    import struct
+    import tempfile
+
+    import numpy as np
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_dcm_{spark.sparkContext.applicationId}"
+    )
+
+    def _el_short(group: int, elem: int, vr: bytes, val: bytes) -> bytes:
+        return struct.pack("<HH", group, elem) + vr + struct.pack("<H", len(val)) + val
+
+    def _el_ow(group: int, elem: int, val: bytes) -> bytes:
+        return (
+            struct.pack("<HH", group, elem)
+            + b"OW\x00\x00"
+            + struct.pack("<I", len(val))
+            + val
+        )
+
+    if not os.path.exists(os.path.join(stage, "_DONE")):
+        os.makedirs(stage, exist_ok=True)
+        yy, xx = np.mgrid[0:DCM_H, 0:DCM_W]
+        for s in range(DCM_N):
+            raw = ((xx * 11 + yy * 19 + s * 23) % 4096).astype("<u2")
+            body = (
+                _el_short(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+                + _el_short(0x0028, 0x0010, b"US", struct.pack("<H", DCM_H))
+                + _el_short(0x0028, 0x0011, b"US", struct.pack("<H", DCM_W))
+                + _el_short(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+                + _el_short(0x0028, 0x1052, b"DS", b"%d " % DCM_INTERCEPT)
+                + _el_short(0x0028, 0x1053, b"DS", b"%d " % DCM_SLOPE)
+                + _el_ow(0x7FE0, 0x0010, raw.tobytes())
+            )
+            with open(os.path.join(stage, f"slice-{s:03d}.dcm"), "wb") as fh:
+                fh.write(b"\x00" * 128 + b"DICM" + body)
+        open(os.path.join(stage, "_DONE"), "w").close()
+
+    def decode(batches):
+        import re
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        long_vrs = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                slice_id = int(re.search(r"slice-(\d+)\.dcm", path).group(1))
+                b = bytes(blob)
+                assert b[128:132] == b"DICM"
+                pos, tags = 132, {}
+                while pos < len(b):
+                    group, elem = _st.unpack_from("<HH", b, pos)
+                    vr = b[pos + 4:pos + 6]
+                    if vr in long_vrs:
+                        (ln,) = _st.unpack_from("<I", b, pos + 8)
+                        start = pos + 12
+                    else:
+                        (ln,) = _st.unpack_from("<H", b, pos + 6)
+                        start = pos + 8
+                    tags[(group, elem)] = (vr, b[start:start + ln])
+                    pos = start + ln
+                (h,) = _st.unpack("<H", tags[(0x0028, 0x0010)][1])
+                (w,) = _st.unpack("<H", tags[(0x0028, 0x0011)][1])
+                intercept = int(tags[(0x0028, 0x1052)][1].decode().strip())
+                slope = int(tags[(0x0028, 0x1053)][1].decode().strip())
+                raw = np.frombuffer(
+                    tags[(0x7FE0, 0x0010)][1], dtype="<u2", count=w * h
+                ).astype(np.int64)
+                hu = raw * slope + intercept
+                pos_idx = np.arange(w * h, dtype=np.int64)
+                rows.append(
+                    (
+                        slice_id, h, w,
+                        int(hu.sum()), int(hu.max()),
+                        int(np.bitwise_xor.reduce(raw * 1024 + pos_idx)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["slice_id", "rows_", "cols_", "hu_sum", "hu_max", "raw_checksum"],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.dcm")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "slice_id BIGINT, rows_ INTEGER, cols_ INTEGER, "
+            "hu_sum BIGINT, hu_max BIGINT, raw_checksum BIGINT",
+        )
+    )

@@ -355,6 +355,7 @@ def test_shuffle_exchange_budgets(spark):
         "image_pgm_decode": 0,       # pure per-file kernel, no shuffle
         "audio_wav_energy": 0,       # pure per-file kernel, no shuffle
         "video_y4m_frames": 0,       # single-pass demux kernel, no shuffle
+        "dicom_decode_rescale": 0,   # per-file element-walk kernel, no shuffle
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
