@@ -967,6 +967,7 @@ def q_dicom_decode_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw = ((xx * 11 + yy * 19 + s * 23) % 4096).astype("<u2")
             body = (
                 _el_short(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+                + _el_short(0x0020, 0x0013, b"DS", b"%d " % ((s * 7) % DCM_N))
                 + _el_short(0x0028, 0x0010, b"US", struct.pack("<H", DCM_H))
                 + _el_short(0x0028, 0x0011, b"US", struct.pack("<H", DCM_W))
                 + _el_short(0x0028, 0x0100, b"US", struct.pack("<H", 16))
@@ -1036,4 +1037,80 @@ def q_dicom_decode_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slice_id BIGINT, rows_ INTEGER, cols_ INTEGER, "
             "hu_sum BIGINT, hu_max BIGINT, raw_checksum BIGINT",
         )
+    )
+
+
+@query(
+    "dicom_series_sort",
+    oracle=f"""
+    WITH px AS (
+      SELECT s, SUM((xx * 11 + yy * 19 + s * 23) % 4096) AS raw_sum
+      FROM range({DCM_N}) a(s), range({DCM_H}) r(yy), range({DCM_W}) c(xx)
+      GROUP BY s
+    )
+    SELECT s AS slice_id,
+           CAST((s * 7) % {DCM_N} AS BIGINT) AS instance_no,
+           CAST(raw_sum AS BIGINT) AS raw_sum
+    FROM px
+    """,
+)
+def q_dicom_series_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — DICOM series assembly: slice order comes from the PARSED
+    InstanceNumber tag (0020,0013), NOT the file name (the staged
+    files carry a bijectively shuffled instance mapping, so trusting
+    filename order would scramble the volume — exactly the bug the
+    reference's series sort guards against,
+    `brain_segmentation.py` slice sort).  The kernel walks each
+    file's element stream, extracts InstanceNumber alongside the
+    pixel sum, and the oracle replays the shuffle formula — a wrong
+    or filename-derived sort key cannot pass the value gate.
+
+    Downstream, ORDER BY instance_no assembles the volume; the z-axis
+    neighbor joins (icm_step) then rely on this order being right."""
+    # staging (with the InstanceNumber tags) is shared with
+    # dicom_decode_rescale — invoking it ensures the files exist
+    import tempfile
+
+    q_dicom_decode_rescale(spark, sf_dir)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_dcm_{spark.sparkContext.applicationId}"
+    )
+
+    def parse(batches):
+        import re
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        long_vrs = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                slice_id = int(re.search(r"slice-(\d+)\.dcm", path).group(1))
+                b = bytes(blob)
+                assert b[128:132] == b"DICM"
+                pos, tags = 132, {}
+                while pos < len(b):
+                    group, elem = struct.unpack_from("<HH", b, pos)
+                    vr = b[pos + 4:pos + 6]
+                    if vr in long_vrs:
+                        (ln,) = struct.unpack_from("<I", b, pos + 8)
+                        start = pos + 12
+                    else:
+                        (ln,) = struct.unpack_from("<H", b, pos + 6)
+                        start = pos + 8
+                    tags[(group, elem)] = b[start:start + ln]
+                    pos = start + ln
+                instance = int(tags[(0x0020, 0x0013)].decode().strip())
+                raw = np.frombuffer(tags[(0x7FE0, 0x0010)], dtype="<u2").astype(np.int64)
+                rows.append((slice_id, instance, int(raw.sum())))
+            yield pd.DataFrame(rows, columns=["slice_id", "instance_no", "raw_sum"])
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.dcm")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(parse, "slice_id BIGINT, instance_no BIGINT, raw_sum BIGINT")
     )
