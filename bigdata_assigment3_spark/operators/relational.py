@@ -1092,15 +1092,11 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey", "version")
 
 
-@query(
-    "point_in_time_join",
-    oracle="""
-    -- as-of join against the SCD2 history: each order picks the
-    -- priority version valid at its order date.  The history is
-    -- rebuilt inline with the same change-detection rule as
-    -- scd2_customer_history, then matched on the half-open interval
-    -- [valid_from, valid_to).
-    WITH seq AS (
+# SCD2 history of each customer's order priority (change-detection
+# windows), shared verbatim by the batch PIT oracle and the streaming
+# enrichment oracle — one source of truth for the validity intervals.
+SCD2_HIST_CTES = """
+    seq AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              LAG(o_orderpriority) OVER w AS prev_p
       FROM orders
@@ -1121,6 +1117,41 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS valid_to
       FROM changes
     )
+"""
+
+
+def customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hist(custkey, priority, valid_from, valid_to) — the Spark twin
+    of SCD2_HIST_CTES, shared by the batch PIT join and the streaming
+    enrichment."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    changes = (
+        seq.filter(F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p")))
+        .withColumn("version", F.row_number().over(w))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(wv).alias("valid_to"),
+    )
+
+
+@query(
+    "point_in_time_join",
+    oracle=f"""
+    -- as-of join against the SCD2 history: each order picks the
+    -- priority version valid at its order date.  The history is
+    -- rebuilt inline with the same change-detection rule as
+    -- scd2_customer_history, then matched on the half-open interval
+    -- [valid_from, valid_to).
+    WITH {SCD2_HIST_CTES}
     SELECT h.priority AS effective_priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CASE WHEN h.priority = o.o_orderpriority
@@ -1153,22 +1184,7 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny vs the facts).
     """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = o.select(
-        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
-        F.lag("o_orderpriority").over(w).alias("prev_p"),
-    )
-    changes = (
-        seq.filter(F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p")))
-        .withColumn("version", F.row_number().over(w))
-    )
-    wv = Window.partitionBy("o_custkey").orderBy("version")
-    hist = changes.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(wv).alias("valid_to"),
-    )
+    hist = customer_priority_history(spark, sf_dir)
     j = o.join(
         hist,
         (o.o_custkey == hist.custkey)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..operators.relational import SCD2_HIST_CTES
 from ..registry import query
 from ..session import ensure_session_conf
 from ..sources import load_table
@@ -1286,3 +1287,62 @@ def q_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("tv"), 3).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_pit_enrich",
+    oracle=f"""
+    -- streaming point-in-time enrichment must equal the batch PIT
+    -- join: per effective priority version, order count and revenue
+    WITH {SCD2_HIST_CTES}
+    SELECT h.priority AS effective_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 3) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — the feature-store lookup
+    run ON THE STREAM: order facts arrive as a file stream and each
+    micro-batch joins the STATIC SCD2 priority history on
+    (custkey, half-open validity interval), so every fact picks the
+    dimension version valid at ITS OWN event date, not today's.  This
+    is the stream-static join with a non-equi temporal condition —
+    stateless (the static side is just re-broadcast per micro-batch),
+    no watermark needed, and the enriched aggregate must equal the
+    batch PIT join, which is exactly what the oracle states.
+
+    At 100 TB the history is change-rate-sized (tiny vs the stream);
+    it broadcasts into every micro-batch and the stream side never
+    shuffles before enrichment."""
+    from ..operators.relational import customer_priority_history
+
+    ensure_session_conf(spark)
+    path = f"{sf_dir}/orders.parquet"
+    schema = spark.read.parquet(path).schema
+    orders_stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+        .filter(F.col("o_custkey") < 100)
+    )
+    hist = customer_priority_history(spark, sf_dir)
+    enriched = orders_stream.join(
+        F.broadcast(hist),
+        (orders_stream.o_custkey == hist.custkey)
+        & (orders_stream.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (orders_stream.o_orderdate < hist.valid_to)),
+    )
+    agg = enriched.groupBy(F.col("priority").alias("effective_priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 3)
+        .cast("double")
+        .alias("total_price"),
+    )
+    _run_to_memory(agg, "stream_pit_enrich_sink")
+    return spark.table("stream_pit_enrich_sink")

@@ -357,6 +357,7 @@ def test_shuffle_exchange_budgets(spark):
         "video_y4m_frames": 0,       # single-pass demux kernel, no shuffle
         "dicom_decode_rescale": 0,   # per-file element-walk kernel, no shuffle
         "dicom_series_sort": 0,      # tag-parse kernel, no shuffle
+        "stream_pit_enrich": 0,      # broadcast history into each micro-batch
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
