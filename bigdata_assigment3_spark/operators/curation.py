@@ -710,10 +710,13 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckey = (spark.sparkContext.applicationId, sf_dir)
     ranged = _RANGED_CACHE.get(ckey)
     if ranged is None:
+        # NEVER unpersist same-session entries: the persisted range
+        # copy is load-bearing for any still-held result DF (offsets
+        # were collected from ITS boundaries; a re-sample could move
+        # them).  Only dead sessions' keys are dropped (their blocks
+        # are already gone); live entries are one per sf_dir, bounded.
         for k in list(_RANGED_CACHE):
-            if k[0] == ckey[0]:
-                _RANGED_CACHE.pop(k).unpersist()
-            else:
+            if k[0] != ckey[0]:
                 del _RANGED_CACHE[k]
         ranged = (
             lm.repartitionByRange(n_part, "mean_nll", "doc_id")

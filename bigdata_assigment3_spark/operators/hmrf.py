@@ -1049,11 +1049,14 @@ def q_mask_npy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"bd3_maskfile_{spark.sparkContext.applicationId}",
     )
     path = os.path.join(mask_dir, "mask.npy")
-    if not os.path.exists(path):
+    # _DONE sentinel, not the data file: a crash mid-np.save must not
+    # leave a truncated mask that a retry treats as complete
+    if not os.path.exists(os.path.join(mask_dir, "_DONE")):
         os.makedirs(mask_dir, exist_ok=True)
         zz, yy, xx = np.ogrid[0:Z, 0:Y, 0:X]
         d2 = (zz - 8) ** 2 * 4 + (yy - 16) ** 2 + (xx - 16) ** 2
         np.save(path, d2 < 256)
+        open(os.path.join(mask_dir, "_DONE"), "w").close()
 
     z_dim, y_dim, x_dim = Z, Y, X
 
@@ -1078,6 +1081,7 @@ def q_mask_npy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mask = (
         spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.npy")
         .load(mask_dir)
         .select("content")
         .mapInPandas(unroll, "z BIGINT, y BIGINT, x BIGINT, in_mask BOOLEAN")

@@ -909,6 +909,62 @@ DCM_N, DCM_W, DCM_H = 12, 32, 24
 DCM_SLOPE, DCM_INTERCEPT = 2, -1024
 
 
+def _stage_dicom(spark: SparkSession) -> str:
+    """Write the {DCM_N} DICOM Part-10 slices once per session and
+    return the staging dir (shared by decode_rescale and series_sort).
+
+    Conformance notes: DS values are PADDED TO EVEN LENGTH with a
+    trailing space (the standard's padding rule — odd-length elements
+    are rejected by strict readers), and the file meta group carries
+    the mandatory FileMetaInformationGroupLength (0002,0000)."""
+    import struct
+    import tempfile
+
+    import numpy as np
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_dcm_{spark.sparkContext.applicationId}"
+    )
+    if os.path.exists(os.path.join(stage, "_DONE")):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+
+    def _ds(val: int) -> bytes:
+        b = b"%d" % val
+        return b + b" " if len(b) % 2 else b
+
+    def _el_short(group: int, elem: int, vr: bytes, val: bytes) -> bytes:
+        return struct.pack("<HH", group, elem) + vr + struct.pack("<H", len(val)) + val
+
+    def _el_ow(group: int, elem: int, val: bytes) -> bytes:
+        return (
+            struct.pack("<HH", group, elem)
+            + b"OW\x00\x00"
+            + struct.pack("<I", len(val))
+            + val
+        )
+
+    yy, xx = np.mgrid[0:DCM_H, 0:DCM_W]
+    for s in range(DCM_N):
+        raw = ((xx * 11 + yy * 19 + s * 23) % 4096).astype("<u2")
+        meta = _el_short(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+        body = (
+            _el_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta)))
+            + meta
+            + _el_short(0x0020, 0x0013, b"DS", _ds((s * 7) % DCM_N))
+            + _el_short(0x0028, 0x0010, b"US", struct.pack("<H", DCM_H))
+            + _el_short(0x0028, 0x0011, b"US", struct.pack("<H", DCM_W))
+            + _el_short(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+            + _el_short(0x0028, 0x1052, b"DS", _ds(DCM_INTERCEPT))
+            + _el_short(0x0028, 0x1053, b"DS", _ds(DCM_SLOPE))
+            + _el_ow(0x7FE0, 0x0010, raw.tobytes())
+        )
+        with open(os.path.join(stage, f"slice-{s:03d}.dcm"), "wb") as fh:
+            fh.write(b"\x00" * 128 + b"DICM" + body)
+    open(os.path.join(stage, "_DONE"), "w").close()
+    return stage
+
+
 @query(
     "dicom_decode_rescale",
     oracle=f"""
@@ -940,44 +996,7 @@ def q_dicom_decode_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Slope/intercept are integers here so HU stays integer-exact; a
     fractional slope would move the oracle to the DECIMAL idiom."""
-    import struct
-    import tempfile
-
-    import numpy as np
-
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_dcm_{spark.sparkContext.applicationId}"
-    )
-
-    def _el_short(group: int, elem: int, vr: bytes, val: bytes) -> bytes:
-        return struct.pack("<HH", group, elem) + vr + struct.pack("<H", len(val)) + val
-
-    def _el_ow(group: int, elem: int, val: bytes) -> bytes:
-        return (
-            struct.pack("<HH", group, elem)
-            + b"OW\x00\x00"
-            + struct.pack("<I", len(val))
-            + val
-        )
-
-    if not os.path.exists(os.path.join(stage, "_DONE")):
-        os.makedirs(stage, exist_ok=True)
-        yy, xx = np.mgrid[0:DCM_H, 0:DCM_W]
-        for s in range(DCM_N):
-            raw = ((xx * 11 + yy * 19 + s * 23) % 4096).astype("<u2")
-            body = (
-                _el_short(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
-                + _el_short(0x0020, 0x0013, b"DS", b"%d " % ((s * 7) % DCM_N))
-                + _el_short(0x0028, 0x0010, b"US", struct.pack("<H", DCM_H))
-                + _el_short(0x0028, 0x0011, b"US", struct.pack("<H", DCM_W))
-                + _el_short(0x0028, 0x0100, b"US", struct.pack("<H", 16))
-                + _el_short(0x0028, 0x1052, b"DS", b"%d " % DCM_INTERCEPT)
-                + _el_short(0x0028, 0x1053, b"DS", b"%d " % DCM_SLOPE)
-                + _el_ow(0x7FE0, 0x0010, raw.tobytes())
-            )
-            with open(os.path.join(stage, f"slice-{s:03d}.dcm"), "wb") as fh:
-                fh.write(b"\x00" * 128 + b"DICM" + body)
-        open(os.path.join(stage, "_DONE"), "w").close()
+    stage = _stage_dicom(spark)
 
     def decode(batches):
         import re
@@ -986,6 +1005,9 @@ def q_dicom_decode_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # NB: the element walk is duplicated in q_dicom_series_sort on
+        # purpose — mapInPandas closures must stay self-contained
+        # (workers lack this repo on sys.path under bare sessions)
         long_vrs = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
         for pdf in batches:
@@ -1067,14 +1089,7 @@ def q_dicom_series_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Downstream, ORDER BY instance_no assembles the volume; the z-axis
     neighbor joins (icm_step) then rely on this order being right."""
-    # staging (with the InstanceNumber tags) is shared with
-    # dicom_decode_rescale — invoking it ensures the files exist
-    import tempfile
-
-    q_dicom_decode_rescale(spark, sf_dir)
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_dcm_{spark.sparkContext.applicationId}"
-    )
+    stage = _stage_dicom(spark)
 
     def parse(batches):
         import re
