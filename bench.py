@@ -79,6 +79,11 @@ HEADLINE = [
     "dpp_partitioned_join",
     "surrogate_keys",
     "dq_audit",
+    # refresh + CDC + codec batch
+    "incremental_view_maintenance",
+    "snapshot_cdc_extract",
+    "sql_udf_battery",
+    "image_pgm_decode",
 ]
 
 
