@@ -4,6 +4,12 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
 
+The printed line is kept COMPACT (<1.5 KB — the driver captures only a
+2 KB output tail): "queries" holds the slowest entries only, plus the
+worst regression vs the previous round.  The FULL per-query record
+(all timings, min-of-3 noise floors, complete delta map) is written to
+BENCH_LOCAL.json next to this script and committed each round.
+
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect).  Wall time includes planning; the session build is
 excluded (it's amortized in any real deployment).
@@ -154,8 +160,17 @@ def main() -> None:
         try:
             with open(os.path.join(here, fname)) as fh:
                 prev = json.load(fh)
-            # driver records wrap our JSON line under "parsed"
-            prev_q = prev.get("parsed", prev).get("queries", {})
+            # driver records wrap our compact line under "parsed", and
+            # from round 5 on that line carries only the slowest-10
+            # queries — so prefer the committed full-results file and
+            # overlay whatever the driver record has
+            prev_q = dict(((prev.get("parsed") or prev) or {}).get("queries", {}))
+            try:
+                with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+                    full_prev = json.load(fh).get("queries", {})
+                prev_q = {**full_prev, **prev_q}
+            except (OSError, ValueError):
+                pass
             out["prev_round"] = rnum
             out["delta_vs_prev"] = {
                 n: round(t - prev_q[n], 3) for n, t in per_query.items() if n in prev_q
@@ -163,7 +178,34 @@ def main() -> None:
         except (OSError, ValueError):
             pass  # unreadable previous record: skip the comparison
 
-    print(json.dumps(out))
+    # Full record → committed file; compact summary → stdout.  The
+    # driver tails only ~2 KB of output, and the full 55-query line
+    # outgrew that in round 4 (BENCH_r04.json parsed: null).
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:10])
+    deltas = out.get("delta_vs_prev", {})
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "shared_setup_sec": shared_setup,
+        "queries": slowest,  # slowest 10 only; full map in BENCH_LOCAL.json
+        "full_results": "BENCH_LOCAL.json",
+    }
+    if deltas:
+        worst = max(deltas, key=lambda n: deltas[n])
+        best = min(deltas, key=lambda n: deltas[n])
+        compact["prev_round"] = out["prev_round"]
+        compact["delta_total_shared"] = round(sum(deltas.values()), 3)
+        compact["max_regression"] = {worst: deltas[worst]}
+        compact["max_improvement"] = {best: deltas[best]}
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line grew to {len(line)} chars"
+    print(line)
 
 
 if __name__ == "__main__":

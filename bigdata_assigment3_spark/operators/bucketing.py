@@ -161,6 +161,14 @@ def q_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     naturally, where the dim outgrows the broadcast threshold and the
     fact scan dwarfs the application-side floor.  A plan test asserts
     ``might_contain`` is really in the optimized plan.
+
+    CLASSIC-ONLY pinning: the conf scoping relies on ``df._jdf`` (a
+    JVM-internal handle absent under Spark Connect) and on the lazy-val
+    caching of QueryExecution.optimizedPlan — an implementation detail.
+    Under Connect (no ``_jdf``) the forced optimization is skipped and
+    the query still returns correct rows, just without the pinned bloom
+    plan; ``test_runtime_bloom_query_plan_pinned`` is the canary that
+    fires if the classic caching behavior ever changes.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -174,6 +182,8 @@ def q_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
         )
     )
+    if not hasattr(out, "_jdf"):  # Spark Connect: no JVM handle to pin with
+        return out
     scoped = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",

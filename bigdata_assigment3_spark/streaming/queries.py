@@ -1259,10 +1259,13 @@ def q_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .start()
     )
+    # Poll recentProgress (cumulative history), not lastProgress: a
+    # trailing no-data batch overwrites lastProgress with numInputRows=0
+    # and a lastProgress-only poll would then burn the whole timeout
+    # even though a data batch already committed.
     deadline = time.time() + 120
     while time.time() < deadline:
-        p = q1.lastProgress
-        if p and p["numInputRows"] > 0:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
             break
         time.sleep(0.2)
     q1.stop()
