@@ -1,1 +1,2 @@
+from .nifti import nifti1_bytes, parse_nifti1  # noqa: F401
 from .scalar import dec_to_double  # noqa: F401

@@ -107,9 +107,9 @@ def parse_nifti1(blob: bytes) -> tuple[dict, np.ndarray]:
     srow = np.array(struct.unpack_from("<12f", blob, 280), dtype=np.float64).reshape(3, 4)
     off = int(vox_offset)
     n = nx * ny * nz
-    data = np.frombuffer(blob, dtype=np_dt, count=n, offset=off)
-    if data.size != n:
+    if len(blob) - off < n * (bits // 8):
         raise ValueError("data segment shorter than dim[] promises")
+    data = np.frombuffer(blob, dtype=np_dt, count=n, offset=off)
     fields = {
         "sizeof_hdr": sizeof_hdr,
         "dim": (nx, ny, nz),

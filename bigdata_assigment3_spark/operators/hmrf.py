@@ -1191,3 +1191,146 @@ def q_volume_npy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_vox").cast("bigint").alias("n_vox"),
         F.bit_xor("coord_checksum").cast("bigint").alias("coord_checksum"),
     )
+
+
+@query(
+    "volume_nifti_export",
+    oracle=f"""
+    WITH vox AS ({VOXELS_SQL})
+    SELECT CASE WHEN inten_m < 400 THEN 0 WHEN inten_m < 580 THEN 1 ELSE 2 END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vox,
+           CAST(bit_xor(z * {Y * X} + y * {X} + x) AS BIGINT) AS coord_checksum,
+           CAST({X} AS BIGINT) AS nx, CAST({Y} AS BIGINT) AS ny, CAST({Z} AS BIGINT) AS nz,
+           CAST(256 AS BIGINT) AS datatype, CAST(8 AS BIGINT) AS bitpix,
+           CAST(352 AS BIGINT) AS vox_offset,
+           CAST(10 AS BIGINT) AS pixdim_x10_x, CAST(10 AS BIGINT) AS pixdim_x10_y,
+           CAST(25 AS BIGINT) AS pixdim_x10_z,
+           'n+1' AS magic
+    FROM vox GROUP BY 1
+    """,
+)
+def q_volume_nifti_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 complete: the segmented volume is exported as a REAL
+    single-file NIfTI-1 ``.nii`` artifact (hand-rolled 348-byte header,
+    functions/nifti.py — public nifti1.h spec), read BACK through
+    binaryFile, and EVERY returned column is decoded from the parsed
+    bytes: per-label voxel stats from the data segment, header fields
+    (dim, datatype, bitpix, vox_offset, pixdim, magic) from the parsed
+    header.  The oracle replays the label rule arithmetically and pins
+    the header fields as literals — value equality proves the
+    writer→file→parser round trip is exact, end to end.  Mirrors the
+    reference's ``nib.save`` export loop
+    (`Hidden_MarkovModels/brain_segmentation.py:433-438`).
+
+    At scale: one bounded task per volume densifies and writes its
+    ``.nii`` to shared storage (embarrassingly parallel); the read-back
+    rides binaryFile's split-by-file partitioning, and the header parse
+    is O(1) per file."""
+    import os
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_niftiexport_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    z_dim, y_dim, x_dim = Z, Y, X
+
+    labeled = _voxels(spark).select(
+        F.lit(0).alias("vol_id"), "z", "y", "x",
+        F.expr(_INIT_LABEL).alias("label"),
+    )
+
+    def export(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.nifti import nifti1_bytes
+
+        arr = np.full((z_dim, y_dim, x_dim), -1, dtype=np.int8)
+        arr[pdf["z"].to_numpy(), pdf["y"].to_numpy(), pdf["x"].to_numpy()] = (
+            pdf["label"].to_numpy()
+        )
+        assert (arr >= 0).all()  # every voxel present exactly once
+        vol = int(pdf["vol_id"].iloc[0])
+        blob = nifti1_bytes(arr, (1.0, 1.0, 2.5), descrip=f"bd3 seg vol {vol}")
+        path = os.path.join(out_dir, f"vol-{vol}.nii")
+        with open(path, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame({"vol_id": [vol], "n": [len(pdf)]})
+
+    manifest = (
+        labeled.groupBy("vol_id")
+        .applyInPandas(export, "vol_id BIGINT, n BIGINT")
+        .collect()
+    )
+    assert sum(r.n for r in manifest) == NVOX
+
+    def readback(batches):
+        import io  # noqa: F401
+
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.nifti import parse_nifti1
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                fields, arr = parse_nifti1(bytes(blob))
+                nx, ny, nz = fields["dim"]
+                flat = arr.reshape(-1)
+                idx = np.arange(flat.size, dtype=np.int64)
+                out = []
+                for lab in np.unique(flat):
+                    sel = idx[flat == lab]
+                    out.append(
+                        (
+                            int(lab),
+                            len(sel),
+                            int(np.bitwise_xor.reduce(sel)),
+                            nx, ny, nz,
+                            fields["datatype"], fields["bitpix"],
+                            fields["vox_offset"],
+                            int(round(fields["pixdim"][0] * 10)),
+                            int(round(fields["pixdim"][1] * 10)),
+                            int(round(fields["pixdim"][2] * 10)),
+                            fields["magic"][:3].decode(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "label", "n_vox", "coord_checksum",
+                        "nx", "ny", "nz", "datatype", "bitpix", "vox_offset",
+                        "pixdim_x10_x", "pixdim_x10_y", "pixdim_x10_z", "magic",
+                    ],
+                )
+
+    per_file = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.nii")
+        .load(out_dir)
+        .select("content")
+        .mapInPandas(
+            readback,
+            "label BIGINT, n_vox BIGINT, coord_checksum BIGINT, "
+            "nx BIGINT, ny BIGINT, nz BIGINT, datatype BIGINT, bitpix BIGINT, "
+            "vox_offset BIGINT, pixdim_x10_x BIGINT, pixdim_x10_y BIGINT, "
+            "pixdim_x10_z BIGINT, magic STRING",
+        )
+    )
+    # re-aggregate across volumes (bit_xor merges, counts sum); header
+    # fields are per-file constants — min() keeps them decoded-not-assumed
+    return per_file.groupBy("label").agg(
+        F.sum("n_vox").cast("bigint").alias("n_vox"),
+        F.bit_xor("coord_checksum").cast("bigint").alias("coord_checksum"),
+        F.min("nx").alias("nx"), F.min("ny").alias("ny"), F.min("nz").alias("nz"),
+        F.min("datatype").alias("datatype"), F.min("bitpix").alias("bitpix"),
+        F.min("vox_offset").alias("vox_offset"),
+        F.min("pixdim_x10_x").alias("pixdim_x10_x"),
+        F.min("pixdim_x10_y").alias("pixdim_x10_y"),
+        F.min("pixdim_x10_z").alias("pixdim_x10_z"),
+        F.min("magic").alias("magic"),
+    )
