@@ -1,2 +1,3 @@
 from .nifti import nifti1_bytes, parse_nifti1  # noqa: F401
+from .png import png_decode, png_encode  # noqa: F401
 from .scalar import dec_to_double  # noqa: F401

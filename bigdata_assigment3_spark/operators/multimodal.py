@@ -2,9 +2,14 @@
 metadata, decode / feature-extract as Arrow-batched pandas UDFs over
 ``mapInPandas`` (BASELINE.json north star; SURVEY S7/S8/U1-U4).
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic STUB (_fake_decode) — but the Spark-side
-plumbing is real and tested: binaryFile directory scan with glob
+The container has no image/audio codec LIBRARIES, but several codecs
+are hand-rolled from their published specs and bit-exact under value
+oracles: P5 PGM, PNG (zlib IDAT + all five scanline filters,
+functions/png.py), RIFF/WAVE PCM16, Y4M, DICOM Part-10, NIfTI-1, .npy.
+Only formats whose spec genuinely needs an external lib (JPEG's DCT
+entropy coding, MP4) keep a clearly-marked deterministic STUB
+(_fake_decode) — and even there the Spark-side plumbing is real and
+tested: binaryFile directory scan with glob
 filter + path exclusion + ordering (the reference's folder scan,
 hough_heart_detector.py:227-236), BinaryType columns with metadata
 structs, Arrow batch iteration, and partition-parallel feature
@@ -1128,4 +1133,109 @@ def q_dicom_series_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(stage)
         .select("path", "content")
         .mapInPandas(parse, "slice_id BIGINT, instance_no BIGINT, raw_sum BIGINT")
+    )
+
+
+N_PNG, PNG_W, PNG_H = 40, 32, 25
+
+
+@query(
+    "image_png_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT img, y, x, (x * 11 + y * 17 + img * 53) % 256 AS v
+      FROM range({N_PNG}) i(img), range({PNG_H}) r(y), range({PNG_W}) c(x)
+    )
+    SELECT img AS image_id,
+           CAST({PNG_W} AS INTEGER) AS width,
+           CAST({PNG_H} AS INTEGER) AS height,
+           CAST(5 AS BIGINT) AS n_filter_types,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(v) AS BIGINT) AS pixel_max,
+           CAST(bit_xor(v * 1024 + y * {PNG_W} + x) AS BIGINT) AS pixel_checksum
+    FROM px GROUP BY img
+    """,
+)
+def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compressed raster codec with zero image libraries: {N_PNG}
+    genuine PNG files (zlib-deflated IDAT, CRC-32 chunk framing,
+    functions/png.py) are staged with the scanline filter ROTATING
+    through all five spec filters (None/Sub/Up/Average/Paeth — row y of
+    image i uses filter (y+i)%5), then decoded DISTRIBUTED by a
+    mapInPandas kernel that validates CRCs, inflates, and reconstructs
+    every scanline.  Per-image stats come from the DECODED PIXELS and
+    ``n_filter_types`` from the DECODED filter bytes; the oracle
+    replays the generator arithmetic and pins n_filter_types=5 —
+    equality proves the deflate round trip and all five filter
+    reconstructions are pixel-exact.  This closes the compressed-image
+    half of S8: the reference's ``cv2.imdecode``
+    (`HOUGH Transform/hough_heart_detector.py:36-40`) with the codec
+    hand-rolled from the published spec instead of stubbed.
+
+    Scale shape: identical to image_pgm_decode — binaryFile splits by
+    file, the kernel is batch-columnar per blob, stats aggregate
+    JVM-side."""
+    import tempfile
+
+    import numpy as np
+
+    from ..functions.png import png_encode
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_png_{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(os.path.join(stage, "_DONE")):
+        os.makedirs(stage, exist_ok=True)
+        yy, xx = np.mgrid[0:PNG_H, 0:PNG_W]
+        for img in range(N_PNG):
+            arr = ((xx * 11 + yy * 17 + img * 53) % 256).astype(np.uint8)
+            blob = png_encode(arr, filter_for_row=lambda y, i=img: (y + i) % 5)
+            with open(os.path.join(stage, f"img-{img:04d}.png"), "wb") as fh:
+                fh.write(blob)
+        open(os.path.join(stage, "_DONE"), "w").close()
+
+    def decode(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                img_id = int(re.search(r"img-(\d+)\.png", path).group(1))
+                arr, filters = png_decode(bytes(blob), with_filters=True)
+                h, w = arr.shape
+                v = arr.reshape(-1).astype(np.int64)
+                pos = np.arange(v.size, dtype=np.int64)
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(np.unique(filters).size),
+                        int(v.sum()),
+                        int(v.max()),
+                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height", "n_filter_types",
+                    "pixel_sum", "pixel_max", "pixel_checksum",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "image_id BIGINT, width INTEGER, height INTEGER, "
+            "n_filter_types BIGINT, pixel_sum BIGINT, pixel_max BIGINT, "
+            "pixel_checksum BIGINT",
+        )
     )
