@@ -197,6 +197,27 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- dynamic partition pruning
 
+def _promote_staged_dir(stage: str, final: str) -> None:
+    """Atomically promote a staged fixture dir into place.  On rename
+    failure the usual cause is a concurrent session having won the
+    race — but that must be VERIFIED, not assumed: any other OSError
+    (permissions, a partial dir left by external interference) would
+    otherwise leave a broken or absent fixture that downstream queries
+    consume silently."""
+    import os
+    import shutil
+
+    try:
+        os.rename(stage, final)
+    except OSError as exc:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise RuntimeError(
+                f"fixture promotion failed: {final} has no _SUCCESS marker "
+                f"after rename error ({exc}); no concurrent winner present"
+            ) from exc
+
+
 def _dpp_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage (once per sf_dir) the month-partitioned orders fact and a
     tiny month->fiscal-quarter dim as parquet; return both paths.
@@ -234,10 +255,7 @@ def _dpp_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .partitionBy("order_month")
             .parquet(stage)
         )
-        try:
-            os.rename(stage, fact)
-        except OSError:  # concurrent session won the rename
-            shutil.rmtree(stage, ignore_errors=True)
+        _promote_staged_dir(stage, fact)
     if not os.path.exists(os.path.join(dim, "_SUCCESS")):
         stage = f"{dim}.{app}.tmp"
         (
@@ -256,10 +274,7 @@ def _dpp_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .write.mode("overwrite")
             .parquet(stage)
         )
-        try:
-            os.rename(stage, dim)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
+        _promote_staged_dir(stage, dim)
     return fact, dim
 
 
@@ -606,14 +621,31 @@ def q_catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     tname = f"orders_stats_{tag}_{app}"
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_stats_{tag}_{app}")
-    if not spark.catalog.tableExists(tname):
-        (
-            load_table(spark, sf_dir, "orders")
-            .write.mode("overwrite")
-            .option("path", base)
-            .format("parquet")
-            .saveAsTable(tname)
-        )
+
+    def _stats_present() -> bool:
+        # gate on the stats ACTUALLY being in the catalog, not on mere
+        # table existence: a prior attempt interrupted between
+        # saveAsTable and ANALYZE leaves a stats-less table that would
+        # otherwise be trusted forever
+        if not spark.catalog.tableExists(tname):
+            return False
+        probe = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED {tname} {_STATS_COLS[0]}"
+            ).collect()
+        }
+        return probe.get("num_nulls", "NULL") != "NULL"
+
+    if not _stats_present():
+        if not spark.catalog.tableExists(tname):
+            (
+                load_table(spark, sf_dir, "orders")
+                .write.mode("overwrite")
+                .option("path", base)
+                .format("parquet")
+                .saveAsTable(tname)
+            )
         spark.sql(
             f"ANALYZE TABLE {tname} COMPUTE STATISTICS FOR COLUMNS {', '.join(_STATS_COLS)}"
         )
