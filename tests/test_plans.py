@@ -362,3 +362,61 @@ def test_shuffle_exchange_budgets(spark):
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
         assert got <= budget, (name, got, budget)
+
+
+def test_cbo_stats_flip_join_strategy(spark):
+    """ANALYZE stats must actually CHANGE the physical plan, not just
+    sit in the catalog: without CBO a Filter passes its child's
+    file-size estimate through unchanged, so the filtered side of the
+    join stays over the broadcast threshold -> SortMergeJoin; with
+    spark.sql.cbo.enabled the min/max column stats give the range
+    predicate a ~1% selectivity estimate, shrinking the side under the
+    threshold -> BroadcastHashJoin.  This pins that catalog_stats_cbo
+    (operators/layout.py) feeds the optimizer, closing the loop the
+    value oracle can't see."""
+    import os
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from bigdata_assigment3_spark.plans.explain import formatted_plan
+
+    # ensure the ANALYZEd catalog table exists (same one the query uses)
+    REGISTRY["catalog_stats_cbo"].fn(spark, SF_ORACLE).collect()
+    tag = os.path.basename(os.path.normpath(SF_ORACLE)).replace(".", "_")
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    tname = f"orders_stats_{tag}_{app}"
+
+    lo, hi = spark.table(tname).agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    cut = lo + max(1, (hi - lo) // 100)  # ~1% of the key range
+    sub = f"SELECT o_custkey FROM {tname} WHERE o_orderkey <= {cut}"
+    q = (
+        f"SELECT a.o_custkey FROM {tname} a JOIN ({sub}) f "
+        f"ON a.o_custkey = f.o_custkey"
+    )
+
+    keys = ("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        # Measure the size-only (non-CBO) estimate of the filtered side
+        # as the optimizer will see it (incl. its column-pruning ratio),
+        # then pin the threshold just under it: the only thing that can
+        # move the estimate below the threshold is CBO's selectivity.
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        est_off = int(
+            str(spark.sql(sub)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(max(1024, est_off // 2))
+        )
+        plan_off = formatted_plan(spark.sql(q))
+        assert "SortMergeJoin" in plan_off and "BroadcastHashJoin" not in plan_off, plan_off
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        plan_on = formatted_plan(spark.sql(q))
+        assert "BroadcastHashJoin" in plan_on, plan_on
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
