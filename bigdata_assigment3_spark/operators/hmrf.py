@@ -1040,23 +1040,17 @@ def q_mask_npy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coordinate join is an equi-join Catalyst plans like any other.
     """
     import os
-    import tempfile
 
     import numpy as np
 
-    mask_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bd3_maskfile_{spark.sparkContext.applicationId}",
-    )
-    path = os.path.join(mask_dir, "mask.npy")
-    # _DONE sentinel, not the data file: a crash mid-np.save must not
-    # leave a truncated mask that a retry treats as complete
-    if not os.path.exists(os.path.join(mask_dir, "_DONE")):
-        os.makedirs(mask_dir, exist_ok=True)
+    from .multimodal import _staged_fixture
+
+    def write_mask(stage: str) -> None:
         zz, yy, xx = np.ogrid[0:Z, 0:Y, 0:X]
         d2 = (zz - 8) ** 2 * 4 + (yy - 16) ** 2 + (xx - 16) ** 2
-        np.save(path, d2 < 256)
-        open(os.path.join(mask_dir, "_DONE"), "w").close()
+        np.save(os.path.join(stage, "mask.npy"), d2 < 256)
+
+    mask_dir = _staged_fixture(spark, "maskfile", write_mask)
 
     z_dim, y_dim, x_dim = Z, Y, X
 

@@ -616,6 +616,26 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------- REAL codecs (no cv2)
 
+def _staged_fixture(spark: SparkSession, tag: str, write_files) -> str:
+    """Session-scoped codec-fixture staging with a crash-safe sentinel:
+    reuse is gated on the ``_DONE`` marker, written only after
+    ``write_files(stage_dir)`` returns — a crash mid-write leaves no
+    marker, so a retry regenerates instead of consuming a truncated
+    fixture.  The dir is keyed by applicationId so concurrent sessions
+    never share state.  (One pattern for every staged codec fixture:
+    PGM, PNG, WAV, Y4M, DICOM, and hmrf's .npy mask.)"""
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bd3_{tag}_{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(os.path.join(stage, "_DONE")):
+        os.makedirs(stage, exist_ok=True)
+        write_files(stage)
+        open(os.path.join(stage, "_DONE"), "w").close()
+    return stage
+
+
 N_PGM, PGM_W, PGM_H = 64, 32, 24
 
 
@@ -650,19 +670,14 @@ def q_image_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file kernel is the same one that wraps cv2.imdecode."""
     import numpy as np
 
-    import tempfile
-
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_pgm_{spark.sparkContext.applicationId}"
-    )
-    if not os.path.exists(os.path.join(stage, "_DONE")):
-        os.makedirs(stage, exist_ok=True)
+    def write_pgms(stage: str) -> None:
         yy, xx = np.mgrid[0:PGM_H, 0:PGM_W]
         for img in range(N_PGM):
             arr = ((xx * 7 + yy * 13 + img * 31) % 256).astype(np.uint8)
             with open(os.path.join(stage, f"img-{img:04d}.pgm"), "wb") as fh:
                 fh.write(b"P5\n%d %d\n255\n" % (PGM_W, PGM_H) + arr.tobytes())
-        open(os.path.join(stage, "_DONE"), "w").close()
+
+    stage = _staged_fixture(spark, "pgm", write_pgms)
 
     def decode(batches):
         import re
@@ -748,13 +763,7 @@ def q_audio_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    import tempfile
-
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_wav_{spark.sparkContext.applicationId}"
-    )
-    if not os.path.exists(os.path.join(stage, "_DONE")):
-        os.makedirs(stage, exist_ok=True)
+    def write_wavs(stage: str) -> None:
         i = np.arange(WAV_SAMPLES, dtype=np.int64)
         for f in range(N_WAV):
             samples = (((i * i * 37 + f * 101) % 4096) - 2048).astype(np.int16)
@@ -763,7 +772,8 @@ def q_audio_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wf.setsampwidth(2)
                 wf.setframerate(16000)
                 wf.writeframes(samples.tobytes())
-        open(os.path.join(stage, "_DONE"), "w").close()
+
+    stage = _staged_fixture(spark, "wav", write_wavs)
 
     frame_len = WAV_FRAME
 
@@ -847,15 +857,9 @@ def q_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip/segment and the same kernel demuxes them in parallel — the
     frame-diff then feeds `motion_decision_counts` exactly as the
     reference's calibration pass does."""
-    import tempfile
-
     import numpy as np
 
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_y4m_{spark.sparkContext.applicationId}"
-    )
-    if not os.path.exists(os.path.join(stage, "_DONE")):
-        os.makedirs(stage, exist_ok=True)
+    def write_clip(stage: str) -> None:
         yy, xx = np.mgrid[0:Y4M_H, 0:Y4M_W]
         with open(os.path.join(stage, "clip.y4m"), "wb") as fh:
             fh.write(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (Y4M_W, Y4M_H))
@@ -863,7 +867,8 @@ def q_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yp = ((xx * 3 + yy * 5 + i * 17) % 256).astype(np.uint8)
                 u = np.full((Y4M_H // 2, Y4M_W // 2), 128, np.uint8)
                 fh.write(b"FRAME\n" + yp.tobytes() + u.tobytes() + u.tobytes())
-        open(os.path.join(stage, "_DONE"), "w").close()
+
+    stage = _staged_fixture(spark, "y4m", write_clip)
 
     def demux(batches):
         import re
@@ -923,16 +928,8 @@ def _stage_dicom(spark: SparkSession) -> str:
     are rejected by strict readers), and the file meta group carries
     the mandatory FileMetaInformationGroupLength (0002,0000)."""
     import struct
-    import tempfile
 
     import numpy as np
-
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_dcm_{spark.sparkContext.applicationId}"
-    )
-    if os.path.exists(os.path.join(stage, "_DONE")):
-        return stage
-    os.makedirs(stage, exist_ok=True)
 
     def _ds(val: int) -> bytes:
         b = b"%d" % val
@@ -949,25 +946,26 @@ def _stage_dicom(spark: SparkSession) -> str:
             + val
         )
 
-    yy, xx = np.mgrid[0:DCM_H, 0:DCM_W]
-    for s in range(DCM_N):
-        raw = ((xx * 11 + yy * 19 + s * 23) % 4096).astype("<u2")
-        meta = _el_short(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
-        body = (
-            _el_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta)))
-            + meta
-            + _el_short(0x0020, 0x0013, b"DS", _ds((s * 7) % DCM_N))
-            + _el_short(0x0028, 0x0010, b"US", struct.pack("<H", DCM_H))
-            + _el_short(0x0028, 0x0011, b"US", struct.pack("<H", DCM_W))
-            + _el_short(0x0028, 0x0100, b"US", struct.pack("<H", 16))
-            + _el_short(0x0028, 0x1052, b"DS", _ds(DCM_INTERCEPT))
-            + _el_short(0x0028, 0x1053, b"DS", _ds(DCM_SLOPE))
-            + _el_ow(0x7FE0, 0x0010, raw.tobytes())
-        )
-        with open(os.path.join(stage, f"slice-{s:03d}.dcm"), "wb") as fh:
-            fh.write(b"\x00" * 128 + b"DICM" + body)
-    open(os.path.join(stage, "_DONE"), "w").close()
-    return stage
+    def write_slices(stage: str) -> None:
+        yy, xx = np.mgrid[0:DCM_H, 0:DCM_W]
+        for s in range(DCM_N):
+            raw = ((xx * 11 + yy * 19 + s * 23) % 4096).astype("<u2")
+            meta = _el_short(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+            body = (
+                _el_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta)))
+                + meta
+                + _el_short(0x0020, 0x0013, b"DS", _ds((s * 7) % DCM_N))
+                + _el_short(0x0028, 0x0010, b"US", struct.pack("<H", DCM_H))
+                + _el_short(0x0028, 0x0011, b"US", struct.pack("<H", DCM_W))
+                + _el_short(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+                + _el_short(0x0028, 0x1052, b"DS", _ds(DCM_INTERCEPT))
+                + _el_short(0x0028, 0x1053, b"DS", _ds(DCM_SLOPE))
+                + _el_ow(0x7FE0, 0x0010, raw.tobytes())
+            )
+            with open(os.path.join(stage, f"slice-{s:03d}.dcm"), "wb") as fh:
+                fh.write(b"\x00" * 128 + b"DICM" + body)
+
+    return _staged_fixture(spark, "dcm", write_slices)
 
 
 @query(
@@ -1175,24 +1173,19 @@ def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to image_pgm_decode — binaryFile splits by
     file, the kernel is batch-columnar per blob, stats aggregate
     JVM-side."""
-    import tempfile
-
     import numpy as np
 
     from ..functions.png import png_encode
 
-    stage = os.path.join(
-        tempfile.gettempdir(), f"bd3_png_{spark.sparkContext.applicationId}"
-    )
-    if not os.path.exists(os.path.join(stage, "_DONE")):
-        os.makedirs(stage, exist_ok=True)
+    def write_pngs(stage: str) -> None:
         yy, xx = np.mgrid[0:PNG_H, 0:PNG_W]
         for img in range(N_PNG):
             arr = ((xx * 11 + yy * 17 + img * 53) % 256).astype(np.uint8)
             blob = png_encode(arr, filter_for_row=lambda y, i=img: (y + i) % 5)
             with open(os.path.join(stage, f"img-{img:04d}.png"), "wb") as fh:
                 fh.write(blob)
-        open(os.path.join(stage, "_DONE"), "w").close()
+
+    stage = _staged_fixture(spark, "png", write_pngs)
 
     def decode(batches):
         import re
