@@ -475,3 +475,119 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "p1", "p2", "p3")
         .limit(10)
     )
+
+
+# --------------------------------------------- security hashing (F12)
+
+# RFC-published test vectors = independent ground truth the value gate
+# can pin as literals (the one way to oracle a KDF without the oracle
+# re-running the same library): PBKDF2-HMAC-SHA1 from RFC 6070 §2,
+# HMAC-SHA256 from RFC 4231 §4.2-4.3, SHA-2 from the NIST FIPS 180-2
+# examples, and the complete JWS compact serialization from RFC 7515
+# Appendix A.1.  Inputs are hex-encoded so embedded NUL bytes survive
+# the plan as plain strings.
+_SEC_CASES = [
+    # (case_id, kind, in1_hex_or_b64, in2_hex_or_text, iters, dklen)
+    ("pbkdf2_sha1_rfc6070_c1", "pbkdf2", "70617373776f7264", "73616c74", 1, 20),
+    ("pbkdf2_sha1_rfc6070_c2", "pbkdf2", "70617373776f7264", "73616c74", 2, 20),
+    ("pbkdf2_sha1_rfc6070_c4096", "pbkdf2", "70617373776f7264", "73616c74", 4096, 20),
+    (
+        "pbkdf2_sha1_rfc6070_long", "pbkdf2",
+        "70617373776f726450415353574f524470617373776f7264",
+        "73616c7453414c5473616c7453414c5473616c7453414c5473616c7453414c5473616c74",
+        4096, 25,
+    ),
+    ("pbkdf2_sha1_rfc6070_nul", "pbkdf2", "7061737300776f7264", "7361006c74", 4096, 16),
+    ("hmac_sha256_rfc4231_tc1", "hmac", "0b" * 20, "4869205468657265", 0, 0),
+    (
+        "hmac_sha256_rfc4231_tc2", "hmac", "4a656665",
+        "7768617420646f2079612077616e7420666f72206e6f7468696e673f", 0, 0,
+    ),
+    ("sha256_fips180_abc", "sha256", "", "616263", 0, 0),
+    ("sha512_fips180_abc", "sha512", "", "616263", 0, 0),
+    (
+        "jwt_hs256_rfc7515_a1", "jwt",
+        "AyM1SysPpbyDfgZld3umj1qzKObwVMkoqQ-EstJQLr_T-1qS0gZH75aKtMN3Yj0iPS4hcgUuTwjAzZr1Z9CAow",
+        "eyJ0eXAiOiJKV1QiLA0KICJhbGciOiJIUzI1NiJ9."
+        "eyJpc3MiOiJqb2UiLA0KICJleHAiOjEzMDA4MTkzODAsDQogImh0dHA6Ly9leGFt"
+        "cGxlLmNvbS9pc19yb290Ijp0cnVlfQ",
+        0, 0,
+    ),
+]
+
+
+@query(
+    "security_hash_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pbkdf2_sha1_rfc6070_c1',    '0c60c80f961f0e71f3a9b524af6012062fe037a6'),
+      ('pbkdf2_sha1_rfc6070_c2',    'ea6c014dc72d6f8ccd1ed92ace1d41f0d8de8957'),
+      ('pbkdf2_sha1_rfc6070_c4096', '4b007901b765489abead49d926f721d065a429c1'),
+      ('pbkdf2_sha1_rfc6070_long',  '3d2eec4fe41c849b80c8d83662c0e44a8b291a964cf2f07038'),
+      ('pbkdf2_sha1_rfc6070_nul',   '56fa6aa75548099dcc37d7f03425e0c3'),
+      ('hmac_sha256_rfc4231_tc1',   'b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7'),
+      ('hmac_sha256_rfc4231_tc2',   '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843'),
+      ('sha256_fips180_abc',        'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad'),
+      ('sha512_fips180_abc',        'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f'),
+      ('jwt_hs256_rfc7515_a1',
+       'eyJ0eXAiOiJKV1QiLA0KICJhbGciOiJIUzI1NiJ9.eyJpc3MiOiJqb2UiLA0KICJleHAiOjEzMDA4MTkzODAsDQogImh0dHA6Ly9leGFt'
+       || 'cGxlLmNvbS9pc19yb290Ijp0cnVlfQ.dBjftJeZ4CVP-mB92K27uhbUJU1p1r_wW1gFWFOEjXk')
+    ) t(case_id, result)
+    """,
+)
+def q_security_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 complete: the reference's security layer — PBKDF2 password
+    hashing and HS256 JWT minting (`Rest_webservice/app/security.py:
+    19-44`) — computed DISTRIBUTED with the stdlib (hashlib.pbkdf2_hmac,
+    hmac, base64) in an Arrow-batched pandas UDF, and value-gated
+    against RFC-PUBLISHED test vectors (RFC 6070, RFC 4231, FIPS 180-2,
+    RFC 7515 A.1): the oracle pins the spec's own expected outputs as
+    literals, so Spark's results are checked against ground truth no
+    library on either side produced.
+
+    Scale shape: a credential backfill / token mint over N users is
+    embarrassingly parallel — one row per identity, Arrow batches,
+    zero shuffles; PBKDF2's iteration cost is the intentional work
+    factor, so the job is CPU-bound by design and scales linearly with
+    executors.  (A UDF is the HONEST plan here: a KDF is not
+    expressible as Catalyst expressions, and must not be.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def digest(kind, in1, in2, iters, dklen):
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        out = []
+        for k, a, b, it, dl in zip(kind, in1, in2, iters, dklen):
+            if k == "pbkdf2":
+                out.append(
+                    hashlib.pbkdf2_hmac(
+                        "sha1", bytes.fromhex(a), bytes.fromhex(b), int(it), int(dl)
+                    ).hex()
+                )
+            elif k == "hmac":
+                out.append(
+                    _hmac.new(bytes.fromhex(a), bytes.fromhex(b), hashlib.sha256).hexdigest()
+                )
+            elif k in ("sha256", "sha512"):
+                out.append(getattr(hashlib, k)(bytes.fromhex(b)).hexdigest())
+            elif k == "jwt":
+                key = base64.urlsafe_b64decode(a + "==")
+                sig = base64.urlsafe_b64encode(
+                    _hmac.new(key, b.encode("ascii"), hashlib.sha256).digest()
+                ).rstrip(b"=").decode("ascii")
+                out.append(f"{b}.{sig}")
+            else:
+                raise ValueError(f"unknown case kind {k!r}")
+        return pd.Series(out)
+
+    cases = spark.createDataFrame(
+        _SEC_CASES, "case_id STRING, kind STRING, in1 STRING, in2 STRING, iters INT, dklen INT"
+    )
+    return cases.select(
+        "case_id",
+        digest("kind", "in1", "in2", "iters", "dklen").alias("result"),
+    )
