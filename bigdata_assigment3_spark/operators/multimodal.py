@@ -1232,3 +1232,129 @@ def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_checksum BIGINT",
         )
     )
+
+
+# --------------------------------------------- figure / QA-image sink
+
+HEAT_CELL = 8  # pixel block per heatmap cell
+
+
+@query(
+    "figure_heatmap_sink",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (
+      SELECT event_type,
+             CAST(DENSE_RANK() OVER (ORDER BY event_type) - 1 AS BIGINT) AS row_idx
+      FROM (SELECT DISTINCT event_type FROM cnt)
+    ),
+    grid AS (
+      SELECT t.row_idx, hh.h,
+             CAST(COALESCE(cnt.c, 0) * 255 // (SELECT MAX(c) FROM cnt) AS BIGINT) AS v
+      FROM types t
+      CROSS JOIN (SELECT CAST(r.id AS INT) AS h FROM range(24) r(id)) hh
+      LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hh.h
+    )
+    SELECT row_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_cols,
+           CAST(SUM(v) AS BIGINT) AS intensity_sum,
+           CAST(bit_xor(v * 32 + h) AS BIGINT) AS intensity_checksum
+    FROM grid GROUP BY row_idx
+    """,
+)
+def q_figure_heatmap_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 made real: the QA-figure sink (reference renders heatmap /
+    overlay QA panels with matplotlib, `brain_segmentation.py:247-270`,
+    `motion_codec.py:300-319`) re-expressed engine-side — the
+    (event_type x hour-of-day) activity heatmap is aggregated
+    DISTRIBUTED, rendered into a genuine grayscale PNG figure
+    ({HEAT_CELL}x{HEAT_CELL}-pixel cells, functions/png.py), written as
+    an artifact, then read BACK through binaryFile + png_decode, and
+    the returned per-row intensity stats are recomputed FROM THE
+    DECODED PIXELS.  The oracle replays the aggregation and the
+    integer intensity scaling (v = c*255 DIV max) arithmetically, so
+    the figure's pixel content — not just its existence — is under the
+    value gate.
+
+    Scale shape: the heavy part (the groupBy over the events fact) is
+    fully distributed; the render itself is O(grid) on a BOUNDED
+    aggregate (n_types x 24 cells) — the one place a driver-side
+    collect is the honest plan, because a figure IS a small-data sink.
+    A 100 TB deployment renders one such QA panel per partition/day the
+    same way."""
+    import numpy as np
+
+    from ..functions.png import png_decode, png_encode
+    from ..sources import load_table
+
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").cast("int").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # bounded: n_event_types x 24 cells
+    types = sorted({r.event_type for r in cnt})
+    row_of = {t: i for i, t in enumerate(types)}
+    maxc = max(r.c for r in cnt)
+    grid = np.zeros((len(types), 24), dtype=np.int64)
+    for r in cnt:
+        grid[row_of[r.event_type], r.h] = r.c * 255 // maxc
+
+    def write_figure(stage: str) -> None:
+        img = np.kron(grid.astype(np.uint8), np.ones((HEAT_CELL, HEAT_CELL), np.uint8))
+        with open(os.path.join(stage, "heatmap.png"), "wb") as fh:
+            fh.write(png_encode(img, filter_for_row=lambda y: y % 5))
+
+    # artifact keyed by data dir AND grid content: a different sf_dir
+    # (or regenerated events) must produce a fresh figure
+    import hashlib as _hl
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    fp = _hl.md5(grid.tobytes()).hexdigest()[:10]
+    stage = _staged_fixture(spark, f"heatmap_{tag}_{fp}", write_figure)
+
+    cell = HEAT_CELL
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                arr = png_decode(bytes(blob))
+                n_rows, n_cols = arr.shape[0] // cell, arr.shape[1] // cell
+                blocks = arr.reshape(n_rows, cell, n_cols, cell)
+                # every cell block must be uniform — a smeared render
+                # means the figure lies about the data
+                assert (blocks == blocks[:, :1, :, :1]).all()
+                v = blocks[:, 0, :, 0].astype(np.int64)
+                rows = []
+                for r in range(n_rows):
+                    h = np.arange(n_cols, dtype=np.int64)
+                    rows.append(
+                        (
+                            r,
+                            n_cols,
+                            int(v[r].sum()),
+                            int(np.bitwise_xor.reduce(v[r] * 32 + h)),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["row_idx", "n_cols", "intensity_sum", "intensity_checksum"],
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(stage)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "row_idx BIGINT, n_cols BIGINT, intensity_sum BIGINT, "
+            "intensity_checksum BIGINT",
+        )
+    )
