@@ -90,6 +90,12 @@ HEADLINE = [
     "snapshot_cdc_extract",
     "sql_udf_battery",
     "image_pgm_decode",
+    # round-6 closures: PNG codec, NIfTI export, RFC crypto battery,
+    # QA-figure sink
+    "image_png_decode",
+    "volume_nifti_export",
+    "security_hash_battery",
+    "figure_heatmap_sink",
 ]
 
 

@@ -108,9 +108,10 @@ PRIORITY: tuple[str, ...] = (
     "sessionize",
     "stream_stateful_rate_limit",
     "stream_stream_join",
-    # text analysis
+    # text analysis (langid_heuristic moved out for the F12 security
+    # battery; still locally tested)
     "text_quality",
-    "langid_heuristic",
+    "security_hash_battery",
     # event-journey analytics
     "funnel_conversion",
     # corpus curation + sampling (LLM-pipeline north star)
@@ -130,17 +131,20 @@ PRIORITY: tuple[str, ...] = (
     # dedup
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    # multimodal plumbing
-    "multimodal_frame_sample",
+    # multimodal: real PNG codec (S8 closure; multimodal_frame_sample
+    # moved out, still locally tested) + perceptual-hash dedup
+    "image_png_decode",
     "image_phash_dedup",
     # physical-layout patterns
     "bucketed_colocated_join",
-    # scalar-function + as-of coverage
-    "datetime_functions",
+    # figure sink (S16 closure; datetime_functions moved out, still
+    # locally tested) + as-of coverage
+    "figure_heatmap_sink",
     "asof_last_error",
-    # HMRF volume analytics
+    # HMRF volume analytics + NIfTI-1 artifact export (S15 closure;
+    # posterior_softmax moved out, still locally tested)
     "mstep_class_stats",
-    "posterior_softmax",
+    "volume_nifti_export",
     "gaussian_denoise",
     # Hough image analytics
     "hough_peak",
