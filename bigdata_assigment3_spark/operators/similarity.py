@@ -589,3 +589,101 @@ def q_arrow_batch_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("norm2").cast("bigint").alias("max_norm2"),
         F.sum("norm2").cast("bigint").alias("sum_norm2"),
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, m,
+             list_max(list_transform(m, x -> ABS(x))) AS scale
+      FROM v
+    ),
+    e AS (
+      SELECT vec_id, label, scale,
+             unnest(m) AS mv,
+             unnest(list_transform(m, x -> CAST(FLOOR(CAST(x * 127 AS DOUBLE) / scale) AS BIGINT))) AS qv,
+             unnest(range(1, len(m) + 1)) AS idx
+      FROM s WHERE scale > 0
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             SUM(qv * idx) AS wsum,
+             MAX(CAST(FLOOR(ABS(CAST(mv AS DOUBLE) - CAST(qv * scale AS DOUBLE) / 127.0) * 1000) AS BIGINT)) AS errmax,
+             MIN(qv) AS qmin, MAX(qv) AS qmax
+      FROM e GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(wsum) AS BIGINT) AS wsum_total,
+           CAST(MAX(errmax) AS BIGINT) AS max_err_milli,
+           CAST(bit_xor(vec_id * 1000003 + wsum) AS BIGINT) AS quant_checksum,
+           CAST(MIN(qmin) AS BIGINT) AS q_min,
+           CAST(MAX(qmax) AS BIGINT) AS q_max
+    FROM per_vec GROUP BY label
+    """,
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column —
+    the compression step every large-scale vector store / ANN index
+    build runs before sharding (4x memory cut, SIMD int8 dot products).
+    scale = max|x| per vector, q[i] = floor(x[i] * 127 / scale); the
+    returned per-label stats pin the quantized values (weighted sums +
+    bit_xor checksum), the int8 range envelope (q_min/q_max must stay
+    in [-127, 127]), and the worst milli-unit reconstruction error.
+
+    Entirely JVM-side higher-order functions (transform / zip_with /
+    aggregate) — no Python in the plan; per-vector work is
+    embarrassingly parallel, the only shuffle is the final label agg.
+    Cross-engine exactness: elements quantize to integer milli-units
+    first (the module's established idiom), so scale and q are exact
+    BIGINTs; the error term is one double expression written
+    identically in both engines, floored before compare."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.expr(_QUANT_SPARK).alias("m"),
+        )
+        .withColumn(
+            "scale",
+            F.expr("aggregate(m, CAST(0 AS BIGINT), (a, v) -> GREATEST(a, ABS(v)))"),
+        )
+        .filter("scale > 0")
+        .withColumn(
+            "q8",
+            F.expr("transform(m, v -> CAST(FLOOR(CAST(v * 127 AS DOUBLE) / scale) AS BIGINT))"),
+        )
+        .withColumn(
+            "wsum",
+            F.expr(
+                "aggregate(zip_with(q8, sequence(CAST(1 AS BIGINT), CAST(size(q8) AS BIGINT)),"
+                " (v, i) -> v * i), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ),
+        )
+        .withColumn(
+            "errmax",
+            F.expr(
+                "aggregate(zip_with(m, q8, (a, b) -> CAST(FLOOR(ABS(CAST(a AS DOUBLE)"
+                " - CAST(b * scale AS DOUBLE) / 127.0) * 1000) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (acc, v) -> GREATEST(acc, v))"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("wsum").cast("bigint").alias("wsum_total"),
+            F.max("errmax").cast("bigint").alias("max_err_milli"),
+            F.bit_xor(F.col("vec_id") * 1000003 + F.col("wsum"))
+            .cast("bigint")
+            .alias("quant_checksum"),
+            F.min(F.array_min("q8")).cast("bigint").alias("q_min"),
+            F.max(F.array_max("q8")).cast("bigint").alias("q_max"),
+        )
+    )
