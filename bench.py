@@ -90,9 +90,11 @@ HEADLINE = [
     "snapshot_cdc_extract",
     "sql_udf_battery",
     "image_pgm_decode",
-    # round-6 closures: PNG codec, NIfTI export, RFC crypto battery,
-    # QA-figure sink
+    # round-6 closures: PNG/JPEG codecs, NIfTI export, RFC crypto
+    # battery, QA-figure sink, int8 embedding quantization
     "image_png_decode",
+    "image_jpeg_decode",
+    "embedding_int8_quantize",
     "volume_nifti_export",
     "security_hash_battery",
     "figure_heatmap_sink",

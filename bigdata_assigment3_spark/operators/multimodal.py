@@ -2,12 +2,13 @@
 metadata, decode / feature-extract as Arrow-batched pandas UDFs over
 ``mapInPandas`` (BASELINE.json north star; SURVEY S7/S8/U1-U4).
 
-The container has no image/audio codec LIBRARIES, but several codecs
-are hand-rolled from their published specs and bit-exact under value
+The container has no image/audio codec LIBRARIES, but the codecs are
+hand-rolled from their published specs and bit-exact under value
 oracles: P5 PGM, PNG (zlib IDAT + all five scanline filters,
-functions/png.py), RIFF/WAVE PCM16, Y4M, DICOM Part-10, NIfTI-1, .npy.
-Only formats whose spec genuinely needs an external lib (JPEG's DCT
-entropy coding, MP4) keep a clearly-marked deterministic STUB
+functions/png.py), baseline JPEG (Annex-K tables + Huffman + DCT,
+functions/jpeg.py), RIFF/WAVE PCM16, Y4M, DICOM Part-10, NIfTI-1,
+.npy.  Only containers genuinely out of scope (MP4/H.264, progressive
+or chroma-subsampled JPEG) keep a clearly-marked deterministic STUB
 (_fake_decode) — and even there the Spark-side plumbing is real and
 tested: binaryFile directory scan with glob
 filter + path exclusion + ordering (the reference's folder scan,
@@ -1356,5 +1357,101 @@ def q_figure_heatmap_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             decode,
             "row_idx BIGINT, n_cols BIGINT, intensity_sum BIGINT, "
             "intensity_checksum BIGINT",
+        )
+    )
+
+
+N_JPG, JPG_BW, JPG_BH = 32, 4, 3  # images; blocks per row/col (32x24 px)
+
+
+@query(
+    "image_jpeg_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT img, y, x,
+             ((x // 8) * 7 + (y // 8) * 13 + img * 31) % 128 * 2 AS v
+      FROM range({N_JPG}) i(img),
+           range({JPG_BH} * 8) r(y), range({JPG_BW} * 8) c(x)
+    )
+    SELECT img AS image_id,
+           CAST({JPG_BW} * 8 AS INTEGER) AS width,
+           CAST({JPG_BH} * 8 AS INTEGER) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(v) AS BIGINT) AS pixel_max,
+           CAST(bit_xor(v * 1024 + y * {JPG_BW} * 8 + x) AS BIGINT) AS pixel_checksum
+    FROM px GROUP BY img
+    """,
+)
+def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's LAST codec gap closed: genuine baseline JPEGs — real SOI/
+    DQT/SOF0/DHT/SOS marker structure, Annex-K tables, Huffman entropy
+    coding, DCT quantization (functions/jpeg.py, hand-rolled from
+    ITU-T T.81; the reference uses cv2.imdecode,
+    `HOUGH Transform/hough_heart_detector.py:36-40`) — decoded
+    DISTRIBUTED via binaryFile + mapInPandas.  JPEG is lossy in
+    general, so the staged fixtures use the codec's provably-lossless
+    class: 8x8 block-constant images with even values (AC exactly
+    zero, DC quantizes without remainder), making the decode
+    PIXEL-EXACT and the whole marker/Huffman/dequant/IDCT pipeline
+    SQL-oracle-able; general-content fidelity is PSNR-tested in
+    tests/test_jpeg.py.
+
+    Scale shape: identical to the PGM/PNG queries — binaryFile splits
+    by file, per-blob batch-columnar kernel, JVM-side aggregation."""
+    import numpy as np
+
+    from ..functions.jpeg import jpeg_encode_gray
+
+    def write_jpegs(stage: str) -> None:
+        for img in range(N_JPG):
+            by, bx = np.mgrid[0:JPG_BH, 0:JPG_BW]
+            bvals = (((bx * 7 + by * 13 + img * 31) % 128) * 2).astype(np.uint8)
+            arr = np.kron(bvals, np.ones((8, 8), np.uint8))
+            with open(os.path.join(stage, f"img-{img:04d}.jpg"), "wb") as fh:
+                fh.write(jpeg_encode_gray(arr))
+
+    stage = _staged_fixture(spark, "jpg", write_jpegs)
+
+    def decode(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.jpeg import jpeg_decode_gray
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                img_id = int(re.search(r"img-(\d+)\.jpg", path).group(1))
+                arr = jpeg_decode_gray(bytes(blob))
+                h, w = arr.shape
+                v = arr.reshape(-1).astype(np.int64)
+                pos = np.arange(v.size, dtype=np.int64)
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(v.sum()),
+                        int(v.max()),
+                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "pixel_sum", "pixel_max", "pixel_checksum",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "image_id BIGINT, width INTEGER, height INTEGER, "
+            "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
         )
     )
