@@ -1455,3 +1455,103 @@ def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
         )
     )
+
+
+GZ_SHARDS = 8
+
+
+@query(
+    "compressed_text_ingest",
+    oracle=f"""
+    SELECT doc_id % {GZ_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(('0x' || substr(md5(COALESCE(text, '')), 1, 14))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingestion, the Common-Crawl-shaped front door
+    of every LLM data pipeline: the documents table is exported as
+    {GZ_SHARDS} genuine ``.gz`` shards (stdlib gzip, one bounded task
+    per shard via applyInPandas — the distributed writer, not a driver
+    loop), then ingested back DISTRIBUTED: binaryFile splits by shard,
+    a mapInPandas kernel gunzips and parses each shard's
+    ``doc_id<TAB>hex(text)`` lines, and per-shard doc counts, byte
+    totals and 56-bit content checksums are computed from the DECODED
+    bytes.  The oracle computes the same aggregates straight from the
+    documents table — equality proves the compress->shard->scan->
+    decompress->parse loop preserved every document bit-for-bit.
+
+    Scale shape: shards write in parallel to shared storage; gzip
+    being non-splittable is exactly why the corpus arrives SHARDED —
+    one file per task is the real contract at 100 TB (WET/WARC
+    shards), and the kernel is batch-columnar per blob."""
+    import gzip
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("doc_id") % GZ_SHARDS).alias("shard"),
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def write_shards(stage: str) -> None:
+        def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            import gzip as _gz
+
+            shard = int(pdf["shard"].iloc[0])
+            lines = [
+                f"{int(d)}\t{t.encode('utf-8').hex()}\n"
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            with _gz.open(
+                os.path.join(stage, f"shard-{shard:03d}.gz"), "wb"
+            ) as fh:
+                fh.write("".join(lines).encode("ascii"))
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        manifest = (
+            docs.groupBy("shard")
+            .applyInPandas(write_one, "shard BIGINT, n BIGINT")
+            .collect()
+        )
+        assert len(manifest) == GZ_SHARDS
+
+    stage = _staged_fixture(spark, f"gz_{tag}", write_shards)
+
+    def ingest(batches):
+        import gzip as _gz
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_len, out_h = [], [], []
+            for blob in pdf["content"]:
+                for line in _gz.decompress(bytes(blob)).decode("ascii").splitlines():
+                    sid, hx = line.split("\t", 1)
+                    raw = bytes.fromhex(hx)
+                    out_id.append(int(sid))
+                    out_len.append(len(raw))
+                    out_h.append(int(_hl.md5(raw).hexdigest()[:14], 16))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "byte_len": out_len, "h56": out_h}
+            )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gz")
+        .load(stage)
+        .select("content")
+        .mapInPandas(ingest, "doc_id BIGINT, byte_len BIGINT, h56 BIGINT")
+    )
+    return parsed.groupBy((F.col("doc_id") % GZ_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.bit_xor("h56").cast("bigint").alias("content_checksum"),
+    )
