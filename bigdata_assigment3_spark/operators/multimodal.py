@@ -1555,3 +1555,194 @@ def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("byte_len").cast("bigint").alias("total_bytes"),
         F.bit_xor("h56").cast("bigint").alias("content_checksum"),
     )
+
+
+MF_SHARDS = 9  # 3 per codec
+
+
+@query(
+    "multiformat_text_ingest",
+    oracle=f"""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2' ELSE 'xz' END AS codec,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(('0x' || substr(md5(COALESCE(text, '')), 1, 14))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_multiformat_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous compressed-corpus ingestion: real corpora arrive
+    in whatever codec each source used, so the shards here are a MIX of
+    genuine gzip / bzip2 / xz files (all stdlib codecs) and ONE kernel
+    dispatches on file extension — the production shape where a single
+    scan unifies Common Crawl .gz, archive .bz2, and Pile-style .xz
+    drops.  Stats per codec come from the decoded bytes; the oracle
+    recomputes them from the table, so all three decompressors are
+    under the same value gate.  (Scale notes as compressed_text_ingest:
+    one non-splittable file per task is the sharding contract.)"""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("doc_id") % 3).alias("codec_id"),
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def write_shards(stage: str) -> None:
+        def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bz2 as _bz2
+            import gzip as _gz
+            import lzma as _lzma
+
+            codec_id = int(pdf["codec_id"].iloc[0])
+            ext, comp = [
+                ("gz", _gz.compress), ("bz2", _bz2.compress), ("xz", _lzma.compress)
+            ][codec_id]
+            payload = "".join(
+                f"{int(d)}\t{t.encode('utf-8').hex()}\n"
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ).encode("ascii")
+            with open(os.path.join(stage, f"shard-{codec_id}.{ext}"), "wb") as fh:
+                fh.write(comp(payload))
+            return pd.DataFrame({"codec_id": [codec_id], "n": [len(pdf)]})
+
+        manifest = (
+            docs.groupBy("codec_id")
+            .applyInPandas(write_one, "codec_id BIGINT, n BIGINT")
+            .collect()
+        )
+        assert len(manifest) == 3
+
+    stage = _staged_fixture(spark, f"multifmt_{tag}", write_shards)
+
+    def ingest(batches):
+        import bz2 as _bz2
+        import gzip as _gz
+        import hashlib as _hl
+        import lzma as _lzma
+
+        import pandas as pd
+
+        decomp = {"gz": _gz.decompress, "bz2": _bz2.decompress, "xz": _lzma.decompress}
+        for pdf in batches:
+            out_codec, out_len, out_h = [], [], []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                ext = path.rsplit(".", 1)[1]
+                for line in decomp[ext](bytes(blob)).decode("ascii").splitlines():
+                    _sid, hx = line.split("\t", 1)
+                    raw = bytes.fromhex(hx)
+                    out_codec.append(ext)
+                    out_len.append(len(raw))
+                    out_h.append(int(_hl.md5(raw).hexdigest()[:14], 16))
+            yield pd.DataFrame(
+                {"codec": out_codec, "byte_len": out_len, "h56": out_h}
+            )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(ingest, "codec STRING, byte_len BIGINT, h56 BIGINT")
+    )
+    return parsed.groupBy("codec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.bit_xor("h56").cast("bigint").alias("content_checksum"),
+    )
+
+
+ARROW_SHARDS = 4
+
+
+@query(
+    "arrow_ipc_ingest",
+    oracle=f"""
+    SELECT doc_id % {ARROW_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(bit_xor(doc_id * 131071 + n_chars) AS BIGINT) AS row_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) ingestion — the zero-copy interchange
+    format ML data tooling hands off (HuggingFace datasets, Ray, Polars
+    dumps): the documents table is exported as genuine ``.arrow``
+    stream files (one bounded applyInPandas task per shard writing with
+    pyarrow.ipc), then ingested back DISTRIBUTED via binaryFile + a
+    kernel that opens each blob with ``pa.ipc.open_stream`` and reads
+    record batches columnar — no per-row Python.  Stats come from the
+    decoded batches; the oracle recomputes them from the table, proving
+    the schema+batch round trip exact.
+
+    Scale shape: Arrow IPC is record-batch-framed, so a 100 TB handoff
+    arrives as many stream files; each is one task and the in-kernel
+    read is zero-parse columnar."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % ARROW_SHARDS).alias("shard")
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def write_shards(stage: str) -> None:
+        def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+
+            shard = int(pdf["shard"].iloc[0])
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                    "n_chars": pa.array(pdf["n_chars"], pa.int64()),
+                }
+            )
+            with ipc.new_stream(
+                os.path.join(stage, f"shard-{shard:03d}.arrow"), tbl.schema
+            ) as w:
+                w.write_table(tbl)
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        manifest = (
+            docs.groupBy("shard")
+            .applyInPandas(write_one, "shard BIGINT, n BIGINT")
+            .collect()
+        )
+        assert len(manifest) == ARROW_SHARDS
+
+    stage = _staged_fixture(spark, f"arrowipc_{tag}", write_shards)
+
+    def ingest(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                with ipc.open_stream(io.BytesIO(bytes(blob))) as r:
+                    tbl = r.read_all()
+                out = tbl.to_pandas()
+                yield pd.DataFrame(
+                    {"doc_id": out["doc_id"], "n_chars": out["n_chars"]}
+                )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrow")
+        .load(stage)
+        .select("content")
+        .mapInPandas(ingest, "doc_id BIGINT, n_chars BIGINT")
+    )
+    return parsed.groupBy((F.col("doc_id") % ARROW_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.bit_xor(F.col("doc_id") * 131071 + F.col("n_chars"))
+        .cast("bigint")
+        .alias("row_checksum"),
+    )
