@@ -1746,3 +1746,107 @@ def q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("row_checksum"),
     )
+
+
+SQLITE_SHARDS = 4
+
+
+@query(
+    "sqlite_db_ingest",
+    oracle=f"""
+    SELECT doc_id % {SQLITE_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(doc_id * 8191
+                        + ('0x' || substr(md5(COALESCE(text, '')), 1, 12))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_sqlite_db_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational-database dump ingestion — the migration path every
+    lakehouse runs when an app's SQLite/edge database lands in object
+    storage: {SQLITE_SHARDS} GENUINE SQLite database files (real pager
+    format, built and ``Connection.serialize()``d by one bounded
+    applyInPandas task each), ingested back DISTRIBUTED via binaryFile
+    + a kernel that ``deserialize()``s each blob into an in-memory
+    connection and SELECTs the rows out — a real SQL engine parsing a
+    real database file inside the executor, stdlib only.  Per-shard
+    stats come from the rows read OUT of the database; the oracle
+    recomputes them from the source table, proving the
+    rows->pager-file->rows loop exact.
+
+    Scale shape: one dump file per task (edge databases are small by
+    nature — the fleet is what's big); the kernel is batch-per-file
+    and the aggregation stays JVM-side."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("doc_id") % SQLITE_SHARDS).alias("shard"),
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def write_shards(stage: str) -> None:
+        def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            import sqlite3
+
+            shard = int(pdf["shard"].iloc[0])
+            con = sqlite3.connect(":memory:")
+            con.execute("CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT)")
+            con.executemany(
+                "INSERT INTO docs VALUES (?, ?)",
+                [(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])],
+            )
+            con.commit()
+            with open(os.path.join(stage, f"dump-{shard:03d}.db"), "wb") as fh:
+                fh.write(con.serialize())
+            con.close()
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        manifest = (
+            docs.groupBy("shard")
+            .applyInPandas(write_one, "shard BIGINT, n BIGINT")
+            .collect()
+        )
+        assert len(manifest) == SQLITE_SHARDS
+
+    stage = _staged_fixture(spark, f"sqlite_{tag}", write_shards)
+
+    def ingest(batches):
+        import hashlib as _hl
+        import sqlite3
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_len, out_h = [], [], []
+            for blob in pdf["content"]:
+                con = sqlite3.connect(":memory:")
+                con.deserialize(bytes(blob))
+                for doc_id, text in con.execute("SELECT doc_id, text FROM docs"):
+                    raw = text.encode("utf-8")
+                    out_id.append(doc_id)
+                    out_len.append(len(raw))
+                    out_h.append(int(_hl.md5(raw).hexdigest()[:12], 16))
+                con.close()
+            yield pd.DataFrame(
+                {"doc_id": out_id, "byte_len": out_len, "h48": out_h}
+            )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.db")
+        .load(stage)
+        .select("content")
+        .mapInPandas(ingest, "doc_id BIGINT, byte_len BIGINT, h48 BIGINT")
+    )
+    return parsed.groupBy((F.col("doc_id") % SQLITE_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.bit_xor(F.col("doc_id") * 8191 + F.col("h48"))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
