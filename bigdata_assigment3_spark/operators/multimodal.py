@@ -1850,3 +1850,115 @@ def q_sqlite_db_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+WDS_SHARDS, WDS_PER_SHARD = 4, 8  # 32 (image, caption) samples
+
+
+@query(
+    "webdataset_tar_ingest",
+    oracle=f"""
+    WITH sample AS (
+      SELECT s.sh AS shard, s.sh * {WDS_PER_SHARD} + k.k AS sample_id
+      FROM range({WDS_SHARDS}) s(sh), range({WDS_PER_SHARD}) k(k)
+    ),
+    px AS (
+      SELECT sample_id,
+             SUM(((x // 8) * 5 + (y // 8) * 11 + sample_id * 29) % 128 * 2) AS psum
+      FROM sample, range({JPG_BH} * 8) r(y), range({JPG_BW} * 8) c(x)
+      GROUP BY sample_id
+    )
+    SELECT sample.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(px.psum) AS BIGINT) AS images_pixel_sum,
+           CAST(bit_xor(('0x' || substr(md5('caption-' || CAST(sample.sample_id AS VARCHAR)), 1, 14))::BIGINT)
+                AS BIGINT) AS captions_checksum
+    FROM sample JOIN px USING (sample_id)
+    GROUP BY 1
+    """,
+)
+def q_webdataset_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-shard ingestion — THE storage layout of multimodal
+    training pipelines (a corpus = .tar shards, a sample = co-named
+    members like ``000123.jpg`` + ``000123.txt``): {WDS_SHARDS} genuine
+    POSIX tar files are staged, each holding {WDS_PER_SHARD}
+    (image, caption) pairs where the images are REAL baseline JPEGs
+    (functions/jpeg.py, block-constant lossless class), then ingested
+    DISTRIBUTED: binaryFile delivers one shard per task, the kernel
+    opens the tar from bytes with stdlib ``tarfile``, pairs members by
+    stem, JPEG-decodes every image and reads every caption.  Per-shard
+    pixel sums come from DECODED pixels and caption checksums from the
+    extracted text; the oracle replays the image generator arithmetic
+    and hashes the caption strings itself — container framing, member
+    pairing, and the full JPEG pipeline all under one value gate.
+
+    Scale shape: shard-per-task is exactly how WebDataset scales
+    (sequential tar reads, no per-sample object-store round trips);
+    the kernel is batch-per-shard and aggregation stays JVM-side."""
+    import numpy as np
+
+    from ..functions.jpeg import jpeg_encode_gray
+
+    def write_shards(stage: str) -> None:
+        import io
+        import tarfile
+
+        by, bx = np.mgrid[0:JPG_BH, 0:JPG_BW]
+        for sh in range(WDS_SHARDS):
+            with tarfile.open(
+                os.path.join(stage, f"shard-{sh:03d}.tar"), "w"
+            ) as tf:
+                for k in range(WDS_PER_SHARD):
+                    sid = sh * WDS_PER_SHARD + k
+                    bvals = (((bx * 5 + by * 11 + sid * 29) % 128) * 2).astype(np.uint8)
+                    jpg = jpeg_encode_gray(np.kron(bvals, np.ones((8, 8), np.uint8)))
+                    cap = f"caption-{sid}".encode("ascii")
+                    for name, payload in ((f"{sid:06d}.jpg", jpg), (f"{sid:06d}.txt", cap)):
+                        info = tarfile.TarInfo(name)
+                        info.size = len(payload)
+                        tf.addfile(info, io.BytesIO(payload))
+
+    stage = _staged_fixture(spark, "wds", write_shards)
+
+    def ingest(batches):
+        import hashlib as _hl
+        import io
+        import tarfile
+
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.jpeg import jpeg_decode_gray
+
+        for pdf in batches:
+            out_sid, out_psum, out_cap = [], [], []
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        stem, ext = m.name.rsplit(".", 1)
+                        samples.setdefault(stem, {})[ext] = tf.extractfile(m).read()
+                for stem, parts in samples.items():
+                    assert set(parts) == {"jpg", "txt"}, f"incomplete sample {stem}"
+                    arr = jpeg_decode_gray(parts["jpg"])
+                    out_sid.append(int(stem))
+                    out_psum.append(int(arr.astype(np.int64).sum()))
+                    out_cap.append(int(_hl.md5(parts["txt"]).hexdigest()[:14], 16))
+            yield pd.DataFrame(
+                {"sample_id": out_sid, "psum": out_psum, "cap56": out_cap}
+            )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(stage)
+        .select("content")
+        .mapInPandas(ingest, "sample_id BIGINT, psum BIGINT, cap56 BIGINT")
+    )
+    return parsed.groupBy(
+        (F.col("sample_id") / WDS_PER_SHARD).cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("psum").cast("bigint").alias("images_pixel_sum"),
+        F.bit_xor("cap56").cast("bigint").alias("captions_checksum"),
+    )
