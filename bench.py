@@ -98,6 +98,9 @@ HEADLINE = [
     "volume_nifti_export",
     "security_hash_battery",
     "figure_heatmap_sink",
+    # round-6 ingestion formats (representatives)
+    "compressed_text_ingest",
+    "webdataset_tar_ingest",
 ]
 
 
