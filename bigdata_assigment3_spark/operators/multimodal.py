@@ -1460,36 +1460,12 @@ def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 GZ_SHARDS = 8
 
 
-@query(
-    "compressed_text_ingest",
-    oracle=f"""
-    SELECT doc_id % {GZ_SHARDS} AS shard,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
-           CAST(bit_xor(('0x' || substr(md5(COALESCE(text, '')), 1, 14))::BIGINT)
-                AS BIGINT) AS content_checksum
-    FROM documents GROUP BY 1
-    """,
-)
-def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-corpus ingestion, the Common-Crawl-shaped front door
-    of every LLM data pipeline: the documents table is exported as
-    {GZ_SHARDS} genuine ``.gz`` shards (stdlib gzip, one bounded task
-    per shard via applyInPandas — the distributed writer, not a driver
-    loop), then ingested back DISTRIBUTED: binaryFile splits by shard,
-    a mapInPandas kernel gunzips and parses each shard's
-    ``doc_id<TAB>hex(text)`` lines, and per-shard doc counts, byte
-    totals and 56-bit content checksums are computed from the DECODED
-    bytes.  The oracle computes the same aggregates straight from the
-    documents table — equality proves the compress->shard->scan->
-    decompress->parse loop preserved every document bit-for-bit.
-
-    Scale shape: shards write in parallel to shared storage; gzip
-    being non-splittable is exactly why the corpus arrives SHARDED —
-    one file per task is the real contract at 100 TB (WET/WARC
-    shards), and the kernel is batch-columnar per blob."""
-    import gzip
-
+def _gz_corpus_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session+sf_dir) the documents table as
+    {GZ_SHARDS} genuine gzip shards of ``doc_id<TAB>hex(text)`` lines,
+    written DISTRIBUTED (one bounded applyInPandas task per shard).
+    Shared by the batch ingest (compressed_text_ingest) and the
+    streaming backfill (stream_corpus_backfill)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1522,7 +1498,38 @@ def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert len(manifest) == GZ_SHARDS
 
-    stage = _staged_fixture(spark, f"gz_{tag}", write_shards)
+    return _staged_fixture(spark, f"gz_{tag}", write_shards)
+
+
+@query(
+    "compressed_text_ingest",
+    oracle=f"""
+    SELECT doc_id % {GZ_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(('0x' || substr(md5(COALESCE(text, '')), 1, 14))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingestion, the Common-Crawl-shaped front door
+    of every LLM data pipeline: the documents table is exported as
+    {GZ_SHARDS} genuine ``.gz`` shards (stdlib gzip, one bounded task
+    per shard via applyInPandas — the distributed writer, not a driver
+    loop), then ingested back DISTRIBUTED: binaryFile splits by shard,
+    a mapInPandas kernel gunzips and parses each shard's
+    ``doc_id<TAB>hex(text)`` lines, and per-shard doc counts, byte
+    totals and 56-bit content checksums are computed from the DECODED
+    bytes.  The oracle computes the same aggregates straight from the
+    documents table — equality proves the compress->shard->scan->
+    decompress->parse loop preserved every document bit-for-bit.
+
+    Scale shape: shards write in parallel to shared storage; gzip
+    being non-splittable is exactly why the corpus arrives SHARDED —
+    one file per task is the real contract at 100 TB (WET/WARC
+    shards), and the kernel is batch-columnar per blob."""
+    stage = _gz_corpus_stage(spark, sf_dir)
 
     def ingest(batches):
         import gzip as _gz
