@@ -1969,3 +1969,106 @@ def q_webdataset_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psum").cast("bigint").alias("images_pixel_sum"),
         F.bit_xor("cap56").cast("bigint").alias("captions_checksum"),
     )
+
+
+AVRO_SHARDS = 4
+
+
+@query(
+    "avro_ocf_ingest",
+    oracle=f"""
+    SELECT doc_id % {AVRO_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(doc_id * 524287
+                        + ('0x' || substr(md5(COALESCE(text, '')), 1, 12))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_avro_ocf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File ingestion — the row-interchange
+    format Kafka topics and warehouse exports actually ship: the
+    documents table is exported as {AVRO_SHARDS} GENUINE .avro OCFs
+    (magic, schema-carrying metadata map, zigzag-varint binary
+    encoding, sync-marker blocks — functions/avro.py, hand-rolled from
+    the Apache Avro spec since no avro lib ships here), one bounded
+    applyInPandas task per shard; then ingested back DISTRIBUTED via
+    binaryFile + a kernel that parses each container with the spec
+    reader (validating magic, codec, schema, block sizes and sync
+    markers).  Per-shard stats come from the DECODED records; the
+    oracle recomputes them from the table — the varint codec, string
+    framing and block structure all under one value gate.
+
+    Scale shape: OCF is block-framed for exactly this — shard-per-task
+    scans with per-block integrity checks; aggregation stays JVM-side."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("doc_id") % AVRO_SHARDS).alias("shard"),
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def write_shards(stage: str) -> None:
+        def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            from bigdata_assigment3_spark.functions.avro import avro_ocf_bytes
+
+            shard = int(pdf["shard"].iloc[0])
+            recs = [
+                {"doc_id": int(d), "text": t}
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            sync = bytes([shard]) * 16  # deterministic per-shard marker
+            with open(os.path.join(stage, f"part-{shard:03d}.avro"), "wb") as fh:
+                fh.write(
+                    avro_ocf_bytes(recs, [("doc_id", "long"), ("text", "string")], sync)
+                )
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        manifest = (
+            docs.groupBy("shard")
+            .applyInPandas(write_one, "shard BIGINT, n BIGINT")
+            .collect()
+        )
+        assert len(manifest) == AVRO_SHARDS
+
+    stage = _staged_fixture(spark, f"avro_{tag}", write_shards)
+
+    def ingest(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.avro import read_avro_ocf
+
+        for pdf in batches:
+            out_id, out_len, out_h = [], [], []
+            for blob in pdf["content"]:
+                fields, recs = read_avro_ocf(bytes(blob))
+                assert fields == [("doc_id", "long"), ("text", "string")]
+                for rec in recs:
+                    raw = rec["text"].encode("utf-8")
+                    out_id.append(rec["doc_id"])
+                    out_len.append(len(raw))
+                    out_h.append(int(_hl.md5(raw).hexdigest()[:12], 16))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "byte_len": out_len, "h48": out_h}
+            )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(stage)
+        .select("content")
+        .mapInPandas(ingest, "doc_id BIGINT, byte_len BIGINT, h48 BIGINT")
+    )
+    return parsed.groupBy((F.col("doc_id") % AVRO_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.bit_xor(F.col("doc_id") * 524287 + F.col("h48"))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
