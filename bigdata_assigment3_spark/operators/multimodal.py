@@ -2072,3 +2072,107 @@ def q_avro_ocf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+PB_SHARDS = 4
+
+
+@query(
+    "protobuf_stream_ingest",
+    oracle=f"""
+    SELECT doc_id % {PB_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS total_bytes,
+           CAST(bit_xor(doc_id * 262139
+                        + ('0x' || substr(md5(COALESCE(text, '')), 1, 12))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_protobuf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format ingestion — the Kafka/gRPC payload shape:
+    the documents table is exported as {PB_SHARDS} length-delimited
+    protobuf streams (``message Doc {{ int64 doc_id = 1; string text =
+    2; }}`` hand-encoded per the published wire spec,
+    functions/protowire.py — google.protobuf is absent, the WIRE
+    format needs nothing but varints), with an UNKNOWN fixed64 field
+    injected into every message to exercise the spec's forward-compat
+    skip path; then ingested back DISTRIBUTED via binaryFile + a
+    kernel running the hand-rolled tag/wire-type parser.  Per-shard
+    stats come from the DECODED messages; the oracle recomputes them
+    from the table — varint framing, field dispatch, and unknown-field
+    skipping all under one value gate.
+
+    Scale shape: shard-per-task delimited streams, batch-per-blob
+    kernel, JVM-side aggregation — the standing Kafka-archive backfill
+    plan."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("doc_id") % PB_SHARDS).alias("shard"),
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+    def write_shards(stage: str) -> None:
+        def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            from bigdata_assigment3_spark.functions.protowire import (
+                _varint,
+                encode_doc,
+                fixed64_field,
+            )
+
+            shard = int(pdf["shard"].iloc[0])
+            out = bytearray()
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                # unknown field 3 in every message: the reader must skip it
+                msg = encode_doc(int(d), t) + fixed64_field(3, int(d) * 17)
+                out += _varint(len(msg)) + msg
+            with open(os.path.join(stage, f"part-{shard:03d}.pb"), "wb") as fh:
+                fh.write(bytes(out))
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        manifest = (
+            docs.groupBy("shard")
+            .applyInPandas(write_one, "shard BIGINT, n BIGINT")
+            .collect()
+        )
+        assert len(manifest) == PB_SHARDS
+
+    stage = _staged_fixture(spark, f"pb_{tag}", write_shards)
+
+    def ingest(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.protowire import decode_stream
+
+        for pdf in batches:
+            out_id, out_len, out_h = [], [], []
+            for blob in pdf["content"]:
+                for doc_id, text in decode_stream(bytes(blob)):
+                    raw = text.encode("utf-8")
+                    out_id.append(doc_id)
+                    out_len.append(len(raw))
+                    out_h.append(int(_hl.md5(raw).hexdigest()[:12], 16))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "byte_len": out_len, "h48": out_h}
+            )
+
+    parsed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pb")
+        .load(stage)
+        .select("content")
+        .mapInPandas(ingest, "doc_id BIGINT, byte_len BIGINT, h48 BIGINT")
+    )
+    return parsed.groupBy((F.col("doc_id") % PB_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        F.bit_xor(F.col("doc_id") * 262139 + F.col("h48"))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
