@@ -56,7 +56,7 @@ def test_unknown_fields_are_skipped():
 def test_malformed_rejection():
     good = encode_doc(1, "x")
     with pytest.raises(ValueError, match="truncated varint"):
-        decode_doc(good[:-1] + b"\x80")  # dangling continuation bit
+        decode_doc(good + b"\x80")  # dangling continuation bit in next tag
     with pytest.raises(ValueError, match="missing required"):
         decode_doc(b"")
     with pytest.raises(ValueError, match="overruns"):
