@@ -112,11 +112,17 @@ def read_avro_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
         if n < 0:  # negative count => size follows (spec); normalize
             n = -n
             _, pos = _zigzag_decode(blob, pos)
+        if n > len(blob):  # a map can't hold more entries than bytes
+            raise ValueError("metadata map count exceeds file size")
         for _ in range(n):
             klen, pos = _zigzag_decode(blob, pos)
+            if klen < 0 or pos + klen > len(blob):
+                raise ValueError("metadata key overruns file")
             key = blob[pos : pos + klen].decode()
             pos += klen
             vlen, pos = _zigzag_decode(blob, pos)
+            if vlen < 0 or pos + vlen > len(blob):
+                raise ValueError("metadata value overruns file")
             meta[key] = blob[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null")
@@ -135,6 +141,8 @@ def read_avro_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
     while pos < len(blob):
         count, pos = _zigzag_decode(blob, pos)
         size, pos = _zigzag_decode(blob, pos)
+        if count < 0 or size < 0 or count > size + 1:
+            raise ValueError("implausible block header (count/size)")
         block_end = pos + size
         if block_end + 16 > len(blob):
             raise ValueError("block overruns file")
@@ -145,6 +153,8 @@ def read_avro_ocf(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
                     rec[name], pos = _zigzag_decode(blob, pos)
                 else:
                     slen, pos = _zigzag_decode(blob, pos)
+                    if slen < 0 or pos + slen > block_end:
+                        raise ValueError("string overruns block")
                     rec[name] = blob[pos : pos + slen].decode("utf-8")
                     pos += slen
             records.append(rec)

@@ -169,7 +169,13 @@ def png_decode(blob: bytes, with_filters: bool = False):
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
     bpp = 1 if color_type == 0 else 3
-    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if not idat:
+        raise ValueError("missing IDAT chunk")
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}") from exc
+    stream = np.frombuffer(inflated, dtype=np.uint8)
     if stream.size != h * (1 + w * bpp):
         raise ValueError("decompressed stream length != h * (1 + w*bpp)")
     lines = stream.reshape(h, 1 + w * bpp)

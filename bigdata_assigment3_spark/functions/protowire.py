@@ -40,6 +40,7 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
+            acc &= (1 << 64) - 1  # conformant readers truncate to 64 bits
             if acc >= 1 << 63:
                 acc -= 1 << 64  # int64 two's complement
             return acc, pos
@@ -73,6 +74,8 @@ def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
         return pos + 8
     if wire_type == 2:  # length-delimited
         n, pos = _read_varint(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("length-delimited field overruns message")
         return pos + n
     if wire_type == 5:  # 32-bit
         return pos + 4
@@ -90,7 +93,7 @@ def decode_doc(msg: bytes) -> tuple[int, str]:
             doc_id, pos = _read_varint(msg, pos)
         elif field == 2 and wire_type == 2:
             n, pos = _read_varint(msg, pos)
-            if pos + n > len(msg):
+            if n < 0 or pos + n > len(msg):
                 raise ValueError("string field overruns message")
             text = msg[pos : pos + n].decode("utf-8")
             pos += n

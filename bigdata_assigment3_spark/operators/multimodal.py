@@ -1501,6 +1501,35 @@ def _gz_corpus_stage(spark: SparkSession, sf_dir: str) -> str:
     return _staged_fixture(spark, f"gz_{tag}", write_shards)
 
 
+def _gz_parse_kernel():
+    """Build the gunzip/parse mapInPandas kernel shared by the batch
+    ingest and the streaming backfill — ONE definition, so the
+    'streaming result equals the batch ingest' invariant can't drift.
+    Returned as a fresh closure (pickled by value) because workers
+    can't import this package by reference (see module note above)."""
+
+    def ingest(batches):
+        import gzip as _gz
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_len, out_h = [], [], []
+            for blob in pdf["content"]:
+                for line in _gz.decompress(bytes(blob)).decode("ascii").splitlines():
+                    sid, hx = line.split("\t", 1)
+                    raw = bytes.fromhex(hx)
+                    out_id.append(int(sid))
+                    out_len.append(len(raw))
+                    out_h.append(int(_hl.md5(raw).hexdigest()[:14], 16))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "byte_len": out_len, "h56": out_h}
+            )
+
+    return ingest
+
+
 @query(
     "compressed_text_ingest",
     oracle=f"""
@@ -1530,32 +1559,12 @@ def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one file per task is the real contract at 100 TB (WET/WARC
     shards), and the kernel is batch-columnar per blob."""
     stage = _gz_corpus_stage(spark, sf_dir)
-
-    def ingest(batches):
-        import gzip as _gz
-        import hashlib as _hl
-
-        import pandas as pd
-
-        for pdf in batches:
-            out_id, out_len, out_h = [], [], []
-            for blob in pdf["content"]:
-                for line in _gz.decompress(bytes(blob)).decode("ascii").splitlines():
-                    sid, hx = line.split("\t", 1)
-                    raw = bytes.fromhex(hx)
-                    out_id.append(int(sid))
-                    out_len.append(len(raw))
-                    out_h.append(int(_hl.md5(raw).hexdigest()[:14], 16))
-            yield pd.DataFrame(
-                {"doc_id": out_id, "byte_len": out_len, "h56": out_h}
-            )
-
     parsed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.gz")
         .load(stage)
         .select("content")
-        .mapInPandas(ingest, "doc_id BIGINT, byte_len BIGINT, h56 BIGINT")
+        .mapInPandas(_gz_parse_kernel(), "doc_id BIGINT, byte_len BIGINT, h56 BIGINT")
     )
     return parsed.groupBy((F.col("doc_id") % GZ_SHARDS).alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

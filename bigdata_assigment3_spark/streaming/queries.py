@@ -1382,7 +1382,7 @@ def q_stream_corpus_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.multimodal import _gz_corpus_stage
+    from ..operators.multimodal import _gz_corpus_stage, _gz_parse_kernel
 
     stage = _gz_corpus_stage(spark, sf_dir)
     base = os.path.join(
@@ -1391,26 +1391,7 @@ def q_stream_corpus_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(base, ignore_errors=True)
-
-    def ingest(batches):
-        import gzip as _gz
-        import hashlib as _hl
-
-        import pandas as pd
-
-        for pdf in batches:
-            out_id, out_len, out_h = [], [], []
-            for blob in pdf["content"]:
-                for line in _gz.decompress(bytes(blob)).decode("ascii").splitlines():
-                    sid, hx = line.split("\t", 1)
-                    raw = bytes.fromhex(hx)
-                    out_id.append(int(sid))
-                    out_len.append(len(raw))
-                    out_h.append(int(_hl.md5(raw).hexdigest()[:14], 16))
-            yield pd.DataFrame(
-                {"doc_id": out_id, "byte_len": out_len, "h56": out_h}
-            )
-
+    ingest = _gz_parse_kernel()  # SAME kernel as the batch ingest
     parsed = (
         spark.readStream.format("binaryFile")
         # streaming sources require an explicit schema; binaryFile's is fixed

@@ -37,7 +37,10 @@ KEY_COLS: dict[str, dict[str, str]] = {
     "part": {"p_partkey": "partkey"},
     "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
     "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
-    "events": {"event_id": "eventid", "user_id": "userid"},
+    # user_id joins customer.c_custkey (streaming PIT enrich), so it
+    # MUST share the custkey stride: copy-i events reference copy-i
+    # customers, not a stride-mismatched neighbor universe
+    "events": {"event_id": "eventid", "user_id": "custkey"},
     "documents": {"doc_id": "docid"},
     "embeddings": {"vec_id": "vecid"},
 }
@@ -48,7 +51,6 @@ DOMAIN_OWNER = {
     "partkey": ("part", "p_partkey"),
     "orderkey": ("orders", "o_orderkey"),
     "eventid": ("events", "event_id"),
-    "userid": ("events", "user_id"),
     "docid": ("documents", "doc_id"),
     "vecid": ("embeddings", "vec_id"),
 }

@@ -66,3 +66,19 @@ def test_reader_rejects_malformed():
     deflated = good.replace(b"null", b"zstd", 1)
     with pytest.raises(ValueError, match="codec"):
         read_avro_ocf(deflated)
+
+
+def test_adversarial_lengths_rejected_not_hung():
+    """Review finding: negative metadata key/value lengths oscillated
+    pos and spun ~2^63 iterations; must raise promptly."""
+    from bigdata_assigment3_spark.functions.avro import _zigzag_encode
+
+    with pytest.raises(ValueError, match="count exceeds|key overruns|truncated"):
+        read_avro_ocf(b"Obj\x01" + _zigzag_encode(2**40) + b"\x01" * 4)
+    good = avro_ocf_bytes([{"doc_id": 5, "text": "hi"}], FIELDS, SYNC)
+    # corrupt the in-block string length to a negative zigzag value
+    body_at = good.index(b"hi")
+    corrupt = bytearray(good)
+    corrupt[body_at - 1] = 0x01  # zigzag(-1)
+    with pytest.raises(ValueError):
+        read_avro_ocf(bytes(corrupt))

@@ -77,3 +77,30 @@ def test_decoder_rejects_malformed():
     )
     with pytest.raises(ValueError, match="unsupported"):
         png_decode(bytes(deep))
+
+
+def test_corrupt_idat_and_missing_idat_raise_valueerror():
+    """Review finding: corrupt deflate bytes raised zlib.error and a
+    chunk-valid file without IDAT slipped to decompress; both must be
+    the parser's own ValueError."""
+    import zlib as _z
+
+    good = png_encode(_gray())
+    # rebuild the IDAT chunk with garbage payload but a VALID CRC
+    start = good.index(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", good, start)
+    garbage = b"\x00" * ln
+    rebuilt = (
+        good[:start]
+        + struct.pack(">I", ln)
+        + b"IDAT"
+        + garbage
+        + struct.pack(">I", _z.crc32(b"IDAT" + garbage))
+        + good[start + 12 + ln :]
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        png_decode(rebuilt)
+    # remove IDAT entirely (keep IHDR/IEND): must raise, not zlib.error
+    no_idat = good[:start] + good[start + 12 + ln :]
+    with pytest.raises(ValueError, match="missing IDAT"):
+        png_decode(no_idat)

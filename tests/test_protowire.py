@@ -63,3 +63,24 @@ def test_malformed_rejection():
         decode_stream(_varint(100) + good)  # length prefix beyond stream
     with pytest.raises(ValueError, match="wire type"):
         decode_doc(b"\x1b")  # field 3, wire type 3 (deprecated groups)
+
+
+def test_negative_length_field_rejected_not_hung():
+    """Review finding: a negative length-delimited length moved pos
+    backward and looped forever; must raise instead."""
+    msg = b"\x12" + _varint(-11)  # field 2, wire type 2, length -11
+    with pytest.raises(ValueError, match="overruns"):
+        decode_doc(msg)
+    unknown = b"\x32" + _varint(-11)  # unknown field 6, same wire type
+    with pytest.raises(ValueError, match="overruns"):
+        decode_doc(encode_doc(1, "x") + unknown)
+
+
+def test_varint_truncates_to_64_bits():
+    """A 10-byte varint with high bits set must truncate to int64 like
+    conformant readers, not return a >64-bit integer."""
+    from bigdata_assigment3_spark.functions.protowire import _read_varint
+
+    overlong = b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x3f"  # ~2^70-1
+    v, _ = _read_varint(overlong, 0)
+    assert -(2**63) <= v < 2**63

@@ -61,6 +61,9 @@ def test_referential_integrity_holds(scaled):
         ("l_orderkey", "d_lineitem", "d_orders", "o_orderkey"),
         ("l_partkey", "d_lineitem", "d_part", "p_partkey"),
         ("l_suppkey", "d_lineitem", "d_supplier", "s_suppkey"),
+        # events.user_id joins customer.c_custkey (streaming PIT
+        # enrich), so the scaled universes must keep it resolvable
+        ("user_id", "d_events", "d_customer", "c_custkey"),
     ]:
         orphans = scaled.sql(
             f"SELECT COUNT(*) FROM {child} c LEFT JOIN {parent} p"
