@@ -1,0 +1,206 @@
+"""Mergeable sketch operators: count-min, Bloom filter.
+
+The 100 TB toolkit's probabilistic layer, built so the sketches are
+EXACTLY reproducible across engines: every hash is the portable
+md5-int56 (functions/hashing.py) and every counter is an additive
+integer aggregate, so the full sketch state — not a property of it —
+sits under the DuckDB value gate.  That additivity is also precisely
+what makes these sketches mergeable across partitions/executors with
+no coordination: a counter array is a groupBy-sum, a bit set is a
+groupBy-max, both map-side combinable.
+
+(Complements `hll_distinct_audit`'s NDV contract in coverage.py and
+Spark's own runtime bloom-filter injection, plan-asserted in
+tests/test_plans.py — here the sketches are first-class DATA.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5_int56_duck, md5_int56_spark
+from ..registry import query
+from ..sources import load_table
+
+CMS_D, CMS_W = 4, 64  # depth (independent hashes) x width (buckets)
+
+
+def _cms_hash_spark(depth_col: str, key: str) -> str:
+    return f"{md5_int56_spark(f'CONCAT(CAST({depth_col} AS STRING), {key})')} % {CMS_W}"
+
+
+def _cms_hash_duck(depth_col: str, key: str) -> str:
+    return f"{md5_int56_duck(f'CAST({depth_col} AS VARCHAR) || {key}')} % {CMS_W}"
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT event_type FROM events),
+    depths AS (SELECT CAST(d.id AS INTEGER) AS depth FROM range({CMS_D}) d(id)),
+    counters AS (
+      SELECT depth, {_cms_hash_duck('depth', 'event_type')} AS bucket,
+             COUNT(*) AS c
+      FROM events, depths GROUP BY 1, 2
+    ),
+    exact AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    est AS (
+      SELECT k.event_type,
+             MIN(c.c) AS cms_estimate
+      FROM keys k
+      JOIN depths d ON TRUE
+      JOIN counters c
+        ON c.depth = d.depth
+       AND c.bucket = {_cms_hash_duck('d.depth', 'k.event_type')}
+      GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(x.n AS BIGINT) AS exact_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           e.cms_estimate >= x.n AS never_undercounts
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the events stream — the heavy-hitter /
+    frequency-estimation sketch every streaming telemetry pipeline
+    carries.  {CMS_D} independent md5-derived hash rows x {CMS_W}
+    buckets of ADDITIVE counters (one groupBy-sum: map-side combined,
+    mergeable across any partitioning, which is the whole point at
+    scale), then each key's estimate = min over rows of its bucket
+    counter.  Returned per key: exact count, CMS estimate, and the
+    sketch's defining one-sided guarantee (estimate >= exact, never
+    under) — all value-oracled, because with portable hashes the
+    ENTIRE sketch state is deterministic, not just its error bound.
+
+    At 100 TB the counter matrix is {CMS_D}x{CMS_W} integers per
+    executor merged by one tiny shuffle — constant state for unbounded
+    input, the sketch trade."""
+    ev = load_table(spark, sf_dir, "events")
+    depths = spark.range(CMS_D).select(F.col("id").cast("int").alias("depth"))
+    counters = (
+        ev.crossJoin(F.broadcast(depths))
+        .select("depth", F.expr(_cms_hash_spark("depth", "event_type")).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    keys = exact.select("event_type").crossJoin(F.broadcast(depths))
+    probes = keys.select(
+        "event_type",
+        "depth",
+        F.expr(_cms_hash_spark("depth", "event_type")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("n")).alias("never_undercounts"),
+    )
+
+
+BLOOM_M, BLOOM_K = 4096, 3  # bits, hash functions
+
+
+def _bloom_bit_spark(k: int, key: str) -> str:
+    expr = "CONCAT('b" + str(k) + ":', " + key + ")"
+    return f"{md5_int56_spark(expr)} % {BLOOM_M}"
+
+
+def _bloom_bit_duck(k: int, key: str) -> str:
+    expr = "'b" + str(k) + ":' || " + key
+    return f"{md5_int56_duck(expr)} % {BLOOM_M}"
+
+
+@query(
+    "bloom_filter_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 = 0
+    ),
+    bits AS (
+      {' UNION '.join(
+          f"SELECT DISTINCT {_bloom_bit_duck(k, 'CAST(c_custkey AS VARCHAR)')} AS bit FROM members"
+          for k in range(BLOOM_K)
+      )}
+    ),
+    probes AS (
+      SELECT c_custkey AS probe_key, c_custkey % 7 = 0 AS is_member
+      FROM customer
+    ),
+    verdicts AS (
+      SELECT p.probe_key, p.is_member,
+             {' AND '.join(
+                 f"EXISTS (SELECT 1 FROM bits WHERE bit = {_bloom_bit_duck(k, 'CAST(p.probe_key AS VARCHAR)')})"
+                 for k in range(BLOOM_K)
+             )} AS bloom_positive
+      FROM probes p
+    )
+    SELECT is_member,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           BOOL_AND(NOT is_member OR bloom_positive) AS no_false_negatives
+    FROM verdicts GROUP BY 1
+    """,
+)
+def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom filter as DATA: build an {BLOOM_M}-bit /
+    {BLOOM_K}-hash filter over a member set (every 7th customer), probe
+    EVERY customer key through it, and return per membership class the
+    probe counts, bloom positives, and the structure's defining
+    guarantee (zero false negatives) — the sketch you ship to a remote
+    join site instead of the key list.  Portable md5 bit positions make
+    the filter bit-for-bit reproducible, so the oracle rebuilds the
+    identical filter and the false-POSITIVE count (not just its bound)
+    is value-checked.
+
+    Scale design: the bit set is a DISTINCT of integers (groupBy-max
+    mergeable, map-side combined); probing is a semi-join against
+    {BLOOM_M} distinct bit rows — broadcastable at any corpus size.
+    This is the portable cousin of the runtime bloom Spark injects in
+    joins (plan-asserted in tests/test_plans.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.filter("c_custkey % 7 = 0").select("c_custkey").distinct()
+    key = "CAST(c_custkey AS STRING)"
+    bits = None
+    for k in range(BLOOM_K):
+        b = members.select(F.expr(_bloom_bit_spark(k, key)).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_key"),
+        (F.col("c_custkey") % 7 == 0).alias("is_member"),
+    )
+    verdict = probes
+    for k in range(BLOOM_K):
+        bit_k = F.expr(_bloom_bit_spark(k, "CAST(probe_key AS STRING)"))
+        hit = (
+            verdict.join(
+                F.broadcast(bits.withColumnRenamed("bit", f"bit{k}")),
+                bit_k == F.col(f"bit{k}"),
+                "left",
+            )
+            .withColumn(f"hit{k}", F.col(f"bit{k}").isNotNull())
+            .drop(f"bit{k}")
+        )
+        verdict = hit
+    bloom_positive = F.expr(" AND ".join(f"hit{k}" for k in range(BLOOM_K)))
+    return (
+        verdict.withColumn("bloom_positive", bloom_positive)
+        .groupBy("is_member")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+            F.min(~F.col("is_member") | F.col("bloom_positive")).alias(
+                "no_false_negatives"
+            ),
+        )
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         pipeline,
         relational,
         sampling,
+        sketches,
         stats,
         strings,
         similarity,
