@@ -101,6 +101,9 @@ HEADLINE = [
     # round-6 ingestion formats (representatives)
     "compressed_text_ingest",
     "webdataset_tar_ingest",
+    # round-6 mergeable sketches
+    "cms_heavy_hitters",
+    "hll_registers_portable",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Mergeable sketch operators: count-min, Bloom filter.
+"""Mergeable sketch operators: count-min, Bloom filter, HyperLogLog.
 
 The 100 TB toolkit's probabilistic layer, built so the sketches are
 EXACTLY reproducible across engines: every hash is the portable
@@ -203,4 +203,125 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "no_false_negatives"
             ),
         )
+    )
+
+
+HLL_M = 64  # registers (p=6); sigma = 1.04/sqrt(64) = 13%
+_HLL_ALPHA = 0.709  # spec constant for m=64
+
+
+def _hll_fields_spark(key: str) -> tuple[str, str]:
+    h = md5_int56_spark(f"CONCAT('hll:', {key})")
+    bucket = f"({h}) % {HLL_M}"
+    w = f"({h}) DIV {HLL_M}"
+    rho = f"CASE WHEN {w} = 0 THEN 51 ELSE 52 - LENGTH(BIN({w})) END"
+    return bucket, rho
+
+
+def _hll_fields_duck(key: str) -> tuple[str, str]:
+    h = md5_int56_duck(f"'hll:' || {key}")
+    bucket = f"({h}) % {HLL_M}"
+    w = f"({h}) // {HLL_M}"
+    rho = f"CASE WHEN {w} = 0 THEN 51 ELSE 52 - LENGTH(bin({w})) END"
+    return bucket, rho
+
+
+_DUCK_B, _DUCK_R = _hll_fields_duck("CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "hll_registers_portable",
+    oracle=f"""
+    WITH regs AS (
+      SELECT event_type, {_DUCK_B} AS bucket, MAX({_DUCK_R}) AS rho
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(b.id AS BIGINT) AS bucket,
+             COALESCE(r.rho, 0) AS rho
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN range({HLL_M}) b(id)
+      LEFT JOIN regs r ON r.event_type = t.event_type AND r.bucket = b.id
+    ),
+    state AS (
+      SELECT event_type,
+             SUM(CAST(2 AS BIGINT) ** (51 - rho)) AS int_sum,  -- exact BIGINT
+             SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
+             bit_xor(bucket * 64 + rho) AS register_checksum
+      FROM grid GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(x.n AS BIGINT) AS exact_distinct,
+           CAST(s.register_checksum AS BIGINT) AS register_checksum,
+           ROUND(
+             CASE WHEN {_HLL_ALPHA} * {HLL_M} * {HLL_M} * CAST(2 AS BIGINT) ** 51
+                       / s.int_sum <= 2.5 * {HLL_M} AND s.zeros > 0
+                  THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / s.zeros)
+                  ELSE {_HLL_ALPHA} * {HLL_M} * {HLL_M} * CAST(2 AS BIGINT) ** 51
+                       / s.int_sum
+             END, 4) AS hll_estimate,
+           ABS(CASE WHEN {_HLL_ALPHA} * {HLL_M} * {HLL_M} * CAST(2 AS BIGINT) ** 51
+                         / s.int_sum <= 2.5 * {HLL_M} AND s.zeros > 0
+                    THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / s.zeros)
+                    ELSE {_HLL_ALPHA} * {HLL_M} * {HLL_M} * CAST(2 AS BIGINT) ** 51
+                         / s.int_sum
+               END / x.n - 1) < 0.4 AS within_3sigma
+    FROM state s JOIN exact x USING (event_type)
+    """,
+)
+def q_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog per group — the cardinality sketch, with
+    its REGISTER STATE (not just the estimate) under the value gate:
+    md5-derived buckets and leading-zero ranks make the {HLL_M}
+    registers bit-identical across engines, so the oracle matches the
+    register checksum, the exact scaled harmonic sum (2^(51-rho) terms
+    are exact BIGINTs — no float accumulation), and the final estimate
+    incl. the spec's linear-counting small-range correction.  Each
+    row also carries the sketch's accuracy contract (estimate within
+    ~3 sigma of exact).  Completes the mergeable-sketch trio with
+    cms_heavy_hitters (frequency) and bloom_filter_audit (membership):
+    registers merge by groupBy-MAX — map-side combined, any
+    partitioning, constant state per group at unbounded input.
+
+    (hll_distinct_audit in coverage.py holds Spark's built-in
+    approx_count_distinct to a 10%% contract; here the sketch itself
+    is first-class, reproducible DATA you can store and merge later.)"""
+    b_expr, r_expr = _hll_fields_spark("CAST(user_id AS STRING)")
+    ev = load_table(spark, sf_dir, "events")
+    regs = (
+        ev.select("event_type", F.expr(b_expr).alias("bucket"), F.expr(r_expr).alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    types = ev.select("event_type").distinct()
+    buckets = spark.range(HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
+    grid = (
+        types.crossJoin(F.broadcast(buckets))
+        .join(regs, ["event_type", "bucket"], "left")
+        .withColumn("rho", F.coalesce("rho", F.lit(0)))
+    )
+    state = grid.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(POW(2, 51 - rho) AS BIGINT)")).alias("int_sum"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+        F.bit_xor(F.col("bucket") * 64 + F.col("rho")).alias("register_checksum"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    raw = (
+        F.lit(_HLL_ALPHA) * HLL_M * HLL_M * F.lit(2**51) / F.col("int_sum")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return state.join(exact, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("exact_distinct"),
+        F.col("register_checksum").cast("bigint").alias("register_checksum"),
+        F.round(est, 4).alias("hll_estimate"),
+        (F.abs(est / F.col("n") - 1) < 0.4).alias("within_3sigma"),
     )
