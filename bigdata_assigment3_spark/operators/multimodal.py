@@ -2185,3 +2185,84 @@ def q_protobuf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+GIF_W, GIF_H, GIF_FRAMES = 48, 32, 6
+
+
+@query(
+    "gif_frames_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT i, yy, xx, (xx * 7 + yy * 3 + i * 41) % 256 AS v
+      FROM range({GIF_FRAMES}) f(i), range({GIF_H}) r(yy), range({GIF_W}) c(xx)
+    )
+    SELECT i AS frame_id,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(v) AS BIGINT) AS pixel_max,
+           CAST(bit_xor(v * 2048 + yy * {GIF_W} + xx) AS BIGINT) AS pixel_checksum
+    FROM px GROUP BY i
+    """,
+)
+def q_gif_frames_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF demux + decode, the third hand-rolled raster codec
+    (functions/gif.py, GIF89a from the published spec): one genuine
+    multi-frame grayscale GIF — real LZW with variable-width LSB-first
+    codes, CLEAR/EOI, 255-byte sub-blocks — is staged and decoded
+    DISTRIBUTED; per-frame stats come from the DECODED, palette-mapped
+    pixels and the oracle replays the generator arithmetic.  GIF being
+    lossless over its palette is what lets the whole LZW dictionary
+    machinery (incl. width growth and the cScSc special case) sit
+    under an exact value gate.  Like video_y4m_frames, one file is one
+    binaryFile row; at scale each row is a clip and frames feed the
+    motion pipeline."""
+    import numpy as np
+
+    from ..functions.gif import gif_encode_gray
+
+    def write_clip(stage: str) -> None:
+        yy, xx = np.mgrid[0:GIF_H, 0:GIF_W]
+        frames = [
+            ((xx * 7 + yy * 3 + i * 41) % 256).astype(np.uint8)
+            for i in range(GIF_FRAMES)
+        ]
+        with open(os.path.join(stage, "clip.gif"), "wb") as fh:
+            fh.write(gif_encode_gray(frames))
+
+    stage = _staged_fixture(spark, "gif", write_clip)
+
+    def demux(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.gif import gif_decode_gray
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = []
+                for i, frame in enumerate(gif_decode_gray(bytes(blob))):
+                    v = frame.reshape(-1).astype(np.int64)
+                    pos = np.arange(v.size, dtype=np.int64)
+                    rows.append(
+                        (
+                            i,
+                            int(v.sum()),
+                            int(v.max()),
+                            int(np.bitwise_xor.reduce(v * 2048 + pos)),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["frame_id", "pixel_sum", "pixel_max", "pixel_checksum"],
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(stage)
+        .select("content")
+        .mapInPandas(
+            demux,
+            "frame_id BIGINT, pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
+        )
+    )
