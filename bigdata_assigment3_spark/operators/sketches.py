@@ -165,34 +165,35 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the portable cousin of the runtime bloom Spark injects in
     joins (plan-asserted in tests/test_plans.py)."""
     cust = load_table(spark, sf_dir, "customer")
-    members = cust.filter("c_custkey % 7 = 0").select("c_custkey").distinct()
     key = "CAST(c_custkey AS STRING)"
-    bits = None
-    for k in range(BLOOM_K):
-        b = members.select(F.expr(_bloom_bit_spark(k, key)).alias("bit"))
-        bits = b if bits is None else bits.unionByName(b)
-    bits = bits.distinct()
+    # BUILD: one distributed pass over the members (explode the K bit
+    # positions, one distinct), then SHIP THE FILTER — collecting a
+    # <=BLOOM_M-int bit set to the driver is the bloom deployment model
+    # itself (constant size by construction, independent of member
+    # count), and probing becomes a scan-side literal lookup with zero
+    # joins and zero probe-side shuffles.
+    bit_exprs = [F.expr(_bloom_bit_spark(k, key)) for k in range(BLOOM_K)]
+    bits_set = sorted(
+        r.bit
+        for r in cust.filter("c_custkey % 7 = 0")
+        .select(F.explode(F.array(*bit_exprs)).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    bits_lit = F.lit(bits_set)
 
     probes = cust.select(
         F.col("c_custkey").alias("probe_key"),
         (F.col("c_custkey") % 7 == 0).alias("is_member"),
     )
-    verdict = probes
+    bloom_positive = None
     for k in range(BLOOM_K):
-        bit_k = F.expr(_bloom_bit_spark(k, "CAST(probe_key AS STRING)"))
-        hit = (
-            verdict.join(
-                F.broadcast(bits.withColumnRenamed("bit", f"bit{k}")),
-                bit_k == F.col(f"bit{k}"),
-                "left",
-            )
-            .withColumn(f"hit{k}", F.col(f"bit{k}").isNotNull())
-            .drop(f"bit{k}")
+        hit = F.array_contains(
+            bits_lit, F.expr(_bloom_bit_spark(k, "CAST(probe_key AS STRING)"))
         )
-        verdict = hit
-    bloom_positive = F.expr(" AND ".join(f"hit{k}" for k in range(BLOOM_K)))
+        bloom_positive = hit if bloom_positive is None else (bloom_positive & hit)
     return (
-        verdict.withColumn("bloom_positive", bloom_positive)
+        probes.withColumn("bloom_positive", bloom_positive)
         .groupBy("is_member")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_probes"),

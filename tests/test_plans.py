@@ -258,6 +258,27 @@ def test_shuffle_exchange_budgets(spark):
         # levenshtein count drops ~160x — 7.9s -> ~1.0s at sf0.1.
         "fuzzy_part_match": 5,
         "ewma_user_value": 1,
+        # round-6 additions: codecs are pure per-file scans (0); ingest
+        # queries pay exactly the one final-agg shuffle; the sketches'
+        # counter/register builds are map-side-combined single shuffles
+        # plus tiny broadcast probe joins
+        "image_png_decode": 0,
+        "image_jpeg_decode": 0,
+        "gif_frames_decode": 0,
+        "security_hash_battery": 0,
+        "figure_heatmap_sink": 0,
+        "volume_nifti_export": 1,
+        "embedding_int8_quantize": 1,
+        "compressed_text_ingest": 1,
+        "multiformat_text_ingest": 1,
+        "arrow_ipc_ingest": 1,
+        "avro_ocf_ingest": 1,
+        "sqlite_db_ingest": 1,
+        "protobuf_stream_ingest": 1,
+        "webdataset_tar_ingest": 1,
+        "bloom_filter_audit": 1,  # ship-the-filter: zero probe-side joins
+        "cms_heavy_hitters": 3,
+        "hll_registers_portable": 4,
         "large_quantity_orders": 1,
         "langid_pr_curve": 1,
         "argmax_functions": 1,
