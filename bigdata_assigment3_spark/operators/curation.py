@@ -164,8 +164,13 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_test = F.col("doc_id") % HOLDOUT_MOD == 0
     test_g = grams.filter(is_test)
     train_g = grams.filter(~is_test).select("ngram").distinct()
+    # No broadcast HINT: in production the held-out suite is a tiny
+    # fixed benchmark and the planner broadcasts it from size stats,
+    # but THIS fixture's test side is a fixed 1/{HOLDOUT_MOD} fraction
+    # of the corpus — forcing a broadcast of something that grows with
+    # the corpus is exactly the 8 GB-limit/driver-OOM failure at scale.
     hits = (
-        train_g.join(F.broadcast(test_g), "ngram")
+        train_g.join(test_g, "ngram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

@@ -50,6 +50,19 @@ P = 1_000_000_007
 JACC_T = 0.5
 SIM_BITS = 24
 
+# ONE definition each for the minhash signature transform and the
+# posting-list pair expansion: the estimate audit is only meaningful
+# if its signatures are bit-identical to the ones behind the memoized
+# pair table, so the expressions must not be able to drift apart.
+MINHASH_SIG_EXPR = (
+    f"transform(sequence(0, {J_HASH - 1}),"
+    f" j -> array_min(transform(shs, s -> ((2*j+3)*s + 7*j+1) % {P})))"
+)
+PAIR_EXPANSION_EXPR = (
+    "flatten(transform(docs, (a, i) ->"
+    " transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))"
+)
+
 # ---- shared DuckDB CTEs ----------------------------------------------------
 # Shingles are hashed to int56 at creation: all downstream set ops
 # (distinct, df-prune, intersection counts, minhash) run on integers,
@@ -166,10 +179,7 @@ def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF_CAP^2/2, and there's no shingle self-join at all (the pair
     generation happens inside the already-grouped array)."""
     inv = _inverted_index_df(spark, sf_dir)
-    pair_expr = F.expr(
-        "flatten(transform(docs, (a, i) ->"
-        " transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))"
-    )
+    pair_expr = F.expr(PAIR_EXPANSION_EXPR)
     common = (
         inv.select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -301,10 +311,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_by_doc = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
     sig = sh_by_doc.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {J_HASH - 1}),"
-            f" j -> array_min(transform(shs, s -> ((2*j+3)*s + 7*j+1) % {P})))"
-        ).alias("mh"),
+        F.expr(MINHASH_SIG_EXPR).alias("mh"),
     )
     bands = sig.select(
         "doc_id",
@@ -324,10 +331,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    pair_expr = F.expr(
-        "flatten(transform(docs, (a, i) ->"
-        " transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))"
-    )
+    pair_expr = F.expr(PAIR_EXPANSION_EXPR)
     cand = (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -671,9 +675,9 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT a.doc_a, a.doc_b,
-           ROUND(a.n_agree / 8.0, 6) AS est_jaccard,
+           ROUND(a.n_agree / {J_HASH}.0, 6) AS est_jaccard,
            ROUND(COALESCE(j.jaccard, 0), 6) AS exact_jaccard,
-           ROUND(ABS(a.n_agree / 8.0 - ROUND(COALESCE(j.jaccard, 0), 6)), 6)
+           ROUND(ABS(a.n_agree / {J_HASH}.0 - ROUND(COALESCE(j.jaccard, 0), 6)), 6)
              AS abs_err
     FROM agree a
     LEFT JOIN jacc j ON j.doc_a = a.doc_a AND j.doc_b = a.doc_b
@@ -698,10 +702,7 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
     sig = sh_by_doc.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {J_HASH - 1}),"
-            f" j -> array_min(transform(shs, s -> ((2*j+3)*s + 7*j+1) % {P})))"
-        ).alias("mh"),
+        F.expr(MINHASH_SIG_EXPR).alias("mh"),
     )
     siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
     sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
@@ -709,7 +710,7 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1, 0)),"
         " 0, (acc, v) -> acc + v)"
     )
-    est = n_agree.cast("double") / F.lit(8.0)
+    est = n_agree.cast("double") / F.lit(float(J_HASH))
     return (
         F.broadcast(pairs.select("doc_a", "doc_b", "jaccard"))
         .join(siga, "doc_a")

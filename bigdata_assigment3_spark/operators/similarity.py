@@ -55,9 +55,7 @@ dots AS (
 """
 
 
-@query(
-    "ann_cosine_topk",
-    oracle=f"""
+_ANN_ORACLE = f"""
     WITH {_DUCK_QUANT_PAIRS}
     SELECT query_id, cand_id, rank, cosine FROM (
       SELECT query_id, cand_id,
@@ -67,8 +65,10 @@ dots AS (
              ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
       FROM dots WHERE na2 > 0 AND nb2 > 0
     ) WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk", oracle=_ANN_ORACLE)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: a fixed 10-probe set (vec_id % 50 = 0
     and vec_id < 500) against the full corpus, exact integer dot
@@ -127,7 +127,10 @@ def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
         " * CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 0L, (a, b) -> a + b)"
     )
-    dim0 = F.expr("CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT)")
+    # try_element_at: an empty embedding yields NULL (skipped by SUM)
+    # exactly like DuckDB's embedding[1] — plain element_at THROWS
+    # under the session's pinned ANSI mode
+    dim0 = F.expr("CAST(ROUND(CAST(try_element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT)")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(norm2).cast("bigint").alias("sum_norm2_milli"),
@@ -281,19 +284,6 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Same result contract as ann_cosine_topk, different physical plan.
-_ANN_ORACLE = f"""
-    WITH {_DUCK_QUANT_PAIRS}
-    SELECT query_id, cand_id, rank, cosine FROM (
-      SELECT query_id, cand_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2) DESC,
-                           cand_id) AS BIGINT) AS rank,
-             ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
-      FROM dots WHERE na2 > 0 AND nb2 > 0
-    ) WHERE rank <= {TOP_K}
-    """
-
-
 @query("ann_cosine_topk_vec", oracle=_ANN_ORACLE)
 def q_ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized twin of `ann_cosine_topk` (same oracle, same rows):
@@ -409,10 +399,25 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     )
     vecs = emb.filter(nonzero).select("vec_id", norm.alias("e"))
 
-    # train codebooks on a bounded deterministic sample (driver-side)
+    # train codebooks on a bounded deterministic sample (driver-side);
+    # sorted() pins the matrix row order regardless of partition layout
+    # so the seeded init — and therefore the codebooks — are
+    # reproducible on any file split
     train = np.array(
-        [r.e for r in vecs.filter(F.col("vec_id") < PQ_TRAIN_N).collect()], dtype=np.float64
+        [
+            r.e
+            for r in sorted(
+                vecs.filter(F.col("vec_id") < PQ_TRAIN_N).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ],
+        dtype=np.float64,
     )
+    if len(train) < PQ_K:
+        raise ValueError(
+            f"PQ training needs >= {PQ_K} vectors with vec_id < {PQ_TRAIN_N}; "
+            f"got {len(train)} — raise PQ_TRAIN_N for this id layout"
+        )
     rng = np.random.RandomState(0)
 
     def kmeans(data: np.ndarray, k: int, iters: int = 20) -> np.ndarray:
@@ -508,14 +513,18 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(
         "aggregate(zip_with(eq, ev, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
     )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    # rank on the RAW cosine (round only for display) so rounding ties
+    # can't reorder the top-k relative to the brute-force baseline
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("cand_id"))
     return (
         shortlist.join(cv, "cand_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", F.round(dot, 6))
+        .withColumn("cosine_raw", dot)
         .withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cand_id", "rank", "cosine")
+        .select(
+            "query_id", "cand_id", "rank", F.round("cosine_raw", 6).alias("cosine")
+        )
     )
 
 
@@ -539,7 +548,13 @@ def _arrow_norm_batches(batches):
         q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
         sq = q * q
         starts = offsets[:-1]
-        norm2 = np.add.reduceat(sq, starts) if len(sq) else np.zeros(0, np.int64)
+        # reduceat rejects an index == len(sq), which a TRAILING empty
+        # list produces (and repeats wrong values for interior empties)
+        # — clamp the indices, then zero every empty segment explicitly
+        if len(sq):
+            norm2 = np.add.reduceat(sq, np.minimum(starts, len(sq) - 1))
+        else:
+            norm2 = np.zeros(len(starts), np.int64)
         norm2 = np.where(starts == offsets[1:], 0, norm2)  # empty lists
         labels = batch.column(batch.schema.get_field_index("label"))
         yield pa.RecordBatch.from_arrays(
