@@ -22,6 +22,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .multimodal import _sf_tag
 from ..registry import query
 from ..sources import load_table
 
@@ -34,7 +35,7 @@ _DEC_PCT = "decimal(6,4)"
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders/lineitem bucketed by orderkey (once per sf_dir per
     session) into a scratch dir; return the catalog table names."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)  # full-path-hashed: same-basename dirs never collide
     t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
     if spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_lineitem):
         return t_orders, t_lineitem
@@ -111,7 +112,7 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan's PartitionFilters prune at planning time, before any I/O
     (plan-asserted in tests).  At scale this is the difference
     between scanning 6/84 months and scanning everything."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)  # full-path-hashed: same-basename dirs never collide
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_part_{tag}", "orders_by_month")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         (

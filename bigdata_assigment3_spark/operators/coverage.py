@@ -332,12 +332,23 @@ def q_insert_unique_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = ev.filter(F.col("event_type") == "signup").select(
         (F.col("event_id") + 5).alias("event_id"), "user_id", "event_type"
     )
-    novel = staged.join(ev.select("event_id"), "event_id", "left_anti")
-    n_staged = staged.count()
-    n_inserted = novel.count()
-    return spark.createDataFrame(
-        [(n_staged, n_inserted, n_staged - n_inserted)],
-        "n_staged BIGINT, n_inserted BIGINT, n_rejected BIGINT",
+    # ONE job: left join + conditional counts (two separate .count()
+    # actions would scan the events table three times)
+    return (
+        staged.join(
+            ev.select(F.col("event_id"), F.lit(True).alias("_exists")),
+            "event_id",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_staged"),
+            F.sum(F.when(F.col("_exists").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inserted"),
+            F.sum(F.when(F.col("_exists").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rejected"),
+        )
     )
 
 
@@ -421,71 +432,62 @@ def q_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "parquet_sink_roundtrip",
-    # like orc_sink_roundtrip, the read-back aggregate is
-    # SQL-expressible, so the roundtrip gets a full value oracle: the
-    # partitioned write + read must preserve every value bit-for-bit
-    # (partition-column round-tripping included).
-    oracle="""
+_SINK_ROUNDTRIP_ORACLE = """
     SELECT event_type, COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total
     FROM events GROUP BY event_type
-    """,
+    """
+
+
+def _sink_roundtrip(spark, sf_dir, fmt, tag, partition_by=None):
+    """Shared columnar-sink roundtrip: ONE aggregate + staging
+    convention for every format, so the contract can't drift per
+    format.  Staging dir keyed by sf_dir + app id (concurrent sessions
+    must not share)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    writer = agg.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.format(fmt).save(out_dir)
+    return spark.read.format(fmt).load(out_dir).select("event_type", "n", "total")
+
+
+@query(
+    "parquet_sink_roundtrip",
+    # partitioned write + read-back must preserve every value
+    # bit-for-bit, partition-column round-tripping included
+    oracle=_SINK_ROUNDTRIP_ORACLE,
 )
 def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink coverage (SURVEY S13/S14): write an aggregate partitioned
     by a key to parquet (Spark's atomic commit protocol = the
     reference's tmp+rename, demo_synthetic.py:25-40), read it back,
     verify identity.  Returns the read-back aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
+    return _sink_roundtrip(
+        spark, sf_dir, "parquet", "sink_roundtrip", partition_by="event_type"
     )
-    # keyed by sf_dir + app id: concurrent sessions must not share the
-    # staging dir (same convention as the streaming staging paths)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bd3_sink_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
-    agg.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
-    back = spark.read.parquet(out_dir)
-    return back.select("event_type", "n", "total")
 
 
 @query(
     "orc_sink_roundtrip",
-    # the read-back aggregate is SQL-expressible, so unlike the other
-    # sink roundtrips this one gets a full value oracle: the roundtrip
-    # must preserve every value bit-for-bit.
-    oracle="""
-    SELECT event_type, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 3) AS DOUBLE) AS total
-    FROM events GROUP BY event_type
-    """,
+    oracle=_SINK_ROUNDTRIP_ORACLE,
 )
 def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink/source coverage: the same aggregate written to ORC
-    (Spark's second first-class columnar format — zlib by default,
-    with its own predicate-pushdown reader) and read back.  The DuckDB
-    oracle checks the post-roundtrip values, so any encode/decode
-    precision loss would fail the hash match."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 3).cast("double").alias("total"),
-    )
-    # keyed by sf_dir + app id: concurrent sessions must not share the
-    # staging dir (same convention as the streaming staging paths)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bd3_orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
-    agg.write.mode("overwrite").orc(out_dir)
-    return spark.read.orc(out_dir).select("event_type", "n", "total")
+    """ORC sink/source coverage: the same aggregate through Spark's
+    second first-class columnar format (zlib by default, its own
+    predicate-pushdown reader).  The DuckDB oracle checks the
+    post-roundtrip values, so any encode/decode precision loss would
+    fail the hash match."""
+    return _sink_roundtrip(spark, sf_dir, "orc", "orc_roundtrip")
 
 
 @query(

@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
+from .multimodal import _sf_tag
 from ..registry import query
 from ..sources import load_table
 
@@ -617,7 +618,7 @@ def q_catalog_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions on one machine must not race on a shared /tmp dir, and a
     # repeat invocation within one session (bench runs 3×) skips the
     # rewrite+ANALYZE entirely — the catalog already holds the stats.
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)  # full-path-hashed: same-basename dirs never collide
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     tname = f"orders_stats_{tag}_{app}"
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_stats_{tag}_{app}")

@@ -617,6 +617,18 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------- REAL codecs (no cv2)
 
+def _sf_tag(sf_dir: str) -> str:
+    """Collision-safe fixture tag for a DATA-dependent staged dir:
+    readable basename + a hash of the FULL path, so two data dirs that
+    happen to share a basename (e.g. /a/sf0.01 and /b/sf0.01) can
+    never be served each other's staged artifacts within a session."""
+    import hashlib
+
+    norm = os.path.normpath(sf_dir)
+    base = os.path.basename(norm).replace(".", "_")
+    return f"{base}_{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+
+
 def _staged_fixture(spark: SparkSession, tag: str, write_files) -> str:
     """Session-scoped codec-fixture staging with a crash-safe sentinel:
     reuse is gated on the ``_DONE`` marker, written only after
@@ -1313,7 +1325,7 @@ def q_figure_heatmap_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (or regenerated events) must produce a fresh figure
     import hashlib as _hl
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
     fp = _hl.md5(grid.tobytes()).hexdigest()[:10]
     stage = _staged_fixture(spark, f"heatmap_{tag}_{fp}", write_figure)
 
@@ -1474,7 +1486,7 @@ def _gz_corpus_stage(spark: SparkSession, sf_dir: str) -> str:
         (F.col("doc_id") % GZ_SHARDS).alias("shard"),
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
 
     def write_shards(stage: str) -> None:
         def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1605,7 +1617,7 @@ def q_multiformat_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).alias("codec_id"),
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
 
     def write_shards(stage: str) -> None:
         def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1704,7 +1716,7 @@ def q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", (F.col("doc_id") % ARROW_SHARDS).alias("shard")
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
 
     def write_shards(stage: str) -> None:
         def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1803,7 +1815,7 @@ def q_sqlite_db_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % SQLITE_SHARDS).alias("shard"),
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
 
     def write_shards(stage: str) -> None:
         def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2019,7 +2031,7 @@ def q_avro_ocf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % AVRO_SHARDS).alias("shard"),
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
 
     def write_shards(stage: str) -> None:
         def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2123,7 +2135,7 @@ def q_protobuf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % PB_SHARDS).alias("shard"),
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _sf_tag(sf_dir)
 
     def write_shards(stage: str) -> None:
         def write_one(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1067,28 +1067,18 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the input and the output partitions by customer for
     the downstream point-in-time join.
     """
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = o.select(
-        "o_custkey",
-        "o_orderpriority",
-        "o_orderdate",
-        "o_orderkey",
-        F.lag("o_orderpriority").over(w).alias("prev_p"),
-    )
-    changes = (
-        seq.filter(F.col("prev_p").isNull() | (F.col("o_orderpriority") != F.col("prev_p")))
-        .withColumn("version", F.row_number().over(w))
-    )
-    wv = Window.partitionBy("o_custkey").orderBy("version")
-    nxt = F.lead("o_orderdate").over(wv)
-    return changes.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("version").cast("bigint").alias("version"),
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
-        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
-        nxt.isNull().alias("is_current"),
+    # ONE change-detection pipeline (customer_priority_history) feeds
+    # this query, the batch PIT join, and the streaming enrichment —
+    # re-implementing the lag/filter/row_number/lead build here would
+    # let the parity-critical change rule drift between them
+    hist = customer_priority_history(spark, sf_dir)
+    return hist.select(
+        "custkey",
+        "priority",
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("custkey", "version")
 
 
@@ -1138,6 +1128,7 @@ def customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("priority"),
+        F.col("version").cast("bigint").alias("version"),
         F.col("o_orderdate").alias("valid_from"),
         F.lead("o_orderdate").over(wv).alias("valid_to"),
     )

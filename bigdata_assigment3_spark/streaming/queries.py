@@ -166,15 +166,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(new_sess).over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ).alias("session_id"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
     )
     per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # (user_id, session_id) is per_sess's grouping key, so a plain
+    # count IS the distinct-session count — countDistinct here would
+    # buy an Expand + two-phase distinct agg for nothing
     return per_sess.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_sessions"),
         F.max("cnt").cast("bigint").alias("max_session_events"),
     )
 
@@ -216,8 +217,10 @@ def q_stream_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts: dict = dict(zip(*state.get)) if state.exists else {}
         for pdf in pdfs:
             days = pdf["ts"].dt.floor("D").astype("int64")
-            for d in days:
-                counts[d] = counts.get(d, 0) + 1
+            # value_counts: one C-side pass, one dict update per
+            # DISTINCT day — not one interpreted iteration per event
+            for d, c in days.value_counts().items():
+                counts[d] = counts.get(d, 0) + int(c)
         state.update((list(counts.keys()), list(counts.values())))
         n_allowed = sum(min(c, burst) for c in counts.values())
         n_rejected = sum(max(c - burst, 0) for c in counts.values())
@@ -912,27 +915,23 @@ def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the complete-mode result equals the batch aggregate over the
     union — which the oracle states over the original table.
     """
-    import os
-    import shutil
-    import tempfile
+    from ..operators.multimodal import _sf_tag, _staged_fixture
 
     ensure_session_conf(spark)
     ev = load_table(spark, sf_dir, "events")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"bd3_union_src_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
-    # completion marker, not bare dir existence: a crash between the
-    # two writes would otherwise poison every later run in this app
-    # with a half-staged source (missing/partial even leg)
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage, ignore_errors=True)
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(f"{stage}/odd")
-        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(f"{stage}/even")
-        with open(marker, "w") as fh:
-            fh.write("ok")
+
+    def write_legs(stage: str) -> None:
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/odd")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/even")
+
+    # shared crash-safe stager; _sf_tag hashes the FULL sf_dir path so
+    # a second dir with the same basename in one session cannot be
+    # served the first dataset's staged legs
+    stage = _staged_fixture(spark, f"union_src_{_sf_tag(sf_dir)}", write_legs)
     schema = ev.schema
     s_odd = spark.readStream.schema(schema).parquet(f"{stage}/odd")
     s_even = spark.readStream.schema(schema).parquet(f"{stage}/even")
@@ -1047,7 +1046,7 @@ TOPK_PER_WINDOW = 3
     """,
 )
 def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trending-now: top-{TOPK_PER_WINDOW} event types per tumbling
+    """Trending-now: top-3 (TOPK_PER_WINDOW) event types per tumbling
     day window.  The streaming job maintains the per-(window, type)
     counts — the only state that must live in the stream — and the
     rank is applied OVER THE SINK, the standard two-tier topology for

@@ -404,7 +404,9 @@ def test_cbo_stats_flip_join_strategy(spark):
 
     # ensure the ANALYZEd catalog table exists (same one the query uses)
     REGISTRY["catalog_stats_cbo"].fn(spark, SF_ORACLE).collect()
-    tag = os.path.basename(os.path.normpath(SF_ORACLE)).replace(".", "_")
+    from bigdata_assigment3_spark.operators.multimodal import _sf_tag
+
+    tag = _sf_tag(SF_ORACLE)
     app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
     tname = f"orders_stats_{tag}_{app}"
 
