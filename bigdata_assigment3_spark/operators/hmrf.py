@@ -173,6 +173,48 @@ GROUP BY 1, 2
 """
 
 
+def _neighbor_energies(spark: SparkSession, lab: DataFrame, means) -> DataFrame:
+    """(z, y, x, inten_m, label, e0..e2) for one Jacobi step: 6-offset
+    explode + self-equi-join neighbor counts and the 10v-scaled Potts
+    energies 5*(I-mu_k)^2 + POTTS_W*(n_nbr - c_k) — THE energy block,
+    defined once for the transitions query, the relational EM loop and
+    the posterior softmax (plus two oracle CTEs that replay it in SQL).
+    Also the canonical argmin tie-break lives with it (_ARGMIN_LABEL)."""
+    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
+    l, nb = lab.alias("l"), lab.alias("n")
+    cnt = (
+        l.crossJoin(F.broadcast(offs.alias("o")))
+        .join(
+            nb,
+            (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
+            & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
+            & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
+            "left",
+        )
+        .groupBy("l.z", "l.y", "l.x")
+        .agg(
+            F.count("n.label").alias("n_nbr"),
+            *[F.count(F.when(F.col("n.label") == k, 1)).alias(f"c{k}") for k in range(3)],
+        )
+    )
+    e = lab.join(cnt, ["z", "y", "x"])
+    es = [
+        (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
+         + _POTTS_W * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
+        for k, mu in enumerate(means)
+    ]
+    return e.select("z", "y", "x", "inten_m", "label", *es)
+
+
+def _argmin_label():
+    """ties -> lowest k, matching the oracle's CASE chain."""
+    return (
+        F.when((F.col("e0") <= F.col("e1")) & (F.col("e0") <= F.col("e2")), 0)
+        .when(F.col("e1") <= F.col("e2"), 1)
+        .otherwise(2)
+    )
+
+
 @query("icm_step_transitions", oracle=_ICM_ORACLE)
 def q_icm_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Jacobi ICM step: MAP label update with Potts prior over the
@@ -186,38 +228,9 @@ def q_icm_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vox = _voxels(spark).filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
-    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
-    l, nb = lab.alias("l"), lab.alias("n")
-    joined = (
-        l.crossJoin(F.broadcast(offs.alias("o")))
-        .join(
-            nb,
-            (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
-            & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
-            & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
-            "left",
-        )
-    )
-    cnt = joined.groupBy("l.z", "l.y", "l.x").agg(
-        F.count("n.label").alias("n_nbr"),
-        F.count(F.when(F.col("n.label") == 0, 1)).alias("c0"),
-        F.count(F.when(F.col("n.label") == 1, 1)).alias("c1"),
-        F.count(F.when(F.col("n.label") == 2, 1)).alias("c2"),
-    )
-    e = lab.alias("v").join(cnt.alias("b"), ["z", "y", "x"])
-    pw = _POTTS_W
-    es = []
-    for k, (mu, ck) in enumerate(zip(MEANS_M, ["c0", "c1", "c2"])):
-        d = F.col("inten_m") - mu
-        es.append((5 * d * d + pw * (F.col("n_nbr") - F.col(ck))).alias(f"e{k}"))
-    e = e.select(F.col("label").alias("old_label"), *es)
-    new_lbl = (
-        F.when((F.col("e0") <= F.col("e1")) & (F.col("e0") <= F.col("e2")), 0)
-        .when(F.col("e1") <= F.col("e2"), 1)
-        .otherwise(2)
-    )
+    e = _neighbor_energies(spark, lab, MEANS_M)
     return (
-        e.select("old_label", new_lbl.alias("new_label"))
+        e.select(F.col("label").alias("old_label"), _argmin_label().alias("new_label"))
         .groupBy("old_label", "new_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -296,50 +309,26 @@ def hmrf_em(
     vox = vox.filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
     lab = lineage_checkpoint(lab)
-    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
     params = list(MEANS_M)
     total = lab.count()
     for _ in range(n_iters):
-        l, nb = lab.alias("l"), lab.alias("n")
-        cnt = (
-            l.crossJoin(F.broadcast(offs.alias("o")))
-            .join(
-                nb,
-                (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
-                & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
-                & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
-                "left",
-            )
-            .groupBy("l.z", "l.y", "l.x")
-            .agg(
-                F.count("n.label").alias("n_nbr"),
-                *[F.count(F.when(F.col("n.label") == k, 1)).alias(f"c{k}") for k in range(3)],
-            )
-        )
-        e = lab.join(cnt, ["z", "y", "x"])
-        pw = _POTTS_W
-        es = [
-            (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
-             + pw * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
-            for k, mu in enumerate(params)
-        ]
-        e = e.select("z", "y", "x", "inten_m", "label", *es)
-        new_lbl = (
-            F.when((F.col("e0") <= F.col("e1")) & (F.col("e0") <= F.col("e2")), 0)
-            .when(F.col("e1") <= F.col("e2"), 1)
-            .otherwise(2)
-        )
+        e = _neighbor_energies(spark, lab, params)
+        new_lbl = _argmin_label()
         nxt = e.select("z", "y", "x", "inten_m", F.col("label").alias("old"), new_lbl.alias("label"))
         nxt = lineage_checkpoint(nxt)  # truncate lineage per iteration
-        changed = nxt.filter(F.col("old") != F.col("label")).count()
-        # M-step: re-estimate class means from the new labeling.
+        # M-step + convergence in ONE job: the changed-label count
+        # rides the same groupBy pass (a separate .count() action
+        # would scan the checkpointed table twice per iteration).
         # Exact integer sum / count, NOT float avg: float avg is
         # association-order dependent, so two physical plans of the
         # same EM (relational vs slab) would drift apart on knife-edge
         # energy ties.  sum(long)/count is bit-deterministic.
         stats = nxt.groupBy("label").agg(
-            F.sum("inten_m").alias("s"), F.count(F.lit(1)).alias("c")
+            F.sum("inten_m").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("old") != F.col("label"), 1).otherwise(0)).alias("ch"),
         ).collect()
+        changed = sum(int(r.ch) for r in stats)
         got = {int(r.label): float(r.s) / float(r.c) for r in stats}
         params = [got.get(k, params[k]) for k in range(3)]
         lab = nxt.drop("old")
@@ -606,31 +595,7 @@ def q_posterior_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vox = _voxels(spark).filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
-    offs = spark.sql(f"SELECT * FROM {_NBR_OFFS}")
-    l, nb = lab.alias("l"), lab.alias("n")
-    cnt = (
-        l.crossJoin(F.broadcast(offs.alias("o")))
-        .join(
-            nb,
-            (F.col("n.z") == F.col("l.z") + F.col("o.dz"))
-            & (F.col("n.y") == F.col("l.y") + F.col("o.dy"))
-            & (F.col("n.x") == F.col("l.x") + F.col("o.dx")),
-            "left",
-        )
-        .groupBy("l.z", "l.y", "l.x")
-        .agg(
-            F.count("n.label").alias("n_nbr"),
-            *[F.count(F.when(F.col("n.label") == k, 1)).alias(f"c{k}") for k in range(3)],
-        )
-    )
-    e = lab.join(cnt, ["z", "y", "x"])
-    pw = _POTTS_W
-    es = [
-        (5 * (F.col("inten_m") - mu) * (F.col("inten_m") - mu)
-         + pw * (F.col("n_nbr") - F.col(f"c{k}"))).alias(f"e{k}")
-        for k, (mu, _) in enumerate(zip(MEANS_M, range(3)))
-    ]
-    e = e.select("z", "y", "x", *es)
+    e = _neighbor_energies(spark, lab, MEANS_M).select("z", "y", "x", "e0", "e1", "e2")
     emin = F.least("e0", "e1", "e2")
     scale = 10.0 * VAR_M * 1000
     ws = [F.exp(-(F.col(f"e{k}") - emin).cast("double") / scale).alias(f"w{k}") for k in range(3)]
@@ -658,92 +623,19 @@ def q_icm_step_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor access pattern local, and the halo is 2/SLAB_Z of the
     data instead of a 6x explode.
     """
-    slab_z = 4
+    # ONE slab kernel serves this query AND the EM loop
+    # (_slab_label_step): the halo construction and the numpy Jacobi
+    # step must not drift between the audited single step and the
+    # iterated path.  Integer init means are exact in the kernel's
+    # double arithmetic, so the shared relational oracle still matches
+    # bit-for-bit.
     vox = _voxels(spark).filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
-    own = lab.withColumn("slab", F.floor(F.col("z") / slab_z).cast("bigint")).withColumn(
-        "is_halo", F.lit(False)
-    )
-    up = (
-        lab.filter(F.col("z") % slab_z == 0)
-        .withColumn("slab", (F.floor(F.col("z") / slab_z) - 1).cast("bigint"))
-        .withColumn("is_halo", F.lit(True))
-        .filter(F.col("slab") >= 0)
-    )
-    down = (
-        lab.filter(F.col("z") % slab_z == slab_z - 1)
-        .withColumn("slab", (F.floor(F.col("z") / slab_z) + 1).cast("bigint"))
-        .withColumn("is_halo", F.lit(True))
-    )
-    haloed = own.unionByName(up).unionByName(down)
-
-    yy, xx, means, pw = Y, X, MEANS_M, _POTTS_W
-
-    def step(pdf):
-        import numpy as np
-        import pandas as pd
-
-        zs = pdf["z"].to_numpy()
-        z0, z1 = int(zs.min()), int(zs.max())
-        dz = z1 - z0 + 1
-        inten = np.zeros((dz, yy, xx), dtype=np.int64)
-        labs = np.full((dz, yy, xx), -1, dtype=np.int64)
-        zi = zs - z0
-        yi = pdf["y"].to_numpy()
-        xi = pdf["x"].to_numpy()
-        inten[zi, yi, xi] = pdf["inten_m"].to_numpy()
-        labs[zi, yi, xi] = pdf["label"].to_numpy()
-        present = labs >= 0
-        # 6-neighbor label counts via shifted arrays (the dense twin of
-        # the offset-explode join)
-        cnt = np.zeros((3, dz, yy, xx), dtype=np.int64)
-        nnbr = np.zeros((dz, yy, xx), dtype=np.int64)
-        shifts = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
-        for sz, sy, sx in shifts:
-            sh_lab = np.full_like(labs, -1)
-            src = [slice(None)] * 3
-            dst = [slice(None)] * 3
-            for ax, s in enumerate((sz, sy, sx)):
-                if s == 1:
-                    src[ax], dst[ax] = slice(0, -1), slice(1, None)
-                elif s == -1:
-                    src[ax], dst[ax] = slice(1, None), slice(0, -1)
-            sh_lab[tuple(dst)] = labs[tuple(src)]
-            ok = sh_lab >= 0
-            nnbr += ok
-            for k in range(3):
-                cnt[k] += ok & (sh_lab == k)
-        energies = [
-            5 * (inten - mu) ** 2 + pw * (nnbr - cnt[k]) for k, mu in enumerate(means)
-        ]
-        e = np.stack(energies)
-        new_lab = np.argmin(e, axis=0)  # ties -> lowest k, same as SQL CASE
-        interior = pdf["is_halo"].to_numpy() == False  # noqa: E712
-        out = pd.DataFrame(
-            {
-                "old_label": pdf["label"].to_numpy()[interior],
-                "new_label": new_lab[zi[interior], yi[interior], xi[interior]],
-            }
-        )
-        return out.groupby(["old_label", "new_label"], as_index=False).size().rename(
-            columns={"size": "n"}
-        )
-
-    partials = haloed.groupBy("slab").applyInPandas(
-        step, "old_label BIGINT, new_label BIGINT, n BIGINT"
-    )
-    return (
-        partials.groupBy("old_label", "new_label")
-        .agg(F.sum("n").alias("n"))
-        # int labels: match the relational twin's schema so both forms
-        # satisfy the same oracle
-        .select(
-            F.col("old_label").cast("int").alias("old_label"),
-            F.col("new_label").cast("int").alias("new_label"),
-            "n",
-        )
-    )
-
+    stepped = _slab_label_step(spark, lab, MEANS_M)
+    return stepped.groupBy(
+        F.col("old").cast("int").alias("old_label"),
+        F.col("label").cast("int").alias("new_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
 SLAB_Z_CC = 8
 # ~26% random speckle: below the 3-D site-percolation threshold, so the
@@ -918,6 +810,10 @@ def _slab_label_step(spark: SparkSession, lab: DataFrame, means, slab_z: int = 4
         lab.filter(F.col("z") % slab_z == slab_z - 1)
         .withColumn("slab", (F.floor(F.col("z") / slab_z) + 1).cast("bigint"))
         .withColumn("is_halo", F.lit(True))
+        # symmetric to up's slab >= 0 guard: without it the LAST plane
+        # manufactures a phantom all-halo slab past the end — a wasted
+        # shuffle + densify + kernel invocation every step
+        .filter(F.col("slab") <= (Z - 1) // slab_z)
     )
     haloed = own.unionByName(up).unionByName(down)
     yy, xx, pw = Y, X, _POTTS_W
@@ -993,10 +889,13 @@ def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = lab.count()
     for _ in range(n_iters):
         nxt = lineage_checkpoint(_slab_label_step(spark, lab, params))
-        changed = nxt.filter(F.col("old") != F.col("label")).count()
+        # convergence count folded into the M-step pass (one job, not two)
         stats = nxt.groupBy("label").agg(
-            F.sum("inten_m").alias("s"), F.count(F.lit(1)).alias("c")
+            F.sum("inten_m").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("old") != F.col("label"), 1).otherwise(0)).alias("ch"),
         ).collect()
+        changed = sum(int(r.ch) for r in stats)
         got = {int(r.label): float(r.s) / float(r.c) for r in stats}
         params = [got.get(k, params[k]) for k in range(3)]
         lab = nxt.drop("old")

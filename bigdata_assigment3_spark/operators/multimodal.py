@@ -1585,7 +1585,7 @@ def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MF_SHARDS = 9  # 3 per codec
+# one shard per codec (gz / bz2 / xz), written by codec_id = doc_id % 3
 
 
 @query(

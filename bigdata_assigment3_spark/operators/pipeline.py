@@ -147,15 +147,23 @@ def q_rag_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
         )
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"),
-        F.aggregate(
-            "embedding",
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc
-            + F.floor(F.abs(x.cast("double")) * 1000000).cast("bigint"),
-        ).alias("emb_l1_micro"),
-        F.col("label").cast("int").alias("cluster_label"),
+    # drop NULL/empty embeddings BEFORE the fold: the oracle's UNNEST
+    # emits zero rows for them (so its GROUP BY omits the doc), while
+    # F.aggregate would keep the doc with a 0 sum — row membership must
+    # match on corpora that contain such vectors
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") > 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.floor(F.abs(x.cast("double")) * 1000000).cast("bigint"),
+            ).alias("emb_l1_micro"),
+            F.col("label").cast("int").alias("cluster_label"),
+        )
     )
     return (
         per_doc.join(emb, "doc_id")
