@@ -111,6 +111,28 @@ def _edge_df(spark: SparkSession) -> DataFrame:
     return spark.sql(EDGE_POINTS_SQL)
 
 
+def _votes_df(spark: SparkSession) -> DataFrame:
+    """UNthresholded accumulator cells (image_id, y0, x0, votes) — ONE
+    Spark-side vote pipeline mirroring the shared _VOTES_SQL oracle
+    text; hough_votes adds the threshold, hough_peak feeds NMS (which
+    must see all cells)."""
+    edge = _edge_df(spark).alias("e")
+    dxs = spark.sql(f"SELECT id - {R} AS dx FROM range({2 * R + 1}) AS r(id)").alias("d")
+    dy = F.round(F.sqrt(F.lit(R * R) - F.col("d.dx") * F.col("d.dx"))).cast("bigint")
+    up = edge.crossJoin(F.broadcast(dxs)).select(
+        "e.image_id", (F.col("e.y") - dy).alias("y0"), (F.col("e.x") - F.col("d.dx")).alias("x0")
+    )
+    down = edge.crossJoin(F.broadcast(dxs)).select(
+        "e.image_id", (F.col("e.y") + dy).alias("y0"), (F.col("e.x") - F.col("d.dx")).alias("x0")
+    )
+    return (
+        up.unionAll(down)
+        .filter(F.col("y0").between(0, SIZE - 1) & F.col("x0").between(0, SIZE - 1))
+        .groupBy("image_id", "y0", "x0")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+
+
 @query(
     "hough_votes",
     oracle=f"""
@@ -126,22 +148,7 @@ def q_hough_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (broadcast); the count aggregates immediately so the shuffle
     carries cells, not votes.
     """
-    edge = _edge_df(spark).alias("e")
-    dxs = spark.sql(f"SELECT id - {R} AS dx FROM range({2 * R + 1}) AS r(id)").alias("d")
-    dy = F.round(F.sqrt(F.lit(R * R) - F.col("d.dx") * F.col("d.dx"))).cast("bigint")
-    up = edge.crossJoin(F.broadcast(dxs)).select(
-        "e.image_id", (F.col("e.y") - dy).alias("y0"), (F.col("e.x") - F.col("d.dx")).alias("x0")
-    )
-    down = edge.crossJoin(F.broadcast(dxs)).select(
-        "e.image_id", (F.col("e.y") + dy).alias("y0"), (F.col("e.x") - F.col("d.dx")).alias("x0")
-    )
-    return (
-        up.unionAll(down)
-        .filter(F.col("y0").between(0, SIZE - 1) & F.col("x0").between(0, SIZE - 1))
-        .groupBy("image_id", "y0", "x0")
-        .agg(F.count(F.lit(1)).alias("votes"))
-        .filter(F.col("votes") >= ACC_THRESH)
-    )
+    return _votes_df(spark).filter(F.col("votes") >= ACC_THRESH)
 
 
 @query(
@@ -155,23 +162,8 @@ def q_hough_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dilate-compare NMS becomes a 9-offset neighborhood-max join on
     the *sparse* vote cells (the reference dilates a dense array).
     """
-    edge = _edge_df(spark)
-    # votes WITHOUT the threshold (NMS must see all cells)
-    dxs = spark.sql(f"SELECT id - {R} AS dx FROM range({2 * R + 1}) AS r(id)").alias("d")
-    e = edge.alias("e")
-    dy = F.round(F.sqrt(F.lit(R * R) - F.col("d.dx") * F.col("d.dx"))).cast("bigint")
-    raw = e.crossJoin(F.broadcast(dxs)).select(
-        "e.image_id", (F.col("e.y") - dy).alias("y0"), (F.col("e.x") - F.col("d.dx")).alias("x0")
-    ).unionAll(
-        e.crossJoin(F.broadcast(dxs)).select(
-            "e.image_id", (F.col("e.y") + dy).alias("y0"), (F.col("e.x") - F.col("d.dx")).alias("x0")
-        )
-    )
-    votes = (
-        raw.filter(F.col("y0").between(0, SIZE - 1) & F.col("x0").between(0, SIZE - 1))
-        .groupBy("image_id", "y0", "x0")
-        .agg(F.count(F.lit(1)).alias("votes"))
-    ).alias("v")
+    # shared vote pipeline, WITHOUT the threshold (NMS must see all cells)
+    votes = _votes_df(spark).alias("v")
     offs = spark.sql(
         "SELECT CAST(FLOOR(id / 3) AS BIGINT) - 1 AS oy, id % 3 - 1 AS ox FROM range(9) AS r(id)"
     ).alias("o")
@@ -200,7 +192,7 @@ def q_hough_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .alias("s")
     )
-    imgs = edge.select("image_id").distinct().alias("i")
+    imgs = _edge_df(spark).select("image_id").distinct().alias("i")
     ok = F.col("s.votes") >= ACC_THRESH
     return imgs.join(survivors, F.col("s.image_id") == F.col("i.image_id"), "left").select(
         F.col("i.image_id").alias("image_id"),

@@ -168,10 +168,13 @@ def _mad_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _thresholds_df(spark: SparkSession) -> DataFrame:
-    """Percentile calibration over the first CAL_N pairs (SURVEY W2/A7)."""
+def _thresholds_df(mad: DataFrame) -> DataFrame:
+    """Percentile calibration over the first CAL_N pairs (SURVEY W2/A7).
+    Takes the already-built MAD frame: every caller has one, and
+    rebuilding it here would execute the frame-lag pixel join twice
+    per query (Spark does not CSE separate DataFrame subtrees)."""
     return (
-        _mad_df(spark)
+        mad
         .filter(F.col("frame_idx") <= CAL_N)
         .groupBy("video_id")
         .agg(
@@ -194,7 +197,22 @@ def q_frame_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_motion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold calibration: 40th/80th percentile of early MADs
     (ref motion_codec.py:57-70)."""
-    return _thresholds_df(spark)
+    return _thresholds_df(_mad_df(spark))
+
+
+def _classified_frames(spark: SparkSession) -> DataFrame:
+    """(video_id, frame_idx, motion_class): calibrated LOW/MEDIUM/HIGH
+    routing — ONE Spark-side definition mirroring the shared
+    _CLASSIFY_SQL oracle text (also imported by motion_adaptive)."""
+    mad = _mad_df(spark)
+    return mad.join(_thresholds_df(mad), "video_id").select(
+        "video_id",
+        "frame_idx",
+        F.when(F.col("mad") < F.col("t_low"), "LOW")
+        .when(F.col("mad") > F.col("t_high"), "HIGH")
+        .otherwise("MEDIUM")
+        .alias("motion_class"),
+    )
 
 
 @query(
@@ -213,20 +231,11 @@ def q_motion_decision_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's cheap-first routing: only MEDIUM frames proceed to
     block matching — the class filter is the manual predicate pushdown
     Catalyst preserves (SURVEY §4.1)."""
-    mad = _mad_df(spark)
-    th = _thresholds_df(spark)
-    cls = (
-        mad.join(th, "video_id")
-        .select(
-            "video_id",
-            "frame_idx",
-            F.when(F.col("mad") < F.col("t_low"), "LOW")
-            .when(F.col("mad") > F.col("t_high"), "HIGH")
-            .otherwise("MEDIUM")
-            .alias("motion_class"),
-        )
+    return (
+        _classified_frames(spark)
+        .groupBy("video_id", "motion_class")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    return cls.groupBy("video_id", "motion_class").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _bm_winners(spark: SparkSession, cur_df: DataFrame) -> DataFrame:
@@ -351,19 +360,7 @@ def q_block_match_routed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (``block_match_routed``, diamond search) keeps the same
     routing but is data-dependent, so it stays under planted-ground-
     truth local tests instead of a SQL oracle."""
-    mad = _mad_df(spark)
-    th = _thresholds_df(spark)
-    cls = (
-        mad.join(th, "video_id")
-        .filter(F.col("video_id") == "moderate")
-        .select(
-            "frame_idx",
-            F.when(F.col("mad") < F.col("t_low"), "LOW")
-            .when(F.col("mad") > F.col("t_high"), "HIGH")
-            .otherwise("MEDIUM")
-            .alias("motion_class"),
-        )
-    )
+    cls = _classified_frames(spark).filter(F.col("video_id") == "moderate")
     medium = cls.filter(F.col("motion_class") == "MEDIUM").select("frame_idx")
     px = _px(spark).filter(F.col("video_id") == "moderate")
     cur = px.filter(F.col("frame_idx") >= 1).join(medium, "frame_idx")

@@ -381,18 +381,9 @@ def q_block_match_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     class filter is manual predicate pushdown below the expensive UDF
     (SURVEY §4.1 'cheap-first routing').  LOW/HIGH pairs short-circuit
     with no motion vectors, exactly like the reference."""
-    from .motion import _mad_df, _thresholds_df
+    from .motion import _classified_frames
 
-    mad = _mad_df(spark)
-    th = _thresholds_df(spark)
-    cls = mad.join(th, "video_id").select(
-        "video_id",
-        "frame_idx",
-        F.when(F.col("mad") < F.col("t_low"), "LOW")
-        .when(F.col("mad") > F.col("t_high"), "HIGH")
-        .otherwise("MEDIUM")
-        .alias("motion_class"),
-    )
+    cls = _classified_frames(spark)
     medium = cls.filter(
         (F.col("video_id") == "moderate") & (F.col("motion_class") == "MEDIUM")
     ).select("frame_idx")

@@ -48,20 +48,22 @@ _DEC_P = "decimal(12,2)"  # l_extendedprice
                     * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
-    -- NULLIF guards mirror the Spark side: a constant-x/-y group
-    -- yields NULL slope/corr in BOTH engines (DuckDB would otherwise
-    -- emit inf under ieee_floating_point_ops)
+    -- NULLIF + GREATEST(.,0) guards mirror the Spark side: a
+    -- constant-x/-y group yields NULL slope/corr in BOTH engines, and
+    -- the clamp matters because n*sxx - sx*sx can land one ULP BELOW
+    -- zero for zero-variance groups (confirmed) - an unclamped SQRT
+    -- would hard-error in DuckDB while Spark returns NaN
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
            ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
            ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n, 6)
              AS intercept,
            ROUND((n * sxy - sx * sy)
-                 / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6) AS corr,
+                 / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0) * GREATEST(n * syy - sy * sy, 0)), 0), 6) AS corr,
            ROUND(((n * sxy - sx * sy)
-                  / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0))
+                  / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0) * GREATEST(n * syy - sy * sy, 0)), 0))
                  * ((n * sxy - sx * sy)
-                    / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)), 6) AS r2
+                    / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0) * GREATEST(n * syy - sy * sy, 0)), 0)), 6) AS r2
     FROM s
     """,
 )
@@ -92,8 +94,15 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLIF guards: constant-x (or constant-y) groups yield NULL
     # slope/corr like the oracle, instead of an ANSI DIVIDE_BY_ZERO
     slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    # GREATEST clamp: the variance numerator can land one ULP below
+    # zero for a zero-variance group (confirmed experimentally), which
+    # would NaN here and hard-error in the DuckDB oracle
     corr = (n * sxy - sx * sy) / F.nullif(
-        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+        F.sqrt(
+            F.greatest(n * sxx - sx * sx, F.lit(0.0))
+            * F.greatest(n * syy - sy * sy, F.lit(0.0))
+        ),
+        F.lit(0.0),
     )
     return s.select(
         "l_returnflag",
@@ -229,7 +238,7 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT e.event_type,
              ABS((e.value - s.sx / s.n)
-                 / NULLIF(SQRT((s.n * s.sxx - s.sx * s.sx)
+                 / NULLIF(SQRT(GREATEST(s.n * s.sxx - s.sx * s.sx, 0)
                                / (s.n * (s.n - 1))), 0)) AS az
       FROM events e JOIN s ON e.event_type = s.event_type
     )
@@ -265,7 +274,10 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     az = F.abs(
         (F.col("value") - sx / n)
         / F.nullif(
-            F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))), F.lit(0.0)
+            F.sqrt(
+                F.greatest(n * sxx - sx * sx, F.lit(0.0)) / (n * (n - F.lit(1.0)))
+            ),
+            F.lit(0.0),
         )
     )
     return (
