@@ -77,6 +77,15 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         bw.write(table[w], width)
+        # phantom add: the DECODER performs an add upon reading this
+        # final code, and if that lands exactly on a width boundary it
+        # reads EOI one bit wider — mirror its growth here (hypothesis
+        # caught this: 254 data codes since CLEAR -> table hits 511 ->
+        # decoder reads EOI at 10 bits while the encoder wrote 9)
+        if next_free < _TABLE_LIMIT:
+            next_free += 1
+            if next_free == (1 << width) and width < 12:
+                width += 1
     bw.write(_EOI, width)
     return bw.flush()
 

@@ -73,3 +73,12 @@ def test_malformed_rejection():
         gif_encode_gray([])
     with pytest.raises(ValueError):
         gif_encode_gray([np.zeros((2, 2), np.int16)])
+
+
+def test_final_code_on_width_boundary():
+    """Regression (hypothesis find): when the LAST data code's implied
+    decoder add lands exactly on a width boundary (e.g. 254 data codes
+    after CLEAR -> table 511), the decoder reads EOI one bit wider —
+    the encoder must mirror that growth or the stream truncates."""
+    arr = np.random.default_rng(16).integers(0, 256, (16, 16)).astype(np.uint8)
+    np.testing.assert_array_equal(gif_decode_gray(gif_encode_gray([arr]))[0], arr)
