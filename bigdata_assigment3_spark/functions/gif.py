@@ -195,7 +195,11 @@ def gif_decode_gray(blob: bytes) -> list[np.ndarray]:
             return frames
         if block == 0x21:  # extension: skip sub-blocks
             pos += 1  # label
-            while blob[pos]:
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("truncated GIF sub-block")
+                if not blob[pos]:
+                    break
                 pos += 1 + blob[pos]
             pos += 1
             continue
@@ -214,8 +218,12 @@ def gif_decode_gray(blob: bytes) -> list[np.ndarray]:
         if min_code != _MIN_CODE_SIZE:
             raise ValueError(f"unexpected LZW min code size {min_code}")
         data = bytearray()
-        while blob[pos]:
+        while True:
+            if pos >= len(blob):
+                raise ValueError("truncated GIF sub-block")
             n = blob[pos]
+            if not n:
+                break
             data += blob[pos + 1 : pos + 1 + n]
             pos += 1 + n
         pos += 1

@@ -336,16 +336,23 @@ def q_insert_unique_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actions would scan the events table three times)
     return (
         staged.join(
-            ev.select(F.col("event_id"), F.lit(True).alias("_exists")),
+            # distinct() keeps anti-join semantics even if the target
+            # key were non-unique; the sums coalesce to 0 so an empty
+            # staged set reports 0/0/0 like the oracle, not NULLs
+            ev.select("event_id").distinct().withColumn("_exists", F.lit(True)),
             "event_id",
             "left",
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_staged"),
-            F.sum(F.when(F.col("_exists").isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_exists").isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_inserted"),
-            F.sum(F.when(F.col("_exists").isNotNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_exists").isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_rejected"),
         )

@@ -547,15 +547,11 @@ def _arrow_norm_batches(batches):
         scaled = vals * 1000.0
         q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
         sq = q * q
-        starts = offsets[:-1]
-        # reduceat rejects an index == len(sq), which a TRAILING empty
-        # list produces (and repeats wrong values for interior empties)
-        # — clamp the indices, then zero every empty segment explicitly
-        if len(sq):
-            norm2 = np.add.reduceat(sq, np.minimum(starts, len(sq) - 1))
-        else:
-            norm2 = np.zeros(len(starts), np.int64)
-        norm2 = np.where(starts == offsets[1:], 0, norm2)  # empty lists
+        # cumsum segment sums: exact for empty interior AND trailing
+        # segments (reduceat needed index clamping that truncated the
+        # segment preceding a trailing empty list)
+        cs = np.concatenate(([0], np.cumsum(sq)))
+        norm2 = cs[offsets[1:]] - cs[offsets[:-1]]
         labels = batch.column(batch.schema.get_field_index("label"))
         yield pa.RecordBatch.from_arrays(
             [labels, pa.array(norm2, type=pa.int64())], names=["label", "norm2"]

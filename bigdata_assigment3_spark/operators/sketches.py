@@ -246,7 +246,7 @@ _DUCK_B, _DUCK_R = _hll_fields_duck("CAST(user_id AS VARCHAR)")
     ),
     state AS (
       SELECT event_type,
-             SUM(CAST(2 AS BIGINT) ** (51 - rho)) AS int_sum,  -- exact BIGINT
+             SUM(CAST(1 AS BIGINT) << (51 - rho)) AS int_sum,  -- exact BIGINT
              SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
              bit_xor(bucket * 64 + rho) AS register_checksum
       FROM grid GROUP BY 1
@@ -305,7 +305,7 @@ def q_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rho", F.coalesce("rho", F.lit(0)))
     )
     state = grid.groupBy("event_type").agg(
-        F.sum(F.expr("CAST(POW(2, 51 - rho) AS BIGINT)")).alias("int_sum"),
+        F.sum(F.expr("SHIFTLEFT(CAST(1 AS BIGINT), 51 - rho)")).alias("int_sum"),
         F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
         F.bit_xor(F.col("bucket") * 64 + F.col("rho")).alias("register_checksum"),
     )

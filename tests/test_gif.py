@@ -75,6 +75,25 @@ def test_malformed_rejection():
         gif_encode_gray([np.zeros((2, 2), np.int16)])
 
 
+def test_truncated_mid_subblock_raises_valueerror():
+    """A GIF cut mid-sub-block must raise the documented ValueError,
+    not IndexError — the scan loops bound-check `pos` before reading
+    each length byte (both the extension-skip and data-block loops)."""
+    good = gif_encode_gray([np.zeros((8, 8), np.uint8)])
+    desc = 13 + 3 * 256
+    assert good[desc] == 0x2C
+    # cut inside the LZW data sub-blocks (after descriptor + min-code +
+    # first length byte) so the `while blob[pos]` scan would run off
+    for cut in (desc + 12, len(good) - 3):
+        with pytest.raises(ValueError, match="truncated|trailer"):
+            gif_decode_gray(good[:cut])
+    # truncated mid-EXTENSION sub-block: splice a comment extension
+    # whose declared sub-block length exceeds the remaining bytes
+    spliced = good[:desc] + b"\x21\xfe\x20ab"  # claims 32 bytes, has 2
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode_gray(spliced)
+
+
 def test_final_code_on_width_boundary():
     """Regression (hypothesis find): when the LAST data code's implied
     decoder add lands exactly on a width boundary (e.g. 254 data codes

@@ -1018,3 +1018,40 @@ def test_cdc_diff_edge_cases(spark):
     assert ops(df([(1, 10.0), (2, None)]), df([(1, None), (2, None)])) == {
         "update": {1}
     }
+
+
+def test_arrow_norm_kernel_trailing_empty_exact():
+    """Regression: a TRAILING empty embedding list must not corrupt the
+    preceding vector's norm (the old reduceat clamp summed the last
+    non-empty segment short by its final element: [[1,2,3],[]] gave
+    norm2 [5,0] instead of [14,0]).  Exercises empty-first, interior,
+    trailing, all-empty, and sliced-offset shapes directly against the
+    mapInArrow kernel."""
+    import pyarrow as pa
+
+    from bigdata_assigment3_spark.operators.similarity import _arrow_norm_batches
+
+    def norms(lists):
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(range(len(lists))), type=pa.int32()),
+                pa.array(lists, type=pa.list_(pa.float32())),
+            ],
+            names=["label", "embedding"],
+        )
+        (out,) = list(_arrow_norm_batches([batch]))
+        return out.column(1).to_pylist()
+
+    mm = 1000 * 1000  # milli-unit quantization: x -> round(x*1000)
+    assert norms([[1.0, 2.0, 3.0], []]) == [14 * mm, 0]
+    assert norms([[], [2.0], [], [3.0, 4.0], []]) == [0, 4 * mm, 0, 25 * mm, 0]
+    assert norms([[], [], []]) == [0, 0, 0]
+    assert norms([]) == []
+    # sliced ListArray: offsets need not start at 0
+    full = pa.array([[9.0], [1.0, 2.0], []], type=pa.list_(pa.float32()))
+    sliced = full.slice(1, 2)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([0, 1], type=pa.int32()), sliced], names=["label", "embedding"]
+    )
+    (out,) = list(_arrow_norm_batches([batch]))
+    assert out.column(1).to_pylist() == [5 * mm, 0]
