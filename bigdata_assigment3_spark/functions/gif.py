@@ -173,11 +173,15 @@ def gif_decode_gray(blob: bytes) -> list[np.ndarray]:
     stream integrity, and trailer."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF screen descriptor")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
     if not flags & 0x80:
         raise ValueError("missing global color table")
     gct_size = 2 << (flags & 7)
+    if len(blob) < pos + 3 * gct_size:
+        raise ValueError("truncated GIF global color table")
     palette = blob[pos : pos + 3 * gct_size]
     pos += 3 * gct_size
     if gct_size != 256 or any(
@@ -205,6 +209,11 @@ def gif_decode_gray(blob: bytes) -> list[np.ndarray]:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected block {block:#x}")
+        # 9 descriptor bytes + 1 min-code byte must both be present, so
+        # every truncation path raises the same documented ValueError
+        # (struct.error / IndexError would leak otherwise)
+        if pos + 10 > len(blob):
+            raise ValueError("truncated GIF image descriptor")
         fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", blob, pos)
         pos += 9
         if iflags & 0x40:
@@ -224,6 +233,8 @@ def gif_decode_gray(blob: bytes) -> list[np.ndarray]:
             n = blob[pos]
             if not n:
                 break
+            if pos + 1 + n > len(blob):
+                raise ValueError("truncated GIF sub-block")
             data += blob[pos + 1 : pos + 1 + n]
             pos += 1 + n
         pos += 1

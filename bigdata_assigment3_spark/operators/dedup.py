@@ -338,12 +338,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Verify ONLY candidate pairs (the point of LSH: never touch the
-    # full pair space).  cand is small -> broadcast both verify joins.
+    # full pair space).  cand grows with the corpus dup rate, so no
+    # broadcast hint: AQE downgrades the doc_id equi-joins to broadcast
+    # when the pair set happens to be small.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
-        F.broadcast(cand)
+        cand
         .join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
@@ -514,9 +516,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("doc_a"), F.col("dot").alias("na2"))
     nb = norms.select(F.col("doc_a").alias("doc_b"), F.col("dot").alias("nb2"))
     cos = F.col("dot").cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))
+    # na/nb grow one-row-per-document, so no broadcast hint: at 100 TB
+    # they are billions of rows.  AQE picks broadcast when the norm
+    # table happens to be small and shuffle-hash/sort-merge otherwise.
     return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(cos >= COS_T)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
@@ -693,8 +698,11 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     Reuses the memoized verified-pair table for the exact side (no
     recomputation) and rebuilds the J-wide signatures with the same
     one-shuffle array plan as the LSH query; the agreement count is a
-    zip_with fold inside codegen.  Candidate pairs are tiny →
-    broadcast joins against the signature table.
+    zip_with fold inside codegen.  The candidate-pair table grows with
+    the corpus dup rate (template-spam corpora are exactly where dedup
+    matters), so it is NOT broadcast — the doc_id equi-joins shuffle on
+    the key and AQE downgrades to broadcast only when the pair set is
+    actually small.
     """
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     sh_by_doc = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
@@ -712,7 +720,7 @@ def q_dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
     est = n_agree.cast("double") / F.lit(float(J_HASH))
     return (
-        F.broadcast(pairs.select("doc_a", "doc_b", "jaccard"))
+        pairs.select("doc_a", "doc_b", "jaccard")
         .join(siga, "doc_a")
         .join(sigb, "doc_b")
         .select(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..plans.hints import bounded_broadcast
 from ..registry import query
 from ..sources import load_table
 
@@ -88,7 +89,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = quant.select(
         F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"), F.col("n2").alias("nb2")
     )
-    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("cand_id"))
+    pairs = v.crossJoin(
+        bounded_broadcast(q, "probe set is <= PROBE_MAX_ID/QUERY_STRIDE = 10 "
+                             "literal ids at every SF")
+    ).filter(F.col("query_id") != F.col("cand_id"))
     dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
     # zero-norm guard BEFORE the division: under the session's pinned
     # ANSI mode double/0.0 throws (a post-hoc isNotNull filter is dead
@@ -532,9 +536,11 @@ def _arrow_norm_batches(batches):
     """mapInArrow kernel: per-row exact squared norm of the quantized
     embedding (round-half-away int64 milli-units, the module's shared
     quantization), computed columnar — one numpy pass per Arrow batch,
-    segment-summed with reduceat over the list offsets.  No per-row
-    Python, no pandas conversion: the batch stays an Arrow buffer end
-    to end."""
+    segment sums taken as differences of an exclusive int64 cumsum at
+    the list offsets (correct for empty interior AND trailing
+    segments, where reduceat's index clamping truncated the segment
+    preceding a trailing empty list).  No per-row Python, no pandas
+    conversion: the batch stays an Arrow buffer end to end."""
     import numpy as np
     import pyarrow as pa
 
@@ -547,10 +553,19 @@ def _arrow_norm_batches(batches):
         scaled = vals * 1000.0
         q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
         sq = q * q
-        # cumsum segment sums: exact for empty interior AND trailing
-        # segments (reduceat needed index clamping that truncated the
-        # segment preceding a trailing empty list)
         cs = np.concatenate(([0], np.cumsum(sq)))
+        # The cumsum runs across the WHOLE batch, so it can exceed
+        # int64 even when every per-segment norm2 fits (reduceat only
+        # summed within segments).  Each step adds sq[i] in [0, 2^63),
+        # so the first wraparound necessarily lands negative — any
+        # negative square (per-element overflow) or negative cumsum
+        # value means the batch total left int64.
+        if np.any(sq < 0) or np.any(cs < 0):
+            raise OverflowError(
+                "int64 overflow accumulating squared-norm cumsum across the "
+                "Arrow batch; re-run with smaller spark.sql.execution.arrow."
+                "maxRecordsPerBatch or unit-scale embeddings"
+            )
         norm2 = cs[offsets[1:]] - cs[offsets[:-1]]
         labels = batch.column(batch.schema.get_field_index("label"))
         yield pa.RecordBatch.from_arrays(

@@ -210,6 +210,13 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_M = 64  # registers (p=6); sigma = 1.04/sqrt(64) = 13%
 _HLL_ALPHA = 0.709  # spec constant for m=64
 
+# exact BIGINT register term 2^(51-rho), as an integer shift on BOTH
+# engines: float `**` accumulation silently drops ULPs once the exact
+# sum of mixed-magnitude terms needs more than 53 mantissa bits
+# (regression-pinned in tests/test_semantics.py)
+HLL_TERM_SPARK = "SHIFTLEFT(CAST(1 AS BIGINT), 51 - rho)"
+HLL_TERM_DUCK = "CAST(1 AS BIGINT) << (51 - rho)"
+
 
 def _hll_fields_spark(key: str) -> tuple[str, str]:
     h = md5_int56_spark(f"CONCAT('hll:', {key})")
@@ -246,7 +253,7 @@ _DUCK_B, _DUCK_R = _hll_fields_duck("CAST(user_id AS VARCHAR)")
     ),
     state AS (
       SELECT event_type,
-             SUM(CAST(1 AS BIGINT) << (51 - rho)) AS int_sum,  -- exact BIGINT
+             SUM({HLL_TERM_DUCK}) AS int_sum,  -- exact BIGINT
              SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
              bit_xor(bucket * 64 + rho) AS register_checksum
       FROM grid GROUP BY 1
@@ -305,7 +312,7 @@ def q_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rho", F.coalesce("rho", F.lit(0)))
     )
     state = grid.groupBy("event_type").agg(
-        F.sum(F.expr("SHIFTLEFT(CAST(1 AS BIGINT), 51 - rho)")).alias("int_sum"),
+        F.sum(F.expr(HLL_TERM_SPARK)).alias("int_sum"),
         F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
         F.bit_xor(F.col("bucket") * 64 + F.col("rho")).alias("register_checksum"),
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..operators.relational import SCD2_HIST_CTES
+from ..plans.hints import bounded_broadcast
 from ..registry import query
 from ..session import ensure_session_conf
 from ..sources import load_table
@@ -1321,7 +1322,13 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the history is change-rate-sized (tiny vs the stream);
     it broadcasts into every micro-batch and the stream side never
-    shuffles before enrichment."""
+    shuffles before enrichment.  The broadcast is a stated contract,
+    not a law: if the dimension outgrows executor memory (every
+    customer churning priority), the scale path is to snapshot the
+    history bucketed by custkey and run the enrichment as a bucketed
+    stream-static join (or keep current-version state in the state
+    store via transformWithState) — hence bounded_broadcast, which the
+    discipline gate pins per call site."""
     from ..operators.relational import customer_priority_history
 
     ensure_session_conf(spark)
@@ -1335,7 +1342,11 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = customer_priority_history(spark, sf_dir)
     enriched = orders_stream.join(
-        F.broadcast(hist),
+        bounded_broadcast(
+            hist,
+            "SCD2 history is change-rate-sized, not fact-sized; at dim scale "
+            "switch to a custkey-bucketed join or state-store enrichment",
+        ),
         (orders_stream.o_custkey == hist.custkey)
         & (orders_stream.o_orderdate >= hist.valid_from)
         & (hist.valid_to.isNull() | (orders_stream.o_orderdate < hist.valid_to)),

@@ -73,3 +73,148 @@ def test_no_pandas_collect_in_engine():
     """toPandas() on an unbounded DataFrame is a driver OOM at scale;
     the engine never materializes results driver-side (tests may)."""
     assert _scan(r"\.\s*toPandas\s*\(") == []
+
+
+# --------------------------------------------------------------------
+# SF-growing broadcast gate (round-8, VERDICT r7 item 2): F.broadcast
+# of a side whose row count grows with the corpus is an executor OOM
+# at 100 TB.  The scanner traces each F.broadcast argument back through
+# same-function assignments (plus same-module helpers/constants) and
+# flags provenance that touches an SF-scaled source without any
+# bounding construct.  Bounding = .limit / spark.range / literal
+# createDataFrame / region-nation dims / a 1-row global aggregate /
+# an enum-keyed aggregate / an explicit bounded_broadcast waiver
+# (those call sites are pinned below, so adding one is a reviewed
+# change).
+
+_SCALED_RE = re.compile(
+    r"load_table\s*\([^)]*[\"'](?:customer|supplier|part|orders|lineitem"
+    r"|events|documents|embeddings)[\"']"
+    r"|_docs_parallel\s*\(|_shingles_df\s*\(|\bq_\w+\s*\("
+    r"|customer_priority_history\s*\(|readStream"
+)
+_BOUNDED_RE = re.compile(
+    r"\.\s*limit\s*\(|\.\s*range\s*\(|createDataFrame\s*\(|bounded_broadcast\s*\("
+    r"|load_table\s*\([^)]*[\"'](?:region|nation)[\"']"
+)
+# columns whose cardinality is structurally bounded (enum codes, sketch
+# coordinates, band/centroid ids) — an aggregate keyed ONLY by these
+# yields a constant-size result at any SF
+_ENUM_KEYS = {
+    "event_type", "source", "lang", "priority", "prev_type", "label",
+    "depth", "bucket", "sub_id", "code", "list_id", "band",
+}
+_GROUPBY_RE = re.compile(r"groupBy\s*\(([^)]*)\)")
+_KEY_RE = re.compile(r"[\"'](\w+)[\"']")
+
+
+def _segment_bounded(seg: str) -> bool:
+    if _BOUNDED_RE.search(seg):
+        return True
+    if ".agg(" in seg and "groupBy" not in seg:
+        return True  # global aggregate: exactly one row
+    for m in _GROUPBY_RE.finditer(seg):
+        keys = _KEY_RE.findall(m.group(1))
+        if keys and all(k in _ENUM_KEYS for k in keys):
+            return True
+    return False
+
+
+def _broadcast_violations(src: str, rel: str) -> list[str]:
+    tree = ast.parse(src)
+    funcs: dict[str, ast.AST] = {}
+    consts: dict[str, ast.AST] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            funcs[node.name] = node
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    consts[t.id] = node.value
+    out = []
+    for fn in [n for n in ast.walk(tree)
+               if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]:
+        local: dict[str, list[ast.AST]] = {}
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        local.setdefault(t.id, []).append(node.value)
+        for node in ast.walk(fn):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and node.args
+            ):
+                continue
+            # trace the argument: its own source plus the RHS of every
+            # reachable assignment / same-module helper
+            segments, seen, stack = [], set(), [node.args[0]]
+            while stack:
+                n = stack.pop()
+                segments.append(ast.get_source_segment(src, n) or "")
+                for name in {x.id for x in ast.walk(n) if isinstance(x, ast.Name)}:
+                    if name in seen:
+                        continue
+                    seen.add(name)
+                    stack.extend(local.get(name, []))
+                    if name in funcs:
+                        stack.append(funcs[name])
+                    elif name in consts:
+                        stack.append(consts[name])
+            prov = "\n".join(segments)
+            if _SCALED_RE.search(prov) and not any(
+                _segment_bounded(s) for s in segments
+            ):
+                out.append(f"{rel}:{node.lineno} in {fn.name}")
+    return out
+
+
+def test_no_sf_growing_broadcast():
+    """Every F.broadcast whose provenance reaches an SF-scaled table
+    must pass through a bounding construct; the two contract-bounded
+    exceptions go through bounded_broadcast and are pinned below."""
+    violations = []
+    for path in sorted(PKG.rglob("*.py")):
+        violations += _broadcast_violations(
+            path.read_text(), str(path.relative_to(PKG))
+        )
+    assert violations == [], violations
+
+
+def test_broadcast_gate_fires_on_bad_plan():
+    """The scanner must actually catch the round-7 bug class: a forced
+    broadcast of a per-document aggregate (one row per doc = SF-growing)
+    — and must NOT fire once the side is explicitly bounded."""
+    bad = (
+        "def q(spark, sf_dir):\n"
+        "    docs = load_table(spark, sf_dir, 'documents')\n"
+        "    norms = docs.groupBy('doc_id').agg(F.sum('x').alias('n2'))\n"
+        "    return docs.join(F.broadcast(norms), 'doc_id')\n"
+    )
+    assert _broadcast_violations(bad, "bad.py") == ["bad.py:4 in q"]
+    good = bad.replace(".agg(F.sum('x').alias('n2'))",
+                       ".agg(F.sum('x').alias('n2')).limit(10)")
+    assert _broadcast_violations(good, "good.py") == []
+
+
+def test_bounded_broadcast_waivers_pinned():
+    """bounded_broadcast is a reviewed waiver, not a free pass: the set
+    of call sites is pinned so a new one is a deliberate test edit."""
+    sites = set()
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in [n for n in ast.walk(tree)
+                   if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]:
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id == "bounded_broadcast"
+                ):
+                    sites.add((str(path.relative_to(PKG)), fn.name))
+    assert sites == {
+        ("operators/similarity.py", "q_ann_cosine_topk"),
+        ("streaming/queries.py", "q_stream_pit_enrich"),
+    }, sites

@@ -101,3 +101,28 @@ def test_final_code_on_width_boundary():
     the encoder must mirror that growth or the stream truncates."""
     arr = np.random.default_rng(16).integers(0, 256, (16, 16)).astype(np.uint8)
     np.testing.assert_array_equal(gif_decode_gray(gif_encode_gray([arr]))[0], arr)
+
+
+def test_truncated_descriptor_and_header_raise_valueerror():
+    """Round-8 hardening: EVERY truncation point must raise the
+    documented ValueError — a cut inside the image descriptor used to
+    leak struct.error, a cut right before the min-code byte leaked
+    IndexError, and a short header/palette leaked struct/IndexError."""
+    good = gif_encode_gray([np.zeros((8, 8), np.uint8)])
+    desc = 13 + 3 * 256
+    assert good[desc] == 0x2C
+    # cut mid-image-descriptor (0x2C seen, <9 descriptor bytes left)
+    # and right before the min-code byte (9 bytes, no 10th)
+    for cut in (desc + 1, desc + 5, desc + 10):
+        with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+            gif_decode_gray(good[:cut])
+    # short screen descriptor and mid-palette cuts
+    with pytest.raises(ValueError, match="truncated GIF screen descriptor"):
+        gif_decode_gray(good[:10])
+    with pytest.raises(ValueError, match="truncated GIF global color table"):
+        gif_decode_gray(good[:100])
+    # declared data sub-block longer than the remaining bytes
+    kept = good[: desc + 11]  # block byte + descriptor + min-code
+    spliced = kept + b"\xff" + b"ab"  # length byte claims 255, has 2
+    with pytest.raises(ValueError, match="truncated GIF sub-block"):
+        gif_decode_gray(spliced)

@@ -1055,3 +1055,89 @@ def test_arrow_norm_kernel_trailing_empty_exact():
     )
     (out,) = list(_arrow_norm_batches([batch]))
     assert out.column(1).to_pylist() == [5 * mm, 0]
+
+
+def test_insert_unique_guard_empty_staged(spark, tmp_path):
+    """Regression: with ZERO staged signup events the guard must report
+    one 0/0/0 row in BOTH engines (pre-fix, the left-join aggregate
+    returned NULL n_inserted/n_rejected because SUM over zero rows is
+    NULL).  The sf0.01 oracle run never exercises this path — every SF
+    has signups — so without this fixture the bug could return."""
+    import duckdb
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    sf_dir = str(tmp_path)
+    load_table(spark, SF_ORACLE, "events").filter(
+        "event_type <> 'signup'"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    spec = REGISTRY["insert_unique_guard"]
+    (row,) = spec.fn(spark, sf_dir).collect()
+    assert (row.n_staged, row.n_inserted, row.n_rejected) == (0, 0, 0)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    assert con.sql(spec.oracle).fetchall() == [(0, 0, 0)]
+    con.close()
+
+
+def test_hll_int_sum_exact_past_float53(spark):
+    """Regression: the HLL harmonic denominator must accumulate as
+    exact BIGINTs in both engines.  Four rho=0 registers (2^51 each)
+    plus one rho=51 register (term 1) sum to 2^53 + 1 — a value with
+    54 significant bits that double accumulation (the pre-fix `**`)
+    collapses to 2^53 in EVERY addition order.  Pins the shared
+    production expressions HLL_TERM_SPARK / HLL_TERM_DUCK."""
+    import duckdb
+
+    from bigdata_assigment3_spark.operators.sketches import (
+        HLL_TERM_DUCK,
+        HLL_TERM_SPARK,
+    )
+
+    grid = spark.createDataFrame([(0,), (0,), (0,), (0,), (51,)], "rho INT")
+    (row,) = grid.agg(
+        F.sum(F.expr(HLL_TERM_SPARK)).alias("int_sum"),
+        F.sum(F.expr("POWER(CAST(2 AS DOUBLE), 51 - rho)")).alias("float_sum"),
+    ).collect()
+    assert row.int_sum == 2**53 + 1
+    assert row.float_sum == float(2**53)  # the ULP the integer fix recovers
+    con = duckdb.connect()
+    duck_sum = con.sql(
+        f"SELECT SUM({HLL_TERM_DUCK}) FROM (VALUES (0), (0), (0), (0), (51)) t(rho)"
+    ).fetchone()[0]
+    assert int(duck_sum) == 2**53 + 1
+    con.close()
+
+
+def test_arrow_norm_kernel_overflow_raises():
+    """The batch-wide cumsum can leave int64 even when every
+    per-segment norm2 fits (reduceat only summed within segments) —
+    the kernel must raise, never silently wrap.  Two single-element
+    lists of q=3e9 (sq=9e18 each, fits; total 1.8e19, wraps) hit the
+    cumsum guard; one element of q=3.1e9 (sq=9.61e18 wraps negative)
+    hits the per-element square guard."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from bigdata_assigment3_spark.operators.similarity import _arrow_norm_batches
+
+    def run(lists):
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(range(len(lists))), type=pa.int32()),
+                pa.array(lists, type=pa.list_(pa.float64())),
+            ],
+            names=["label", "embedding"],
+        )
+        return list(_arrow_norm_batches([batch]))
+
+    with _pytest.raises(OverflowError):
+        run([[3.0e6], [3.0e6]])  # batch cumsum wraps
+    with _pytest.raises(OverflowError):
+        run([[3.1e6]])  # per-element square wraps negative
+    # sanity: unit-scale embeddings stay on the happy path
+    (out,) = run([[1.0, 2.0], [3.0]])
+    assert out.column(1).to_pylist() == [5 * 1000 * 1000, 9 * 1000 * 1000]
