@@ -11,13 +11,22 @@ orthonormal 8x8 DCT-II pair via numpy matrix products.
 
 Scope (honest gate, raised as ValueError): single-component
 (grayscale) baseline only — no progressive, no restart markers, no
-chroma subsampling.  JPEG is lossy in general, but an 8x8
-block-constant image whose (value - 128) is even survives the DC path
-bit-exactly (AC coefficients are exactly zero, DC quantizes without
-remainder at the Annex-K DC step of 16) — which is what lets the
-distributed decode query hold the full marker/Huffman/dequant/IDCT
-pipeline to a DuckDB value oracle; general-content fidelity is covered
-by PSNR unit tests.
+chroma subsampling.  JPEG is lossy in general, but two classes survive
+the pipeline bit-exactly and carry the value oracles:
+
+- 8x8 block-constant images whose (value - 128) is even: AC
+  coefficients are exactly zero and DC quantizes without remainder at
+  the Annex-K DC step of 16 (the original DC-lossless class).
+- at quality 100 (all-ones quantization table), any image whose
+  per-block DCT support lies on the {0,4}x{0,4} frequency lattice:
+  the k=0 and k=4 orthonormal basis rows both have entry magnitude
+  sqrt(2)/4, so every basis PRODUCT is exactly +-1/8 and the IDCT is
+  integer arithmetic over 8 — the decoder takes an exact integer
+  path for such blocks (no float trig at all).  Pixel-domain form:
+  a + b*sig(x) + c*sig(y) + d*sig(x)*sig(y) with sig the k=4 sign
+  pattern (+,-,-,+,+,-,-,+) — genuinely textured content.
+
+General-content fidelity is covered by PSNR unit tests.
 """
 
 from __future__ import annotations
@@ -83,6 +92,17 @@ _N = np.arange(8)
 DCT_M = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) * 0.5
 DCT_M[0, :] = np.sqrt(1.0 / 8.0)
 
+# quality-100 table: quantization is the identity, so the only loss
+# left is round(DCT) — zero on the {0,4}x{0,4} lattice class below
+QTABLE_Q100 = np.ones((8, 8), dtype=np.int32)
+
+# sign pattern of the k=4 basis row: cos((2n+1)*pi/4) = (sqrt2/2)*SIG44[n]
+SIG44 = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+# True outside the {0,4}x{0,4} lattice — a dequantized block with no
+# energy there has an EXACT integer IDCT (all basis products +-1/8)
+_OFF_LATTICE = np.ones((8, 8), dtype=bool)
+_OFF_LATTICE[np.ix_([0, 4], [0, 4])] = False
+
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per the spec's canonical assignment."""
@@ -132,10 +152,16 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def jpeg_encode_gray(arr: np.ndarray) -> bytes:
-    """Encode a uint8 (H, W) array as a baseline grayscale JFIF/JPEG."""
+def jpeg_encode_gray(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Encode a uint8 (H, W) array as a baseline grayscale JFIF/JPEG.
+
+    ``qtable`` defaults to the Annex-K luminance table; pass
+    :data:`QTABLE_Q100` for quality-100 (identity quantization)."""
     if arr.dtype != np.uint8 or arr.ndim != 2:
         raise ValueError(f"expected uint8 (H, W), got {arr.dtype} {arr.shape}")
+    qt = QTABLE if qtable is None else np.asarray(qtable, dtype=np.int32)
+    if qt.shape != (8, 8) or qt.min() < 1 or qt.max() > 255:
+        raise ValueError("quantization table must be 8x8 with entries in 1..255")
     h, w = arr.shape
     ph, pw = -h % 8, -w % 8  # edge-replicate to block multiples
     padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
@@ -146,7 +172,7 @@ def jpeg_encode_gray(arr: np.ndarray) -> bytes:
         for bx in range(0, w + pw, 8):
             block = padded[by : by + 8, bx : bx + 8]
             coef = DCT_M @ block @ DCT_M.T
-            q = np.round(coef / QTABLE).astype(np.int64)
+            q = np.round(coef / qt).astype(np.int64)
             zz = q.reshape(-1)[ZZ_FLAT]
             # DC: differential, category + extra bits
             diff = int(zz[0]) - prev_dc
@@ -174,7 +200,7 @@ def jpeg_encode_gray(arr: np.ndarray) -> bytes:
             if last < 63:
                 bw.write(*AC_CODES[0x00])  # EOB
 
-    qzz = QTABLE.reshape(-1)[ZZ_FLAT].astype(np.uint8).tobytes()
+    qzz = qt.reshape(-1)[ZZ_FLAT].astype(np.uint8).tobytes()
     dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     return (
@@ -315,7 +341,7 @@ def jpeg_decode_gray(blob: bytes) -> np.ndarray:
     if comp not in qtables or (0, td) not in hufftables or (1, ta) not in hufftables:
         raise ValueError("missing quantization or Huffman table")
     h, w = dims
-    qt = qtables[comp].astype(np.float64)
+    qt_i = qtables[comp].astype(np.int64)
     dc_tbl, ac_tbl = hufftables[(0, td)], hufftables[(1, ta)]
 
     # entropy segment ends at the next real marker (EOI)
@@ -348,8 +374,24 @@ def jpeg_decode_gray(blob: bytes) -> np.ndarray:
                     raise ValueError("AC run overruns block")
                 zz[k] = _extend(br.read_bits(size), size)
                 k += 1
-            coef = np.zeros(64, np.float64)
+            coef = np.zeros(64, np.int64)
             coef[ZZ_FLAT] = zz
-            block = DCT_M.T @ (coef.reshape(8, 8) * qt) @ DCT_M
+            deq = coef.reshape(8, 8) * qt_i
+            if not deq[_OFF_LATTICE].any():
+                # exact integer IDCT: every {0,4}x{0,4} basis product
+                # is +-1/8 exactly, so no trig enters at all — this is
+                # what makes the DC-constant AND quality-100 lattice
+                # fixture classes pixel-exact by construction, not by
+                # float luck.  num/8.0 is exact in float64 (|num| well
+                # under 2^53), so the shared final round is unchanged.
+                num = (
+                    deq[0, 0]
+                    + deq[0, 4] * SIG44[None, :]
+                    + deq[4, 0] * SIG44[:, None]
+                    + deq[4, 4] * SIG44[:, None] * SIG44[None, :]
+                )
+                block = num / 8.0
+            else:
+                block = DCT_M.T @ deq.astype(np.float64) @ DCT_M
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]

@@ -1469,6 +1469,114 @@ def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_jpeg_q100_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT img, y, x,
+             CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+             CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy,
+             x // 8 AS bx, y // 8 AS by
+      FROM range({N_JPG}) i(img),
+           range({JPG_BH} * 8) r(y), range({JPG_BW} * 8) c(x)
+    ),
+    v AS (
+      SELECT img, y, x,
+             (64 + (bx * 5 + by * 11 + img * 17) % 128)
+             + ((bx * 3 + img) % 31 - 15) * sx
+             + ((by * 7 + img * 2) % 31 - 15) * sy
+             + ((bx + by + img * 3) % 31 - 15) * sx * sy AS v
+      FROM px
+    )
+    SELECT img AS image_id,
+           CAST({JPG_BW} * 8 AS INTEGER) AS width,
+           CAST({JPG_BH} * 8 AS INTEGER) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(v) AS BIGINT) AS pixel_max,
+           CAST(bit_xor(v * 1024 + y * {JPG_BW} * 8 + x) AS BIGINT) AS pixel_checksum
+    FROM v GROUP BY img
+    """,
+)
+def q_image_jpeg_q100_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-100 JPEG decode, pixel-exact on TEXTURED content (round-8
+    widening of the codec's exact class; VERDICT r7 item 6).  The
+    fixtures put per-block energy on the {0,4}x{0,4} DCT frequency
+    lattice — pixel form a + b*sig(x) + c*sig(y) + d*sig(x)*sig(y) with
+    sig the k=4 sign pattern (+,-,-,+,+,-,-,+) — where every
+    orthonormal basis product is exactly +-1/8, so with the all-ones
+    quality-100 quantization table the decoder takes its exact integer
+    IDCT path (functions/jpeg.py) and the oracle states the pixels in
+    closed form: real texture, zero PSNR gate.  (The reference decodes
+    via cv2.imdecode, `HOUGH Transform/hough_heart_detector.py:36-40`.)
+
+    Scale shape: identical to the other codec queries — binaryFile
+    splits by file, per-blob batch-columnar kernel, JVM aggregation."""
+    import numpy as np
+
+    from ..functions.jpeg import QTABLE_Q100, SIG44, jpeg_encode_gray
+
+    def write_jpegs(stage: str) -> None:
+        sx = np.tile(SIG44, JPG_BW)[None, :]
+        sy = np.tile(SIG44, JPG_BH)[:, None]
+        ones = np.ones((8, 8), np.int64)
+        by, bx = np.mgrid[0:JPG_BH, 0:JPG_BW]
+        for img in range(N_JPG):
+            a = 64 + (bx * 5 + by * 11 + img * 17) % 128
+            b = (bx * 3 + img) % 31 - 15
+            c = (by * 7 + img * 2) % 31 - 15
+            d = (bx + by + img * 3) % 31 - 15
+            A, B, C, D = (np.kron(m, ones) for m in (a, b, c, d))
+            v = A + B * sx + C * sy + D * sx * sy
+            with open(os.path.join(stage, f"img-{img:04d}.jpg"), "wb") as fh:
+                fh.write(jpeg_encode_gray(v.astype(np.uint8), qtable=QTABLE_Q100))
+
+    stage = _staged_fixture(spark, "jpgq100", write_jpegs)
+
+    def decode(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.jpeg import jpeg_decode_gray
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                img_id = int(re.search(r"img-(\d+)\.jpg", path).group(1))
+                arr = jpeg_decode_gray(bytes(blob))
+                h, w = arr.shape
+                v = arr.reshape(-1).astype(np.int64)
+                pos = np.arange(v.size, dtype=np.int64)
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(v.sum()),
+                        int(v.max()),
+                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "pixel_sum", "pixel_max", "pixel_checksum",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "image_id BIGINT, width INTEGER, height INTEGER, "
+            "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
+        )
+    )
+
+
 GZ_SHARDS = 8
 
 
