@@ -1376,6 +1376,57 @@ def q_figure_heatmap_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_JPG, JPG_BW, JPG_BH = 32, 4, 3  # images; blocks per row/col (32x24 px)
 
 
+def _jpeg_stats_df(spark: SparkSession, stage: str) -> DataFrame:
+    """Shared distributed tail of both JPEG decode queries: binaryFile
+    scan over the staged *.jpg fixtures, per-blob decode via the
+    hand-rolled T.81 codec, and the (sum, max, xor-checksum) pixel
+    stats the value oracles pin."""
+
+    def decode(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_assigment3_spark.functions.jpeg import jpeg_decode_gray
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                img_id = int(re.search(r"img-(\d+)\.jpg", path).group(1))
+                arr = jpeg_decode_gray(bytes(blob))
+                h, w = arr.shape
+                v = arr.reshape(-1).astype(np.int64)
+                pos = np.arange(v.size, dtype=np.int64)
+                rows.append(
+                    (
+                        img_id, w, h,
+                        int(v.sum()),
+                        int(v.max()),
+                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "pixel_sum", "pixel_max", "pixel_checksum",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(stage)
+        .select("path", "content")
+        .mapInPandas(
+            decode,
+            "image_id BIGINT, width INTEGER, height INTEGER, "
+            "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
+        )
+    )
+
+
 @query(
     "image_jpeg_decode",
     oracle=f"""
@@ -1423,50 +1474,7 @@ def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(jpeg_encode_gray(arr))
 
     stage = _staged_fixture(spark, "jpg", write_jpegs)
-
-    def decode(batches):
-        import re
-
-        import numpy as np
-        import pandas as pd
-
-        from bigdata_assigment3_spark.functions.jpeg import jpeg_decode_gray
-
-        for pdf in batches:
-            rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                img_id = int(re.search(r"img-(\d+)\.jpg", path).group(1))
-                arr = jpeg_decode_gray(bytes(blob))
-                h, w = arr.shape
-                v = arr.reshape(-1).astype(np.int64)
-                pos = np.arange(v.size, dtype=np.int64)
-                rows.append(
-                    (
-                        img_id, w, h,
-                        int(v.sum()),
-                        int(v.max()),
-                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "width", "height",
-                    "pixel_sum", "pixel_max", "pixel_checksum",
-                ],
-            )
-
-    return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jpg")
-        .load(stage)
-        .select("path", "content")
-        .mapInPandas(
-            decode,
-            "image_id BIGINT, width INTEGER, height INTEGER, "
-            "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
-        )
-    )
+    return _jpeg_stats_df(spark, stage)
 
 
 @query(
@@ -1531,50 +1539,7 @@ def q_image_jpeg_q100_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(jpeg_encode_gray(v.astype(np.uint8), qtable=QTABLE_Q100))
 
     stage = _staged_fixture(spark, "jpgq100", write_jpegs)
-
-    def decode(batches):
-        import re
-
-        import numpy as np
-        import pandas as pd
-
-        from bigdata_assigment3_spark.functions.jpeg import jpeg_decode_gray
-
-        for pdf in batches:
-            rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                img_id = int(re.search(r"img-(\d+)\.jpg", path).group(1))
-                arr = jpeg_decode_gray(bytes(blob))
-                h, w = arr.shape
-                v = arr.reshape(-1).astype(np.int64)
-                pos = np.arange(v.size, dtype=np.int64)
-                rows.append(
-                    (
-                        img_id, w, h,
-                        int(v.sum()),
-                        int(v.max()),
-                        int(np.bitwise_xor.reduce(v * 1024 + pos)),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "width", "height",
-                    "pixel_sum", "pixel_max", "pixel_checksum",
-                ],
-            )
-
-    return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jpg")
-        .load(stage)
-        .select("path", "content")
-        .mapInPandas(
-            decode,
-            "image_id BIGINT, width INTEGER, height INTEGER, "
-            "pixel_sum BIGINT, pixel_max BIGINT, pixel_checksum BIGINT",
-        )
-    )
+    return _jpeg_stats_df(spark, stage)
 
 
 GZ_SHARDS = 8

@@ -544,29 +544,47 @@ def _arrow_norm_batches(batches):
     import numpy as np
     import pyarrow as pa
 
+    # q*q fits int64 iff |q| <= floor(sqrt(2^63 - 1)); above that the
+    # square wraps mod 2^64 and can land POSITIVE, so a sign check
+    # alone cannot catch it
+    Q_MAX = 3037000499
+
     for batch in batches:
         col = batch.column(batch.schema.get_field_index("embedding"))
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if not np.all(np.isfinite(vals)):
+            # NaN/inf cast to INT64_MIN whose square wraps to 0 — a
+            # silent zero contribution, never acceptable
+            raise ValueError("non-finite embedding value in arrow_batch_norm")
         scaled = vals * 1000.0
         q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+        if vals.size and np.abs(q).max() > Q_MAX:
+            raise OverflowError(
+                "quantized embedding magnitude exceeds int64 square range; "
+                "embeddings must be ~unit scale (milli-unit quantization)"
+            )
         sq = q * q
         cs = np.concatenate(([0], np.cumsum(sq)))
-        # The cumsum runs across the WHOLE batch, so it can exceed
-        # int64 even when every per-segment norm2 fits (reduceat only
-        # summed within segments).  Each step adds sq[i] in [0, 2^63),
-        # so the first wraparound necessarily lands negative — any
-        # negative square (per-element overflow) or negative cumsum
-        # value means the batch total left int64.
-        if np.any(sq < 0) or np.any(cs < 0):
-            raise OverflowError(
-                "int64 overflow accumulating squared-norm cumsum across the "
-                "Arrow batch; re-run with smaller spark.sql.execution.arrow."
-                "maxRecordsPerBatch or unit-scale embeddings"
-            )
-        norm2 = cs[offsets[1:]] - cs[offsets[:-1]]
+        # The batch-wide cumsum can leave int64 even when every
+        # per-segment norm2 fits.  Each step adds sq[i] in [0, 2^63),
+        # so the FIRST wraparound necessarily lands negative; when that
+        # happens, fall back to exact per-segment Python-int sums (rare
+        # path, only batches of huge-magnitude embeddings) and raise
+        # only if a single vector's norm2 itself exceeds int64.
+        if np.any(cs < 0):
+            norm2 = np.empty(len(offsets) - 1, dtype=np.int64)
+            for i, (s, t) in enumerate(zip(offsets[:-1], offsets[1:])):
+                v = sum(int(x) for x in sq[s:t])
+                if v > 0x7FFFFFFFFFFFFFFF:
+                    raise OverflowError(
+                        "squared norm of a single embedding exceeds int64"
+                    )
+                norm2[i] = v
+        else:
+            norm2 = cs[offsets[1:]] - cs[offsets[:-1]]
         labels = batch.column(batch.schema.get_field_index("label"))
         yield pa.RecordBatch.from_arrays(
             [labels, pa.array(norm2, type=pa.int64())], names=["label", "norm2"]

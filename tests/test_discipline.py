@@ -108,11 +108,15 @@ _GROUPBY_RE = re.compile(r"groupBy\s*\(([^)]*)\)")
 _KEY_RE = re.compile(r"[\"'](\w+)[\"']")
 
 
-def _segment_bounded(seg: str) -> bool:
+def _segment_bounded(seg: str, refs_grouped_data: bool) -> bool:
     if _BOUNDED_RE.search(seg):
         return True
-    if ".agg(" in seg and "groupBy" not in seg:
-        return True  # global aggregate: exactly one row
+    # global aggregate (exactly one row) — but NOT when the segment
+    # references a name holding a bare GroupedData: `g = df.groupBy(k);
+    # x = g.agg(...)` is a per-key aggregate split across assignments,
+    # the evasion a single-chain text check misses
+    if ".agg(" in seg and "groupBy" not in seg and not refs_grouped_data:
+        return True
     for m in _GROUPBY_RE.finditer(seg):
         keys = _KEY_RE.findall(m.group(1))
         if keys and all(k in _ENUM_KEYS for k in keys):
@@ -131,6 +135,15 @@ def _broadcast_violations(src: str, rel: str) -> list[str]:
             for t in node.targets:
                 if isinstance(t, ast.Name):
                     consts[t.id] = node.value
+    def _is_grouped_data(rhs: ast.AST) -> bool:
+        """RHS leaves a bare GroupedData (groupBy/rollup/cube/pivot not
+        consumed by .agg in the same expression)."""
+        return (
+            isinstance(rhs, ast.Call)
+            and isinstance(rhs.func, ast.Attribute)
+            and rhs.func.attr in {"groupBy", "groupby", "rollup", "cube", "pivot"}
+        )
+
     out = []
     for fn in [n for n in ast.walk(tree)
                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]:
@@ -140,6 +153,16 @@ def _broadcast_violations(src: str, rel: str) -> list[str]:
                 for t in node.targets:
                     if isinstance(t, ast.Name):
                         local.setdefault(t.id, []).append(node.value)
+        grouped_names = {
+            name
+            for scope in (local, consts)
+            for name, rhss in (
+                scope.items() if scope is local
+                else ((k, [v]) for k, v in scope.items())
+            )
+            for rhs in rhss
+            if _is_grouped_data(rhs)
+        }
         for node in ast.walk(fn):
             if not (
                 isinstance(node, ast.Call)
@@ -153,8 +176,12 @@ def _broadcast_violations(src: str, rel: str) -> list[str]:
             segments, seen, stack = [], set(), [node.args[0]]
             while stack:
                 n = stack.pop()
-                segments.append(ast.get_source_segment(src, n) or "")
-                for name in {x.id for x in ast.walk(n) if isinstance(x, ast.Name)}:
+                names = {x.id for x in ast.walk(n) if isinstance(x, ast.Name)}
+                segments.append(
+                    (ast.get_source_segment(src, n) or "",
+                     bool(names & grouped_names))
+                )
+                for name in names:
                     if name in seen:
                         continue
                     seen.add(name)
@@ -163,9 +190,9 @@ def _broadcast_violations(src: str, rel: str) -> list[str]:
                         stack.append(funcs[name])
                     elif name in consts:
                         stack.append(consts[name])
-            prov = "\n".join(segments)
+            prov = "\n".join(s for s, _ in segments)
             if _SCALED_RE.search(prov) and not any(
-                _segment_bounded(s) for s in segments
+                _segment_bounded(s, g) for s, g in segments
             ):
                 out.append(f"{rel}:{node.lineno} in {fn.name}")
     return out
@@ -197,6 +224,25 @@ def test_broadcast_gate_fires_on_bad_plan():
     good = bad.replace(".agg(F.sum('x').alias('n2'))",
                        ".agg(F.sum('x').alias('n2')).limit(10)")
     assert _broadcast_violations(good, "good.py") == []
+    # split-chain evasion: a bare GroupedData assigned to its own name
+    # must not launder the per-key aggregate into a "global" one
+    split = (
+        "def q(spark, sf_dir):\n"
+        "    docs = load_table(spark, sf_dir, 'documents')\n"
+        "    grp = docs.groupBy('doc_id')\n"
+        "    norms = grp.agg(F.sum('x').alias('n2'))\n"
+        "    return docs.join(F.broadcast(norms), 'doc_id')\n"
+    )
+    assert _broadcast_violations(split, "split.py") == ["split.py:5 in q"]
+    # ...while a completed global aggregate referenced by name stays
+    # bounded (x = big.agg(...) is one row however it is spelled)
+    glob = (
+        "def q(spark, sf_dir):\n"
+        "    docs = load_table(spark, sf_dir, 'documents')\n"
+        "    mx = docs.agg(F.max('x').alias('m'))\n"
+        "    return docs.crossJoin(F.broadcast(mx))\n"
+    )
+    assert _broadcast_violations(glob, "glob.py") == []
 
 
 def test_bounded_broadcast_waivers_pinned():

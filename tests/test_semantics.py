@@ -1112,13 +1112,13 @@ def test_hll_int_sum_exact_past_float53(spark):
     con.close()
 
 
-def test_arrow_norm_kernel_overflow_raises():
-    """The batch-wide cumsum can leave int64 even when every
-    per-segment norm2 fits (reduceat only summed within segments) —
-    the kernel must raise, never silently wrap.  Two single-element
-    lists of q=3e9 (sq=9e18 each, fits; total 1.8e19, wraps) hit the
-    cumsum guard; one element of q=3.1e9 (sq=9.61e18 wraps negative)
-    hits the per-element square guard."""
+def test_arrow_norm_kernel_overflow_semantics():
+    """int64 edge behavior of the Arrow norm kernel: representable
+    results are COMPUTED (even when the batch-wide cumsum would wrap —
+    per-segment exact fallback), and only genuinely unrepresentable
+    ones raise.  Covers the positive-wrap hole (|q| > sqrt(2^63) can
+    square to a positive wrapped value a sign check misses) and NaN
+    (casts to INT64_MIN, squares to 0 — a silent zero contribution)."""
     import pyarrow as pa
     import pytest as _pytest
 
@@ -1134,10 +1134,21 @@ def test_arrow_norm_kernel_overflow_raises():
         )
         return list(_arrow_norm_batches([batch]))
 
-    with _pytest.raises(OverflowError):
-        run([[3.0e6], [3.0e6]])  # batch cumsum wraps
-    with _pytest.raises(OverflowError):
-        run([[3.1e6]])  # per-element square wraps negative
+    # per-segment norm2 fits int64 but the batch total wraps: the
+    # fallback must COMPUTE the exact answers, not refuse
+    (out,) = run([[3.0e6], [3.0e6]])
+    assert out.column(1).to_pylist() == [9 * 10**18, 9 * 10**18]
+    # a single vector whose own norm2 exceeds int64: unrepresentable
+    with _pytest.raises(OverflowError, match="single embedding"):
+        run([[3.0e6, 3.0e6]])
+    # |q| just past the square-safe bound, wrapping NEGATIVE
+    with _pytest.raises(OverflowError, match="magnitude"):
+        run([[3.1e6]])
+    # |q| ~ 2^32: the square wraps POSITIVE — the sign-check hole
+    with _pytest.raises(OverflowError, match="magnitude"):
+        run([[4.3e6]])
+    with _pytest.raises(ValueError, match="non-finite"):
+        run([[float("nan"), 1.0]])
     # sanity: unit-scale embeddings stay on the happy path
     (out,) = run([[1.0, 2.0], [3.0]])
     assert out.column(1).to_pylist() == [5 * 1000 * 1000, 9 * 1000 * 1000]
