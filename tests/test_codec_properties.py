@@ -68,3 +68,30 @@ def test_nifti_roundtrip_any_shape(z, y, x, seed, dt):
     fields, back = parse_nifti1(nifti1_bytes(arr, (1.0, 1.0, 1.0)))
     np.testing.assert_array_equal(back, arr)
     assert fields["dim"] == (x, y, z)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_q100_lattice_class_stays_lossless(bh, bw, seed):
+    """Quality-100 widening (round 8): any {0,4}x{0,4}-lattice-textured
+    image — a + b*sig(x) + c*sig(y) + d*sig(x)*sig(y) per block — must
+    round-trip pixel-exact through the exact integer IDCT path,
+    whatever the block layout and coefficient draw."""
+    from bigdata_assigment3_spark.functions.jpeg import QTABLE_Q100, SIG44
+
+    rng = np.random.default_rng(seed)
+    sx = np.tile(SIG44, bw)[None, :]
+    sy = np.tile(SIG44, bh)[:, None]
+    ones = np.ones((8, 8), np.int64)
+    a = rng.integers(64, 192, (bh, bw))
+    b = rng.integers(-15, 16, (bh, bw))
+    c = rng.integers(-15, 16, (bh, bw))
+    d = rng.integers(-15, 16, (bh, bw))
+    A, B, C, D = (np.kron(m, ones) for m in (a, b, c, d))
+    img = (A + B * sx + C * sy + D * sx * sy).astype(np.uint8)
+    back = jpeg_decode_gray(jpeg_encode_gray(img, qtable=QTABLE_Q100))
+    np.testing.assert_array_equal(back, img)
