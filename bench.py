@@ -104,6 +104,8 @@ HEADLINE = [
     # round-6 mergeable sketches
     "cms_heavy_hitters",
     "hll_registers_portable",
+    # round-8: quality-100 textured JPEG (exact integer IDCT path)
+    "image_jpeg_q100_decode",
 ]
 
 
