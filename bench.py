@@ -46,6 +46,7 @@ HEADLINE = [
     "icm_step_transitions",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_semantic_clustered",
     "ann_cosine_topk",
     "ann_cosine_topk_vec",
     "ann_pq_rerank",

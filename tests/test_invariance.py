@@ -65,6 +65,8 @@ INVARIANCE_QUERIES = [
     # LSH banding + sparse similarity (collect_list ordering)
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
+    "dedup_semantic_clustered",
     # state diffs (hash-wide row compares)
     "snapshot_cdc_extract",
     "incremental_view_maintenance",
