@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_cosine_topk_vec",
     "ann_pq_rerank",
     "text_quality",
+    "langid_nb_classifier",
     "ellipse_candidate_score",
     "gaussian_denoise",
     "nlm_denoise",

@@ -701,3 +701,124 @@ def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("zipf_intercept"),
     )
+
+
+# ------------------------------------------- trained language classifier
+
+
+@query(
+    "langid_nb_classifier",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ),
+    cls AS (SELECT lang AS c, COUNT(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+    vocab AS (SELECT COUNT(DISTINCT word) AS v FROM w),
+    wc AS (SELECT word, lang AS c, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    tokc AS (SELECT lang AS c, COUNT(*) AS tok FROM w GROUP BY 1),
+    lp AS (
+      SELECT vw.word, cls.c,
+             LN(CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE) / (tokc.tok + vocab.v)) AS lp
+      FROM (SELECT DISTINCT word FROM w) vw
+      CROSS JOIN cls
+      JOIN tokc ON tokc.c = cls.c
+      CROSS JOIN vocab
+      LEFT JOIN wc ON wc.word = vw.word AND wc.c = cls.c
+    ),
+    score AS (
+      SELECT w.doc_id, lp.c, SUM(lp.lp) AS s
+      FROM w JOIN lp ON lp.word = w.word
+      GROUP BY 1, 2
+    ),
+    prior AS (SELECT c, LN(CAST(n_docs AS DOUBLE) / tot.n) AS lprior
+              FROM cls CROSS JOIN tot),
+    ranked AS (
+      SELECT doc_id, c, ROUND(s + lprior, 4) AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY ROUND(s + lprior, 4) DESC, c) AS rnk
+      FROM score JOIN prior USING (c)
+    )
+    SELECT r.doc_id, d.lang, r.c AS predicted, (r.c = d.lang) AS correct, r.score
+    FROM ranked r JOIN documents d USING (doc_id) WHERE rnk = 1
+    """,
+)
+def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language/domain classifier — the fastText-style
+    "train a cheap supervised classifier on labeled docs, score the
+    whole crawl" pipeline stage (DCLM/DataComp quality and CCNet
+    langid filtering both take this shape), done as a multinomial
+    Naive Bayes expressed entirely relationally: the MODEL is two hash
+    aggregates ((word, class) counts and per-class token totals with
+    add-one smoothing over the corpus vocabulary) and INFERENCE is one
+    equi-join on ``word`` plus a per-(doc, class) sum of
+    log-probabilities and an argmax.
+
+    Upgrade path over ``langid_heuristic`` (fixed stopword rule): this
+    learns its lexicon from the labels, the same train-then-sweep
+    pattern a production pipeline uses for quality classifiers.
+
+    Cross-engine determinism: counts are exact integers; floats enter
+    only as one ``ln`` per (word, class) and the per-class sums, which
+    both engines ROUND to 4 decimals BEFORE the argmax comparison —
+    rounding granularity (5e-5) sits far above the ~1e-12
+    association-order drift, and class ties on the rounded score break
+    lexicographically, so the prediction is partition- and
+    engine-stable.
+
+    Scale shape: training is pure map-side-combinable hash aggs; the
+    smoothed log-prob table is vocab x classes (classes enum-bounded,
+    vocab sublinear in corpus) built with a 5-row broadcast of the
+    class totals; scoring shuffles on ``word`` then on
+    ``(doc_id, class)`` — the classic MapReduce NB, nothing grows
+    quadratically."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_arr = F.filter(F.split("text", " "), lambda x: x != "")
+    w = docs.select("doc_id", "lang", F.explode(words_arr).alias("word"))
+    # class totals: enum-keyed aggregates (5 langs at every SF)
+    cls = w.groupBy(F.col("lang").alias("c")).agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    tokc = w.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("tok"))
+    tot = w.agg(F.count_distinct("doc_id").alias("n"))
+    vocab = w.agg(F.count_distinct("word").alias("v"))
+    wc = w.groupBy("word", F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vw = w.select("word").distinct()
+    # smoothed log-prob for EVERY (vocab word, class) pair — the
+    # LEFT join supplies the add-one zero-count cells
+    class_tot = cls.join(tokc, "c").crossJoin(vocab)
+    lp = (
+        vw.crossJoin(F.broadcast(class_tot))
+        .join(wc, ["word", "c"], "left")
+        .select(
+            "word",
+            "c",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("tok") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    score = w.join(lp, "word").groupBy("doc_id", "c").agg(F.sum("lp").alias("s"))
+    prior = cls.crossJoin(tot).select(
+        "c", F.log(F.col("n_docs").cast("double") / F.col("n")).alias("lprior")
+    )
+    rounded = F.round(F.col("s") + F.col("lprior"), 4)
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
+    ranked = (
+        score.join(F.broadcast(prior), "c")
+        .select("doc_id", "c", rounded.alias("score"))
+        .withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") == 1)
+    )
+    return ranked.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("c").alias("predicted"),
+        (F.col("c") == F.col("lang")).alias("correct"),
+        "score",
+    )

@@ -67,6 +67,8 @@ INVARIANCE_QUERIES = [
     "ann_cosine_topk",
     # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
     "dedup_semantic_clustered",
+    # NB classifier (float log-prob sums rounded before the argmax)
+    "langid_nb_classifier",
     # state diffs (hash-wide row compares)
     "snapshot_cdc_extract",
     "incremental_view_maintenance",
