@@ -1033,3 +1033,79 @@ def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("bigint").alias("n_dup_peers"),
         (nd > 0).alias("is_dup"),
     )
+
+
+# ------------------------------------------- cascade attrition funnel
+
+
+@query(
+    "dedup_cascade_attrition",
+    # The canon CTE body is the dedup_canonical_docs oracle verbatim
+    # (its own WITH RECURSIVE nests inside the CTE) — same single
+    # source of truth pattern as dedup_cluster_sizes.
+    oracle=f"""
+    WITH canon AS (
+      {REGISTRY["dedup_canonical_docs"].oracle}
+    ),
+    ex AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    lab AS (
+      SELECT e.doc_id, COALESCE(c.canonical_id, e.doc_id) AS comp
+      FROM ex e LEFT JOIN canon c ON c.doc_id = e.doc_id
+    ),
+    s2 AS (SELECT MIN(doc_id) AS doc_id FROM lab GROUP BY comp),
+    n0 AS (SELECT COUNT(*) AS n FROM documents),
+    n1 AS (SELECT COUNT(*) AS n FROM ex),
+    n2 AS (SELECT COUNT(*) AS n FROM s2)
+    SELECT '1_exact' AS stage, CAST(n0.n AS BIGINT) AS docs_in,
+           CAST(n1.n AS BIGINT) AS docs_out, CAST(n0.n - n1.n AS BIGINT) AS removed
+    FROM n0, n1
+    UNION ALL
+    SELECT '2_minhash', CAST(n1.n AS BIGINT), CAST(n2.n AS BIGINT),
+           CAST(n1.n - n2.n AS BIGINT)
+    FROM n1, n2
+    """,
+)
+def q_dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup attrition funnel a production pipeline reports
+    (RefinedWeb/FineWeb publish exactly this table): run the stages
+    cheapest-first — exact text dedup, then MinHash-LSH near-dup
+    canonicalization over the exact survivors — and emit per-stage
+    docs_in/docs_out/removed, the numbers that tell you whether the
+    expensive near-dup stage is still earning its shuffle.
+
+    Stage 2 keeps, per near-dup component, the lowest-id EXACT
+    survivor (docs outside the pair graph are their own component), so
+    the funnel composes with the standing canonical keep/drop list
+    instead of inventing a second clustering.
+
+    Scale shape: stage 1 is one hash groupBy on md5(text); stage 2
+    reuses the memoized verified-pair table and component labels
+    (pointer-doubling propagation, O(log diameter) rounds); the funnel
+    rows themselves are three 1-row count aggregates cross-joined —
+    nothing here adds a corpus-growing shuffle beyond the stages it
+    measures."""
+    docs = _docs_parallel(spark, sf_dir)
+    ex = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    canon = q_dedup_canonical_docs(spark, sf_dir).select("doc_id", "canonical_id")
+    lab = ex.join(canon, "doc_id", "left").select(
+        "doc_id", F.coalesce("canonical_id", "doc_id").alias("comp")
+    )
+    s2 = lab.groupBy("comp").agg(F.min("doc_id").alias("doc_id"))
+    n0 = docs.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = ex.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    row1 = n0.crossJoin(F.broadcast(n1)).select(
+        F.lit("1_exact").alias("stage"),
+        F.col("n0").cast("bigint").alias("docs_in"),
+        F.col("n1").cast("bigint").alias("docs_out"),
+        (F.col("n0") - F.col("n1")).cast("bigint").alias("removed"),
+    )
+    row2 = n1.crossJoin(F.broadcast(n2)).select(
+        F.lit("2_minhash").alias("stage"),
+        F.col("n1").cast("bigint").alias("docs_in"),
+        F.col("n2").cast("bigint").alias("docs_out"),
+        (F.col("n1") - F.col("n2")).cast("bigint").alias("removed"),
+    )
+    return row1.unionByName(row2)
