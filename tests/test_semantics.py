@@ -1152,3 +1152,79 @@ def test_arrow_norm_kernel_overflow_semantics():
     # sanity: unit-scale embeddings stay on the happy path
     (out,) = run([[1.0, 2.0], [3.0]])
     assert out.column(1).to_pylist() == [5 * 1000 * 1000, 9 * 1000 * 1000]
+
+
+def test_semantic_dedup_planted_twin(spark, tmp_path):
+    """A planted identical-embedding twin must land in the same
+    cluster as its original and be flagged is_dup (cosine 1.0 >= the
+    threshold); identical vectors share the nearest-seed argmax by
+    construction, so the pair can never be split across clusters."""
+    import shutil
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "embeddings")
+    base = src.collect()[0]
+    sf_dir = str(tmp_path)
+    extra = spark.createDataFrame(
+        [(9000, base.embedding, 0), (9001, base.embedding, 0)],
+        schema=src.schema,
+    )
+    src.unionByName(extra).write.parquet(f"{sf_dir}/embeddings.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    out = {r.vec_id: r for r in
+           REGISTRY["dedup_semantic_clustered"].fn(spark, sf_dir).collect()}
+    assert out[9000].cluster_id == out[9001].cluster_id
+    assert out[9001].is_dup and out[9001].n_dup_peers >= 1, out[9001]
+
+
+def test_langid_nb_separates_disjoint_vocabularies(spark, tmp_path):
+    """With per-language disjoint vocabularies the NB classifier must
+    recover every label exactly — the planted-ground-truth analogue of
+    a perfectly separable training set."""
+    words = {"en": "alpha beta gamma", "de": "delta epsilon zeta",
+             "zh": "eta theta iota"}
+    rows = []
+    i = 0
+    for lang, vocab in words.items():
+        for _ in range(4):
+            text = (vocab + " ") * 3
+            rows.append((i, text.strip(), lang, "srcX", len(text)))
+            i += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = REGISTRY["langid_nb_classifier"].fn(spark, sf_dir).collect()
+    assert len(out) == 12
+    assert all(r.correct for r in out), [(r.doc_id, r.lang, r.predicted) for r in out]
+
+
+def test_cascade_attrition_counts_planted_exact_dup(spark, tmp_path):
+    """A byte-identical planted copy must be removed by the EXACT
+    stage (not survive to inflate the near-dup stage), and the funnel
+    rows must chain: stage-1 docs_out == stage-2 docs_in, and
+    docs_in - removed == docs_out on every row."""
+    import shutil
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "documents")
+    twin_text = src.filter(F.col("doc_id") == 1).collect()[0].text
+    sf_dir = str(tmp_path)
+    extra = spark.createDataFrame(
+        [(10000, twin_text, "en", "srcX", len(twin_text))], schema=src.schema
+    )
+    src.unionByName(extra).write.parquet(f"{sf_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    rows = {r.stage: r for r in
+            REGISTRY["dedup_cascade_attrition"].fn(spark, sf_dir).collect()}
+    ex, mh = rows["1_exact"], rows["2_minhash"]
+    assert ex.removed >= 1                      # the planted copy
+    assert ex.docs_in - ex.removed == ex.docs_out
+    assert ex.docs_out == mh.docs_in
+    assert mh.docs_in - mh.removed == mh.docs_out
