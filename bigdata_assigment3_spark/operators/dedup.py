@@ -1109,3 +1109,64 @@ def q_dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n1") - F.col("n2")).cast("bigint").alias("removed"),
     )
     return row1.unionByName(row2)
+
+
+# ------------------------------------------- quality-aware survivors
+
+
+@query(
+    "dedup_keep_longest",
+    # Shares the component labels with the keep/drop list (canon CTE
+    # spliced verbatim) — only the survivor RULE differs.
+    oracle=f"""
+    WITH canon AS (
+      {REGISTRY["dedup_canonical_docs"].oracle}
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS component_id,
+             LEN(d.text) AS n_chars_actual
+      FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(component_id AS BIGINT) AS component_id,
+           CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+           (ROW_NUMBER() OVER (PARTITION BY component_id
+                ORDER BY n_chars_actual DESC, doc_id) = 1) AS is_survivor
+    FROM lab
+    """,
+)
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: within each near-dup component
+    keep the LONGEST document (ties to the lowest doc_id) instead of
+    the lowest id — the FineWeb/RefinedWeb survivor rule, which
+    prefers the fullest copy of mirrored content over whichever
+    happened to be crawled first.  Docs outside the pair graph are
+    their own singleton component and survive unconditionally.
+
+    The survivor key is the exact integer (length DESC, doc_id ASC) —
+    no float scores, so membership can never flip on a rounding edge.
+
+    Scale shape: reuses the memoized verified-pair table and the
+    pointer-doubling component labels; the survivor choice is one
+    rank window partitioned by component_id — a high-cardinality key
+    (components are small by construction), so the window is fully
+    parallel."""
+    docs = _docs_parallel(spark, sf_dir)
+    canon = q_dedup_canonical_docs(spark, sf_dir).select("doc_id", "canonical_id")
+    lab = (
+        docs.select("doc_id", F.length("text").alias("n_chars_actual"))
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("component_id"),
+            "n_chars_actual",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars_actual"), F.asc("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        F.col("component_id").cast("bigint").alias("component_id"),
+        F.col("n_chars_actual").cast("bigint").alias("n_chars_actual"),
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )

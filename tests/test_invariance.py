@@ -69,6 +69,8 @@ INVARIANCE_QUERIES = [
     "dedup_semantic_clustered",
     # NB classifier (float log-prob sums rounded before the argmax)
     "langid_nb_classifier",
+    # keep-longest survivor rule (rank ties on equal-length twins)
+    "dedup_keep_longest",
     # state diffs (hash-wide row compares)
     "snapshot_cdc_extract",
     "incremental_view_maintenance",

@@ -1228,3 +1228,31 @@ def test_cascade_attrition_counts_planted_exact_dup(spark, tmp_path):
     assert ex.docs_in - ex.removed == ex.docs_out
     assert ex.docs_out == mh.docs_in
     assert mh.docs_in - mh.removed == mh.docs_out
+
+
+def test_keep_longest_prefers_longer_twin(spark, tmp_path):
+    """A planted near-dup pair where the HIGHER id is strictly longer
+    must survive over the shorter lower-id original — the rule that
+    distinguishes keep-longest from keep-lowest-id."""
+    import shutil
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "documents")
+    base_text = src.filter(F.col("doc_id") == 1).collect()[0].text
+    longer = base_text + " " + base_text[: len(base_text) // 2]
+    sf_dir = str(tmp_path)
+    extra = spark.createDataFrame(
+        [(10000, longer, "en", "srcX", len(longer))], schema=src.schema
+    )
+    src.unionByName(extra).write.parquet(f"{sf_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    out = {r.doc_id: r for r in
+           REGISTRY["dedup_keep_longest"].fn(spark, sf_dir).collect()}
+    assert out[10000].component_id == out[1].component_id, (
+        "planted 1.5x copy must join doc 1's component",
+        out[10000], out[1],
+    )
+    assert out[10000].is_survivor and not out[1].is_survivor
