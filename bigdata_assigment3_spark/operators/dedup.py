@@ -99,6 +99,7 @@ jacc AS (
 
 _INV_CACHE: dict = {}
 _PAIRS_CACHE: dict = {}
+_CANON_CACHE: dict = {}
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +575,16 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..session import lineage_checkpoint
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CANON_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_CANON_CACHE):
+        if k[0] == key[0]:
+            _CANON_CACHE.pop(k).unpersist()
+        else:
+            del _CANON_CACHE[k]  # dead session: blocks are already gone
+
     pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(F.col("is_dup")).select(
         "doc_a", "doc_b"
     )
@@ -623,11 +634,17 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError("label propagation did not converge in 50 rounds")
-    return lbl.select(
+    out = lbl.select(
         F.col("v").alias("doc_id"),
         F.col("lbl").cast("bigint").alias("canonical_id"),
         (F.col("lbl") == F.col("v")).alias("is_survivor"),
-    )
+    ).persist()
+    out.count()  # materialize: four consumers (canonical, cluster
+    # sizes, cascade funnel, keep-longest) each trigger their own jobs
+    # — memoizing the converged labels means the multi-round
+    # propagation runs once per (session, sf_dir), not once per query.
+    _CANON_CACHE[key] = out
+    return out
 
 
 @query(
@@ -918,6 +935,10 @@ def _semantic_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("seed_id").alias("cluster_id"), "e", "n2")
         .persist()
     )
+    built.count()  # materialize NOW: the dedup query fans into three
+    # consumers of this relation inside one job, which would each
+    # recompute the seed-scoring chain if the cache were still lazy
+    # when the job launches (same rationale as _INV_CACHE).
     _SEM_ASSIGN_CACHE[key] = built
     return built
 

@@ -714,34 +714,37 @@ def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
       FROM documents
     ),
-    cls AS (SELECT lang AS c, COUNT(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1),
-    tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
-    vocab AS (SELECT COUNT(DISTINCT word) AS v FROM w),
-    wc AS (SELECT word, lang AS c, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
-    tokc AS (SELECT lang AS c, COUNT(*) AS tok FROM w GROUP BY 1),
+    dw AS (SELECT doc_id, lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2, 3),
+    wc AS (SELECT word, lang AS c, SUM(cnt) AS cnt FROM dw GROUP BY 1, 2),
+    tokc AS (SELECT c, SUM(cnt) AS tok FROM wc GROUP BY 1),
+    vw AS (SELECT DISTINCT word FROM wc),
+    vocab AS (SELECT COUNT(*) AS v FROM vw),
+    cls AS (SELECT lang AS c, COUNT(DISTINCT doc_id) AS n_docs FROM dw GROUP BY 1),
+    tot AS (SELECT SUM(n_docs) AS n FROM cls),
     lp AS (
       SELECT vw.word, cls.c,
              LN(CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE) / (tokc.tok + vocab.v)) AS lp
-      FROM (SELECT DISTINCT word FROM w) vw
+      FROM vw
       CROSS JOIN cls
       JOIN tokc ON tokc.c = cls.c
       CROSS JOIN vocab
       LEFT JOIN wc ON wc.word = vw.word AND wc.c = cls.c
     ),
     score AS (
-      SELECT w.doc_id, lp.c, SUM(lp.lp) AS s
-      FROM w JOIN lp ON lp.word = w.word
+      SELECT dw.doc_id, lp.c, SUM(dw.cnt * lp.lp) AS s
+      FROM dw JOIN lp ON lp.word = dw.word
       GROUP BY 1, 2
     ),
     prior AS (SELECT c, LN(CAST(n_docs AS DOUBLE) / tot.n) AS lprior
               FROM cls CROSS JOIN tot),
     ranked AS (
-      SELECT doc_id, c, ROUND(s + lprior, 4) AS score,
+      SELECT doc_id, c,
+             CAST(ROUND((s + lprior) * 10000) AS BIGINT) AS score_e4,
              ROW_NUMBER() OVER (PARTITION BY doc_id
-                  ORDER BY ROUND(s + lprior, 4) DESC, c) AS rnk
+                  ORDER BY CAST(ROUND((s + lprior) * 10000) AS BIGINT) DESC, c) AS rnk
       FROM score JOIN prior USING (c)
     )
-    SELECT r.doc_id, d.lang, r.c AS predicted, (r.c = d.lang) AS correct, r.score
+    SELECT r.doc_id, d.lang, r.c AS predicted, (r.c = d.lang) AS correct, r.score_e4
     FROM ranked r JOIN documents d USING (doc_id) WHERE rnk = 1
     """,
 )
@@ -753,7 +756,7 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Naive Bayes expressed entirely relationally: the MODEL is two hash
     aggregates ((word, class) counts and per-class token totals with
     add-one smoothing over the corpus vocabulary) and INFERENCE is one
-    equi-join on ``word`` plus a per-(doc, class) sum of
+    equi-join on ``word`` plus a per-(doc, class) weighted sum of
     log-probabilities and an argmax.
 
     Upgrade path over ``langid_heuristic`` (fixed stopword rule): this
@@ -761,33 +764,42 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern a production pipeline uses for quality classifiers.
 
     Cross-engine determinism: counts are exact integers; floats enter
-    only as one ``ln`` per (word, class) and the per-class sums, which
-    both engines ROUND to 4 decimals BEFORE the argmax comparison —
-    rounding granularity (5e-5) sits far above the ~1e-12
-    association-order drift, and class ties on the rounded score break
-    lexicographically, so the prediction is partition- and
-    engine-stable.
+    only as one ``ln`` per (word, class) and the per-class weighted
+    sums, which both engines round to INTEGER 1e-4 units
+    (``score_e4``) BEFORE the argmax comparison — integer-unit
+    rounding per the repo convention (fractional-digit ROUND of
+    doubles straddles half-way boundaries differently per engine),
+    granularity 5e-5 far above the ~1e-12 association-order drift;
+    class ties on score_e4 break lexicographically, so the prediction
+    is partition- and engine-stable.
 
-    Scale shape: training is pure map-side-combinable hash aggs; the
-    smoothed log-prob table is vocab x classes (classes enum-bounded,
-    vocab sublinear in corpus) built with a 5-row broadcast of the
-    class totals; scoring shuffles on ``word`` then on
-    ``(doc_id, class)`` — the classic MapReduce NB, nothing grows
-    quadratically."""
+    Scale shape: ONE tokenize+explode pass feeds a (doc, word) count
+    table from which the model, vocabulary, and scoring all derive —
+    training is pure map-side-combinable hash aggs; the smoothed
+    log-prob table is vocab x classes (classes enum-bounded, vocab
+    sublinear in corpus) built with a 5-row broadcast of the class
+    totals; scoring shuffles on ``word`` then on ``(doc_id, class)``
+    — the classic MapReduce NB, nothing grows quadratically."""
     docs = load_table(spark, sf_dir, "documents")
     words_arr = F.filter(F.split("text", " "), lambda x: x != "")
-    w = docs.select("doc_id", "lang", F.explode(words_arr).alias("word"))
-    # class totals: enum-keyed aggregates (5 langs at every SF)
-    cls = w.groupBy(F.col("lang").alias("c")).agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # the single corpus-wide tokenize pass: everything below derives
+    # from this (doc, word) count table or from plain `documents`
+    dw = (
+        docs.select("doc_id", "lang", F.explode(words_arr).alias("word"))
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tokc = w.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("tok"))
-    tot = w.agg(F.count_distinct("doc_id").alias("n"))
-    vocab = w.agg(F.count_distinct("word").alias("v"))
-    wc = w.groupBy("word", F.col("lang").alias("c")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    wc = dw.groupBy("word", F.col("lang").alias("c")).agg(F.sum("cnt").alias("cnt"))
+    tokc = wc.groupBy("c").agg(F.sum("cnt").alias("tok"))
+    vw = wc.select("word").distinct()
+    vocab = vw.agg(F.count(F.lit(1)).alias("v"))
+    # class doc counts need no explode at all
+    cls = (
+        docs.filter(F.size(words_arr) > 0)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    vw = w.select("word").distinct()
+    tot = cls.agg(F.sum("n_docs").alias("n"))
     # smoothed log-prob for EVERY (vocab word, class) pair — the
     # LEFT join supplies the add-one zero-count cells
     class_tot = cls.join(tokc, "c").crossJoin(vocab)
@@ -803,15 +815,19 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    score = w.join(lp, "word").groupBy("doc_id", "c").agg(F.sum("lp").alias("s"))
+    score = (
+        dw.join(lp, "word")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("cnt") * F.col("lp")).alias("s"))
+    )
     prior = cls.crossJoin(tot).select(
         "c", F.log(F.col("n_docs").cast("double") / F.col("n")).alias("lprior")
     )
-    rounded = F.round(F.col("s") + F.col("lprior"), 4)
-    rk = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
+    score_e4 = F.round((F.col("s") + F.col("lprior")) * 10000).cast("bigint")
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("score_e4"), F.asc("c"))
     ranked = (
         score.join(F.broadcast(prior), "c")
-        .select("doc_id", "c", rounded.alias("score"))
+        .select("doc_id", "c", score_e4.alias("score_e4"))
         .withColumn("rnk", F.row_number().over(rk))
         .filter(F.col("rnk") == 1)
     )
@@ -820,5 +836,5 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("c").alias("predicted"),
         (F.col("c") == F.col("lang")).alias("correct"),
-        "score",
+        "score_e4",
     )

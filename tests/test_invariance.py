@@ -101,11 +101,33 @@ def _rows(spark, name):
     return sorted(tuple((c, str(r[c])) for c in sorted(df.columns)) for r in df.collect())
 
 
+def _clear_memo_caches():
+    """Drop every module-level memoized/persisted artifact so the
+    hostile-conf rerun really re-executes the full build chain.
+    Without this the second run of a cached query (minhash pair table,
+    canonical labels, semantic assignment, PQ index, ranged layout)
+    reads blocks persisted under the DEFAULT partitioning and the gate
+    silently stops testing the part most likely to be order-sensitive."""
+    from pyspark.sql import DataFrame
+
+    from bigdata_assigment3_spark.operators import curation, dedup, similarity
+
+    for cache in (dedup._INV_CACHE, dedup._PAIRS_CACHE, dedup._CANON_CACHE,
+                  dedup._SEM_ASSIGN_CACHE, curation._RANGED_CACHE,
+                  similarity._PQ_CACHE):
+        for val in cache.values():
+            for part in val if isinstance(val, tuple) else (val,):
+                if isinstance(part, DataFrame):
+                    part.unpersist()
+        cache.clear()
+
+
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)
 def test_partition_invariance(spark, name):
     base = _rows(spark, name)
     assert base, f"{name}: empty result at oracle SF"
     saved = {k: spark.conf.get(k) for k in _HOSTILE}
+    _clear_memo_caches()
     try:
         for k, v in _HOSTILE.items():
             spark.conf.set(k, v)
@@ -113,6 +135,8 @@ def test_partition_invariance(spark, name):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+        # don't leak hostile-built persisted artifacts into later tests
+        _clear_memo_caches()
     assert alt == base, (
         f"{name}: result depends on partitioning "
         f"({len(base)} rows default vs {len(alt)} hostile)"

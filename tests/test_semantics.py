@@ -1159,8 +1159,6 @@ def test_semantic_dedup_planted_twin(spark, tmp_path):
     cluster as its original and be flagged is_dup (cosine 1.0 >= the
     threshold); identical vectors share the nearest-seed argmax by
     construction, so the pair can never be split across clusters."""
-    import shutil
-
     from bigdata_assigment3_spark.sources import load_table
 
     src = load_table(spark, SF_ORACLE, "embeddings")
@@ -1170,10 +1168,8 @@ def test_semantic_dedup_planted_twin(spark, tmp_path):
         [(9000, base.embedding, 0), (9001, base.embedding, 0)],
         schema=src.schema,
     )
+    # the query reads only the embeddings table
     src.unionByName(extra).write.parquet(f"{sf_dir}/embeddings.parquet")
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents"):
-        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
     out = {r.vec_id: r for r in
            REGISTRY["dedup_semantic_clustered"].fn(spark, sf_dir).collect()}
     assert out[9000].cluster_id == out[9001].cluster_id
@@ -1207,8 +1203,6 @@ def test_cascade_attrition_counts_planted_exact_dup(spark, tmp_path):
     stage (not survive to inflate the near-dup stage), and the funnel
     rows must chain: stage-1 docs_out == stage-2 docs_in, and
     docs_in - removed == docs_out on every row."""
-    import shutil
-
     from bigdata_assigment3_spark.sources import load_table
 
     src = load_table(spark, SF_ORACLE, "documents")
@@ -1217,10 +1211,8 @@ def test_cascade_attrition_counts_planted_exact_dup(spark, tmp_path):
     extra = spark.createDataFrame(
         [(10000, twin_text, "en", "srcX", len(twin_text))], schema=src.schema
     )
+    # the cascade reads only the documents table
     src.unionByName(extra).write.parquet(f"{sf_dir}/documents.parquet")
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"):
-        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
     rows = {r.stage: r for r in
             REGISTRY["dedup_cascade_attrition"].fn(spark, sf_dir).collect()}
     ex, mh = rows["1_exact"], rows["2_minhash"]
@@ -1234,8 +1226,6 @@ def test_keep_longest_prefers_longer_twin(spark, tmp_path):
     """A planted near-dup pair where the HIGHER id is strictly longer
     must survive over the shorter lower-id original — the rule that
     distinguishes keep-longest from keep-lowest-id."""
-    import shutil
-
     from bigdata_assigment3_spark.sources import load_table
 
     src = load_table(spark, SF_ORACLE, "documents")
@@ -1245,10 +1235,8 @@ def test_keep_longest_prefers_longer_twin(spark, tmp_path):
     extra = spark.createDataFrame(
         [(10000, longer, "en", "srcX", len(longer))], schema=src.schema
     )
+    # the survivor rule reads only the documents table
     src.unionByName(extra).write.parquet(f"{sf_dir}/documents.parquet")
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"):
-        shutil.copy(f"{SF_ORACLE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
     out = {r.doc_id: r for r in
            REGISTRY["dedup_keep_longest"].fn(spark, sf_dir).collect()}
     assert out[10000].component_id == out[1].component_id, (
