@@ -253,3 +253,104 @@ def q_importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept"), F.col("weight")).otherwise(0)).cast("bigint").alias("kept_weight"),
         F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).cast("bigint").alias("sum_kept_ids"),
     )
+
+
+@query(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    t AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(tok) AS tokens_total
+      FROM d GROUP BY source
+    ),
+    g AS (SELECT COUNT(*) AS n_sources, SUM(tokens_total) AS grand FROM t),
+    rates AS (
+      SELECT t.source, t.n_docs, t.tokens_total,
+             LEAST({SAMPLE_SCALE}, CAST(
+               (CAST(g.grand AS HUGEINT) * {SAMPLE_SCALE})
+               // (g.n_sources * t.tokens_total) AS BIGINT)) AS keep_ppm
+      FROM t CROSS JOIN g
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id, d.tok
+      FROM d JOIN rates r ON r.source = d.source
+      WHERE {md5_int56_duck("CAST(doc_id AS VARCHAR)")} % {SAMPLE_SCALE} < r.keep_ppm
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.tokens_total AS BIGINT) AS tokens_total,
+           r.keep_ppm,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(k.tok), 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    GROUP BY r.source, r.n_docs, r.tokens_total, r.keep_ppm
+    """,
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture resampling: give every source an equal
+    TOKEN budget (grand_total / n_sources) and down-sample
+    over-budget sources to it by hash-threshold membership — the
+    mixing stage that balances a pretraining corpus by what the model
+    actually consumes (tokens), where ``temperature_sample`` balances
+    by document counts.
+
+    The keep rate is an exact integer: keep_ppm =
+    min(SCALE, (grand * SCALE) div (n_sources * tokens_s)), computed
+    in 38-digit integer arithmetic on BOTH engines (DECIMAL(38,0)
+    ``div`` in Spark, HUGEINT ``//`` in DuckDB) so the threshold never
+    passes through a float — at 100 TB the grand token count times the
+    ppm scale overflows int64, which is exactly where a silent
+    float64 fallback would start flipping per-document membership.
+    sum_kept_ids pins exact membership, not just counts.
+
+    Scale shape: one token-count projection (no shuffle), one
+    source-keyed agg (enum-bounded), a broadcast of the 20-row rate
+    table back onto the corpus, and a final enum-keyed agg —
+    append-stable like every hash sampler here."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    d = docs.select("doc_id", "source", tok.alias("tok"))
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens_total")
+    )
+    g = t.agg(
+        F.count(F.lit(1)).alias("n_sources"), F.sum("tokens_total").alias("grand")
+    )
+    keep_ppm = F.least(
+        F.lit(SAMPLE_SCALE).cast("bigint"),
+        F.expr(
+            f"(CAST(grand AS DECIMAL(38,0)) * {SAMPLE_SCALE})"
+            " div CAST(n_sources * tokens_total AS DECIMAL(38,0))"
+        ),
+    )
+    rates = t.crossJoin(F.broadcast(g)).select(
+        "source", "n_docs", "tokens_total", keep_ppm.alias("keep_ppm")
+    )
+    h = F.expr(md5_int56_spark("CAST(doc_id AS STRING)"))
+    kept = (
+        d.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
+        .filter(h % SAMPLE_SCALE < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("tok").cast("bigint").alias("tokens_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tokens_total").cast("bigint").alias("tokens_total"),
+            F.col("keep_ppm").cast("bigint").alias("keep_ppm"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.coalesce("sum_kept_ids", F.lit(0)).cast("bigint").alias("sum_kept_ids"),
+        )
+    )

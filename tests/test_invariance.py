@@ -47,6 +47,7 @@ INVARIANCE_QUERIES = [
     "stratified_sample",
     "kfold_assignment",
     "temperature_sample",
+    "mixture_token_budget",
     # argmin/argmax vote peaks (cost ties across partitions)
     "hough_peak",
     "block_match_full",

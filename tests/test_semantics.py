@@ -1244,3 +1244,25 @@ def test_keep_longest_prefers_longer_twin(spark, tmp_path):
         out[10000], out[1],
     )
     assert out[10000].is_survivor and not out[1].is_survivor
+
+
+def test_mixture_token_budget_semantics(spark):
+    """Equal-token-budget invariants: under-budget sources keep
+    everything (ppm == SCALE, all docs kept), over-budget sources are
+    thresholded, kept tokens track ppm * tokens_total, and keep_ppm is
+    non-increasing in source token mass."""
+    from bigdata_assigment3_spark.operators.sampling import SAMPLE_SCALE
+
+    rows = REGISTRY["mixture_token_budget"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    grand = sum(r.tokens_total for r in rows)
+    budget = grand / len(rows)
+    for r in rows:
+        assert 0 < r.keep_ppm <= SAMPLE_SCALE
+        if r.tokens_total <= budget:
+            assert r.keep_ppm == SAMPLE_SCALE and r.n_kept == r.n_docs, r
+        expected = r.keep_ppm / SAMPLE_SCALE * r.tokens_total
+        assert abs(r.tokens_kept - expected) <= max(200, 0.35 * r.tokens_total), r
+    by_tokens = sorted(rows, key=lambda r: r.tokens_total)
+    ppms = [r.keep_ppm for r in by_tokens]
+    assert ppms == sorted(ppms, reverse=True), ppms
