@@ -814,3 +814,154 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.array_max("q8")).cast("bigint").alias("q_max"),
         )
     )
+
+
+# --------------------------------------- deterministic SRP-LSH buckets
+
+SRP_BITS = 16        # hyperplanes
+SRP_BAND_BITS = 4    # -> 4 bands x 4 bits (Charikar SRP, banded)
+SRP_DIM = 64         # embedding width of the testdata corpus
+
+
+def _srp_weight(b: int, d: int) -> int:
+    """Deterministic ±1 hyperplane weights from md5 — no RNG object,
+    so the 'random' projection is reproducible in closed form by BOTH
+    engines (the literal weight table is embedded in the Spark
+    expressions and the DuckDB oracle from this one definition)."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"srp:{b}:{d}".encode()).digest()[0] & 1 else -1
+
+
+_SRP_FLAT = [_srp_weight(b, d) for b in range(SRP_BITS) for d in range(SRP_DIM)]
+_SRP_DUCK_LIT = "[" + ",".join(str(x) for x in _SRP_FLAT) + "]"
+_SRP_SPARK_ROWS = [
+    "array(" + ",".join(f"{x}L" for x in _SRP_FLAT[b * SRP_DIM:(b + 1) * SRP_DIM]) + ")"
+    for b in range(SRP_BITS)
+]
+
+
+@query(
+    "ann_srp_bucketed",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS n2 FROM base),
+    nz AS (SELECT * FROM n WHERE n2 > 0),
+    ve AS (
+      SELECT vec_id, unnest(e) AS ea, generate_subscripts(e, 1) - 1 AS d FROM nz
+    ),
+    bits AS (
+      SELECT vec_id, bb.b,
+             SUM(ea * (CAST({_SRP_DUCK_LIT} AS BIGINT[]))[bb.b * {SRP_DIM} + d + 1]) >= 0 AS bit
+      FROM ve, range(0, {SRP_BITS}) AS bb(b)
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, b // {SRP_BAND_BITS} AS band,
+             SUM(CASE WHEN bit THEN CAST(POWER(2, b % {SRP_BAND_BITS}) AS BIGINT)
+                      ELSE 0 END) AS bucket
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS cand_id
+      FROM buckets qb
+      JOIN buckets vb ON qb.band = vb.band AND qb.bucket = vb.bucket
+      WHERE qb.vec_id % {QUERY_STRIDE} = 0 AND qb.vec_id < {PROBE_MAX_ID}
+        AND qb.vec_id <> vb.vec_id
+    ),
+    pr AS (
+      SELECT c.query_id, c.cand_id,
+             unnest(a.e) AS ea, unnest(bb.e) AS eb, a.n2 AS na2, bb.n2 AS nb2
+      FROM cand c
+      JOIN nz a ON a.vec_id = c.query_id
+      JOIN nz bb ON bb.vec_id = c.cand_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, SUM(ea * eb) AS dot,
+             ANY_VALUE(na2) AS na2, ANY_VALUE(nb2) AS nb2
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, rank, cosine FROM (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2) DESC,
+                           cand_id) AS BIGINT) AS rank,
+             ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
+      FROM dots
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-random-projection LSH ANN (Charikar SRP) with
+    DETERMINISTIC hyperplanes: the ±1 weights derive from md5, so —
+    unlike the MLlib BucketedRandomProjection twin
+    (``ann_lsh_bucketed``, rows-only) — the whole pipeline
+    (sketch -> band buckets -> candidate join -> exact rerank) is
+    value-oracled end to end.
+
+    Each vector gets {SRP_BITS} sign bits (exact integer hyperplane
+    dots on the milli-quantized embedding), packed into
+    {SRP_BITS // SRP_BAND_BITS} bands of {SRP_BAND_BITS} bits;
+    candidates for the fixed 10-probe set are vectors sharing ANY band
+    bucket, reranked by exact cosine to top-{TOP_K}.
+
+    Scale shape: sketches are a pure projection (O(dim x bits) per
+    row, no shuffle); the candidate search is an equi-join on
+    (band, bucket) — the corpus never self-joins, and the probe side
+    is bounded by the literal-id contract so AQE broadcasts it
+    unhinted.  Band width trades recall for candidate count exactly
+    as in the MinHash banding above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
+    nz = (
+        emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+        .withColumn("n2", norm2)
+        .filter(F.col("n2") > 0)
+    )
+    band_cols = []
+    for band in range(SRP_BITS // SRP_BAND_BITS):
+        bucket = F.lit(0)
+        for j in range(SRP_BAND_BITS):
+            b = band * SRP_BAND_BITS + j
+            dot_b = F.expr(
+                f"aggregate(zip_with(e, {_SRP_SPARK_ROWS[b]},"
+                " (x, y) -> x * y), 0L, (a, b) -> a + b)"
+            )
+            bucket = bucket + F.when(dot_b >= 0, F.lit(1 << j)).otherwise(0)
+        band_cols.append(bucket.cast("bigint"))
+    skb = nz.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    ).select("vec_id", F.col("band").cast("bigint").alias("band"), "bucket")
+    qb = skb.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)
+    ).select(F.col("vec_id").alias("query_id"), "band", "bucket")
+    cand = (
+        qb.join(skb.withColumnRenamed("vec_id", "cand_id"), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    a = nz.select(F.col("vec_id").alias("query_id"), F.col("e").alias("eq"),
+                  F.col("n2").alias("na2"))
+    b = nz.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"),
+                  F.col("n2").alias("nb2"))
+    dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -66,6 +66,7 @@ INVARIANCE_QUERIES = [
     # LSH banding + sparse similarity (collect_list ordering)
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_srp_bucketed",
     # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
     "dedup_semantic_clustered",
     # NB classifier (float log-prob sums rounded before the argmax)

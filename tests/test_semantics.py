@@ -1266,3 +1266,24 @@ def test_mixture_token_budget_semantics(spark):
     by_tokens = sorted(rows, key=lambda r: r.tokens_total)
     ppms = [r.keep_ppm for r in by_tokens]
     assert ppms == sorted(ppms, reverse=True), ppms
+
+
+def test_srp_bucketed_finds_planted_twin(spark, tmp_path):
+    """A planted exact copy of probe vector 0 must share every SRP
+    band bucket with it (identical sketches), surface as a candidate,
+    and rerank to cosine 1.0 at rank 1."""
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "embeddings")
+    probe0 = src.filter(F.col("vec_id") == 0).collect()[0]
+    sf_dir = str(tmp_path)
+    extra = spark.createDataFrame(
+        [(9001, probe0.embedding, 0)], schema=src.schema
+    )
+    # the query reads only the embeddings table
+    src.unionByName(extra).write.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [r for r in REGISTRY["ann_srp_bucketed"].fn(spark, sf_dir).collect()
+            if r.query_id == 0]
+    assert rows, "probe 0 produced no candidates"
+    twin = [r for r in rows if r.cand_id == 9001]
+    assert twin and twin[0].cosine == 1.0 and twin[0].rank == 1, rows[:6]
