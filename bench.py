@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_vec",
     "ann_pq_rerank",
+    "ann_srp_bucketed",
     "text_quality",
     "langid_nb_classifier",
     "ellipse_candidate_score",

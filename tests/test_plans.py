@@ -379,6 +379,13 @@ def test_shuffle_exchange_budgets(spark):
         "dicom_decode_rescale": 0,   # per-file element-walk kernel, no shuffle
         "dicom_series_sort": 0,      # tag-parse kernel, no shuffle
         "stream_pit_enrich": 0,      # broadcast history into each micro-batch
+        # round-8 continuation (counts at landing; tighten, don't loosen)
+        "dedup_semantic_clustered": 7,   # cached assignment + cluster pair join
+        "langid_nb_classifier": 15,      # MapReduce-NB: dw/wc/tokc aggs + scoring joins
+        "dedup_cascade_attrition": 12,   # exact groupBy + cached canonical + funnel aggs
+        "dedup_keep_longest": 2,         # cached canonical join + rank window
+        "mixture_token_budget": 7,       # enum-keyed aggs + rate join-back
+        "ann_srp_bucketed": 2,           # bucket equi-join + rerank window
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
