@@ -943,10 +943,11 @@ def _semantic_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built
 
 
-@query(
-    "dedup_semantic_clustered",
-    oracle=f"""
-    WITH b AS (
+# The one-step-Lloyd assignment CTE block, shared verbatim by the
+# semantic-dedup oracle and the deterministic-IVF oracle
+# (similarity.py) so the two can never disagree on the clustering.
+SEM_ASSIGN_DUCK_CTES = f"""
+    b AS (
       SELECT vec_id, {_SEM_QUANT_DUCK} AS e FROM embeddings
     ),
     n AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS n2 FROM b),
@@ -974,7 +975,14 @@ def _semantic_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     memb AS (
       SELECT a.vec_id, a.cluster_id, n.e, n.n2 FROM assign a JOIN nz n USING (vec_id)
-    ),
+    )
+"""
+
+
+@query(
+    "dedup_semantic_clustered",
+    oracle=f"""
+    WITH {SEM_ASSIGN_DUCK_CTES},
     cp AS (
       SELECT a.vec_id AS va, bb.vec_id AS vb, unnest(a.e) AS ea, unnest(bb.e) AS eb,
              a.n2 AS na2, bb.n2 AS nb2

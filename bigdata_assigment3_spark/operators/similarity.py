@@ -965,3 +965,134 @@ def q_ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --------------------------------------- deterministic IVF (oracle-backed)
+
+IVF_DET_PROBE = 2  # nearest lists probed per query
+
+
+def _ivf_det_oracle() -> str:
+    """Built from the SAME assignment CTE block as the semantic dedup
+    oracle (dedup.py:SEM_ASSIGN_DUCK_CTES), so the coarse quantizer
+    can never drift between the two."""
+    from .dedup import SEM_ASSIGN_DUCK_CTES
+
+    return f"""
+    WITH {SEM_ASSIGN_DUCK_CTES},
+    probes AS (
+      SELECT vec_id AS query_id, e AS eq, n2 AS na2 FROM nz
+      WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {PROBE_MAX_ID}
+    ),
+    ps AS (
+      SELECT p.query_id, s.seed_id, p.eq, p.na2,
+             unnest(p.eq) AS ea, unnest(s.es) AS eb, s.ns2
+      FROM probes p, seeds s
+    ),
+    pd AS (
+      SELECT query_id, seed_id, SUM(ea * eb) AS dot,
+             ANY_VALUE(na2) AS na2, ANY_VALUE(ns2) AS ns2
+      FROM ps GROUP BY 1, 2
+    ),
+    plists AS (
+      SELECT query_id, seed_id AS cluster_id FROM (
+        SELECT query_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * ns2) DESC,
+                             seed_id) AS rnk
+        FROM pd
+      ) WHERE rnk <= {IVF_DET_PROBE}
+    ),
+    cand AS (
+      SELECT pl.query_id, m.vec_id AS cand_id
+      FROM plists pl JOIN memb m ON m.cluster_id = pl.cluster_id
+      WHERE pl.query_id <> m.vec_id
+    ),
+    pr AS (
+      SELECT c.query_id, c.cand_id,
+             unnest(a.e) AS ea, unnest(bb.e) AS eb, a.n2 AS na2, bb.n2 AS nb2
+      FROM cand c
+      JOIN nz a ON a.vec_id = c.query_id
+      JOIN nz bb ON bb.vec_id = c.cand_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, SUM(ea * eb) AS dot,
+             ANY_VALUE(na2) AS na2, ANY_VALUE(nb2) AS nb2
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, rank, cosine FROM (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2) DESC,
+                           cand_id) AS BIGINT) AS rank,
+             ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
+      FROM dots
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("ann_ivf_deterministic", oracle=_ivf_det_oracle())
+def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer — the
+    oracle-backed twin of the KMeans-based ``ann_ivf_probe``
+    (rows-only): the inverted lists are the one-step-Lloyd clusters
+    already memoized for SemDeDup (dedup.py:_semantic_assign_df — K
+    lowest-id seeds, cosine argmax), each probe scans only its
+    {IVF_DET_PROBE} highest-cosine lists, and survivors rerank by
+    exact integer-dot cosine to top-{TOP_K}.
+
+    Scale shape identical to the KMeans twin: at 100 TB the corpus is
+    partitioned BY list (scan-prunes to the probed lists), the seed
+    table is a constant-size broadcast, and the only corpus shuffle is
+    the final per-query top-k.  Sharing the memoized assignment with
+    the dedup pipeline is the production trick: ONE clustering pass
+    serves both the dedup and the ANN index."""
+    from .dedup import K_SEM, _semantic_assign_df
+
+    assign = _semantic_assign_df(spark, sf_dir)
+    # Seeds are re-derived by the SAME rule as the assignment (K
+    # lowest nonzero-norm ids) rather than filtered as
+    # vec_id == cluster_id: if two seeds are positive scalar multiples
+    # (cosine exactly 1.0) the higher one is assigned to the lower's
+    # cluster and would vanish from a filter-based seed table, while
+    # the oracle's LIMIT-K seed CTE still ranks its (empty) list.
+    seeds = (
+        assign.orderBy("vec_id")
+        .limit(K_SEM)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("e").alias("es"),
+            F.col("n2").alias("ns2"),
+        )
+    )
+    probes = assign.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("eq"),
+             F.col("n2").alias("na2"))
+    dot_s = F.expr("aggregate(zip_with(eq, es, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+    cos_s = dot_s.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("ns2"))
+    wl = Window.partitionBy("query_id").orderBy(F.desc("cos_s"), F.asc("seed_id"))
+    plists = (
+        probes.crossJoin(F.broadcast(seeds))
+        .select("query_id", "eq", "na2", "seed_id", cos_s.alias("cos_s"))
+        .withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= IVF_DET_PROBE)
+        .select("query_id", "eq", "na2", F.col("seed_id").alias("cluster_id"))
+    )
+    cand = plists.join(
+        assign.select("cluster_id", F.col("vec_id").alias("cand_id"),
+                      F.col("e").alias("ev"), F.col("n2").alias("nb2")),
+        "cluster_id",
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        (dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

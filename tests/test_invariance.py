@@ -67,6 +67,7 @@ INVARIANCE_QUERIES = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_srp_bucketed",
+    "ann_ivf_deterministic",
     # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
     "dedup_semantic_clustered",
     # NB classifier (float log-prob sums rounded before the argmax)

@@ -386,6 +386,7 @@ def test_shuffle_exchange_budgets(spark):
         "dedup_keep_longest": 2,         # cached canonical join + rank window
         "mixture_token_budget": 7,       # enum-keyed aggs + rate join-back
         "ann_srp_bucketed": 2,           # bucket equi-join + rerank window
+        "ann_ivf_deterministic": 6,      # probe-list rank + cluster join + rerank
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

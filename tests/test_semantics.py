@@ -1287,3 +1287,24 @@ def test_srp_bucketed_finds_planted_twin(spark, tmp_path):
     assert rows, "probe 0 produced no candidates"
     twin = [r for r in rows if r.cand_id == 9001]
     assert twin and twin[0].cosine == 1.0 and twin[0].rank == 1, rows[:6]
+
+
+def test_ivf_deterministic_finds_planted_twin(spark, tmp_path):
+    """An exact copy of probe vector 0 lands in the same one-step-Lloyd
+    cluster (identical argmax), so the probe must retrieve it at
+    rank 1 with cosine 1.0 — the IVF guarantee for in-list twins."""
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "embeddings")
+    probe0 = src.filter(F.col("vec_id") == 0).collect()[0]
+    sf_dir = str(tmp_path)
+    extra = spark.createDataFrame(
+        [(9001, probe0.embedding, 0)], schema=src.schema
+    )
+    # the query reads only the embeddings table
+    src.unionByName(extra).write.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [r for r in REGISTRY["ann_ivf_deterministic"].fn(spark, sf_dir).collect()
+            if r.query_id == 0]
+    assert rows, "probe 0 produced no candidates"
+    twin = [r for r in rows if r.cand_id == 9001]
+    assert twin and twin[0].cosine == 1.0 and twin[0].rank == 1, rows[:6]
