@@ -1096,3 +1096,150 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ------------------------------- deterministic PQ + ADC (oracle-backed)
+
+PQD_M = 8      # subspaces
+PQD_DS = 8     # dims per subspace (PQD_M * PQD_DS = the corpus width)
+PQD_K = 16     # codebook entries per subspace (seed codebooks)
+
+
+@query(
+    "ann_pq_deterministic",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) - 1 AS d FROM base
+    ),
+    fe AS (
+      SELECT vec_id, d // {PQD_DS} AS m, d % {PQD_DS} AS j, val FROM flat
+    ),
+    seeds AS (SELECT vec_id AS k FROM base ORDER BY vec_id LIMIT {PQD_K}),
+    cb AS (
+      SELECT DENSE_RANK() OVER (ORDER BY fe.vec_id) - 1 AS k, fe.m, fe.j, fe.val AS w
+      FROM fe JOIN seeds s ON s.k = fe.vec_id
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT fe.vec_id, fe.m, cb.k AS code,
+               ROW_NUMBER() OVER (PARTITION BY fe.vec_id, fe.m
+                    ORDER BY SUM((fe.val - cb.w) * (fe.val - cb.w)), cb.k) AS rnk
+        FROM fe JOIN cb ON cb.m = fe.m AND cb.j = fe.j
+        GROUP BY fe.vec_id, fe.m, cb.k
+      ) WHERE rnk = 1
+    ),
+    lut AS (
+      SELECT fe.vec_id AS query_id, fe.m, cb.k,
+             SUM((fe.val - cb.w) * (fe.val - cb.w)) AS d2
+      FROM fe JOIN cb ON cb.m = fe.m AND cb.j = fe.j
+      WHERE fe.vec_id % {QUERY_STRIDE} = 0 AND fe.vec_id < {PROBE_MAX_ID}
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS cand_id, SUM(l.d2) AS adc_d2
+      FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+      WHERE l.query_id <> c.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, rank, adc_d2 FROM (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_d2, cand_id) AS BIGINT) AS rank,
+             CAST(adc_d2 AS BIGINT) AS adc_d2
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_pq_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + ADC with DETERMINISTIC seed codebooks —
+    the oracle-backed twin of the KMeans-codebook ``ann_pq_rerank``
+    (rows-only): each {PQD_M * PQD_DS}-dim vector splits into {PQD_M}
+    subspaces of {PQD_DS} dims, the per-subspace codebook is the
+    subvectors of the {PQD_K} lowest-id vectors, and every vector
+    encodes to its argmin-L2 code per subspace (ties to the lowest
+    code).  Probes score the WHOLE corpus by asymmetric distance — a
+    {PQD_M}-term lookup-table sum — which is the PQ trade: one cheap
+    linear scan over 8-byte codes instead of 256-byte floats.
+
+    Everything is exact BIGINT arithmetic on the milli-quantized
+    values (squared L2, LUT entries, ADC sums) — zero floats anywhere,
+    so cross-engine agreement is unconditional.
+
+    Scale shape: encoding is one (vec, subspace, code) hash agg over a
+    bounded 128-row broadcast codebook; the ADC scan joins the
+    (corpus x {PQD_M}) code table to a (10 x {PQD_M} x {PQD_K}) LUT —
+    linear in the corpus, the only shuffle the final per-query top-k.
+    At 100 TB the code table is the ~32x-compressed index you keep hot
+    while the raw vectors stay cold — the standard IVF-PQ memory
+    layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+    fe = quant.select(
+        "vec_id", F.posexplode("e").alias("d", "val")
+    ).select(
+        "vec_id",
+        (F.col("d") / PQD_DS).cast("int").alias("m"),
+        (F.col("d") % PQD_DS).alias("j"),
+        "val",
+    )
+    seeds = quant.orderBy("vec_id").limit(PQD_K).select(
+        F.col("vec_id").alias("seed_vid"), F.col("e").alias("es")
+    )
+    cbw = Window.orderBy("seed_vid")
+    cb = (
+        seeds.withColumn("k", F.dense_rank().over(cbw) - 1)
+        .select("k", F.posexplode("es").alias("d", "w"))
+        .select(
+            "k",
+            (F.col("d") / PQD_DS).cast("int").alias("m"),
+            (F.col("d") % PQD_DS).alias("j"),
+            "w",
+        )
+    )
+    # cb is PQD_K * PQD_M * PQD_DS = 1024 rows by construction (LIMIT)
+    d2 = F.sum((F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))).alias("d2")
+    dist = (
+        fe.join(F.broadcast(cb), ["m", "j"])
+        .groupBy("vec_id", "m", "k")
+        .agg(d2)
+    )
+    wcode = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    codes = (
+        dist.withColumn("rnk", F.row_number().over(wcode))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    lut = (
+        dist.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)
+        )
+        .select(F.col("vec_id").alias("query_id"), "m", "k", "d2")
+    )
+    # lut is 10 probes x PQD_M x PQD_K = 1280 rows by the literal-id
+    # contract, bounded at every SF
+    # codes and lut share the `dist` lineage — rename lut's join keys
+    # so the equi-join cannot silently resolve both sides to the same
+    # column (Spark's self-join ambiguity trap)
+    lut_r = lut.select(
+        "query_id", F.col("m").alias("lm"), F.col("k").alias("lk"), "d2"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut_r),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lk")),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.col("adc_d2").cast("bigint").alias("adc_d2"))
+    )

@@ -68,6 +68,7 @@ INVARIANCE_QUERIES = [
     "ann_cosine_topk",
     "ann_srp_bucketed",
     "ann_ivf_deterministic",
+    "ann_pq_deterministic",
     # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
     "dedup_semantic_clustered",
     # NB classifier (float log-prob sums rounded before the argmax)

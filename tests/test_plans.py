@@ -47,7 +47,9 @@ def test_no_cartesian_anywhere(spark):
     # otsu_threshold scans a <=256-row grayscale histogram;
     # largest_component_3d ranks a LIMIT-10 result;
     # token_zipf_slope ranks a LIMIT-200 TakeOrdered result.
-    bounded_window_ok = {"otsu_threshold", "largest_component_3d", "token_zipf_slope"}
+    # ann_pq_deterministic densely ranks the LIMIT-16 seed codebook.
+    bounded_window_ok = {"otsu_threshold", "largest_component_3d", "token_zipf_slope",
+                         "ann_pq_deterministic"}
     for name, spec in REGISTRY.items():
         if name in ("hmrf_em_segmentation", "kmeans_init", "ann_lsh_bucketed",
                     "stream_window_counts", "stream_type_totals",
@@ -387,6 +389,7 @@ def test_shuffle_exchange_budgets(spark):
         "mixture_token_budget": 7,       # enum-keyed aggs + rate join-back
         "ann_srp_bucketed": 2,           # bucket equi-join + rerank window
         "ann_ivf_deterministic": 6,      # probe-list rank + cluster join + rerank
+        "ann_pq_deterministic": 5,       # encode agg + code argmin + ADC agg + top-k
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

@@ -1308,3 +1308,26 @@ def test_ivf_deterministic_finds_planted_twin(spark, tmp_path):
     assert rows, "probe 0 produced no candidates"
     twin = [r for r in rows if r.cand_id == 9001]
     assert twin and twin[0].cosine == 1.0 and twin[0].rank == 1, rows[:6]
+
+
+def test_pq_deterministic_twin_is_adc_minimal(spark, tmp_path):
+    """An exact copy of probe vector 0 encodes to the probe's own
+    argmin codes, so its ADC distance is the probe's total residual
+    quantization error — the minimum any candidate can achieve.  The
+    twin must appear in the top-k with the minimal adc_d2."""
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_ORACLE, "embeddings")
+    probe0 = src.filter(F.col("vec_id") == 0).collect()[0]
+    sf_dir = str(tmp_path)
+    extra = spark.createDataFrame(
+        [(9001, probe0.embedding, 0)], schema=src.schema
+    )
+    # the query reads only the embeddings table
+    src.unionByName(extra).write.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [r for r in REGISTRY["ann_pq_deterministic"].fn(spark, sf_dir).collect()
+            if r.query_id == 0]
+    assert rows, "probe 0 produced no candidates"
+    twin = [r for r in rows if r.cand_id == 9001]
+    assert twin, rows[:6]
+    assert twin[0].adc_d2 == min(r.adc_d2 for r in rows), rows[:6]
