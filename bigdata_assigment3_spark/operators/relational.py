@@ -1192,3 +1192,109 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("effective_priority")
     )
+
+
+# ------------------------------------------------- grid interval-overlap join
+
+
+# The testdata lacks l_receiptdate, so the transit leg is synthesized
+# exactly the way TPC-H specifies it (receipt = ship + random(1..30),
+# TPC-H v3 clause 4.2.3) but key-deterministically, so BOTH engines
+# derive the identical interval: transit = 1 + (line key) % 28 days.
+OVERLAP_CELL_DAYS = 32  # >= max interval width (29d) => each interval spans <= 2 cells
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle=f"""
+    WITH it AS (
+      SELECT l_suppkey AS suppkey, l_orderkey * 8 + l_linenumber AS k,
+             date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+               + 1 + (l_orderkey * 8 + l_linenumber) % 28 AS r
+      FROM lineitem
+      WHERE l_quantity >= 45
+    )
+    SELECT a.suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(LEAST(a.r, b.r) - GREATEST(a.s, b.s) + 1) AS BIGINT) AS overlap_days
+    FROM it a JOIN it b
+      ON a.suppkey = b.suppkey AND a.k < b.k
+     AND a.s <= b.r AND b.s <= a.r
+    GROUP BY 1
+    """,
+)
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via GRID BUCKETING — the scale-safe
+    rewrite of an inequality join.  Per supplier, count pairs of
+    heavy shipments (quantity >= 45) whose transit windows
+    [shipdate, shipdate + transit] overlap, plus total overlap days.
+
+    The naive plan is an equi-join on suppkey with the overlap range
+    as a post-join filter: every supplier's group goes quadratic
+    before the predicate prunes (at 100 TB a hot supplier's group is
+    millions of rows -> 10^12 compared pairs).  The grid rewrite maps
+    each interval onto the {OVERLAP_CELL_DAYS}-day cells it covers
+    (<= 2, since transit <= 29d < cell) and equi-joins on
+    (suppkey, cell): candidates are only pairs near each other in
+    TIME, so the work scales with temporal density, not group size
+    squared.  Dedup is FREE — instead of a distinct over pair keys, a
+    pair is counted only in the one cell containing GREATEST(s_a, s_b)
+    (the overlap start, which both intervals cover by definition), so
+    no second shuffle.  DuckDB runs the naive quadratic form — same
+    result, different physics — which is exactly the point.
+
+    Reference parity: the reference has no interval join at all
+    (SURVEY §2.3 'absent' row); this is the Spark-first pattern a
+    shipment-concurrency query would need.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    k = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint")
+    s = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).cast("bigint")
+    it = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        k.alias("k"),
+        s.alias("s"),
+        (s + 1 + k % 28).alias("r"),
+    )
+    return grid_overlap_pairs(it)
+
+
+def grid_overlap_pairs(it: DataFrame) -> DataFrame:
+    """Core grid-bucketed overlap pair count over (suppkey, k, s, r)
+    interval rows — split out so the semantics test can feed planted
+    intervals (incl. the pair whose two intervals BOTH span a cell
+    boundary, which must still be counted exactly once)."""
+    cells = it.select(
+        "suppkey", "k", "s", "r",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / OVERLAP_CELL_DAYS),
+                F.floor(F.col("r") / OVERLAP_CELL_DAYS),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        "suppkey", "cell",
+        F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("r").alias("ra"),
+    )
+    b = cells.select(
+        "suppkey", "cell",
+        F.col("k").alias("kb"), F.col("s").alias("sb"), F.col("r").alias("rb"),
+    )
+    pairs = (
+        a.join(b, ["suppkey", "cell"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.col("sa") <= F.col("rb"))
+            & (F.col("sb") <= F.col("ra"))
+            # count each pair exactly once: only in the cell holding the
+            # overlap start (no distinct -> no extra shuffle)
+            & (F.col("cell") == F.floor(F.greatest("sa", "sb") / OVERLAP_CELL_DAYS))
+        )
+    )
+    return pairs.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("ra", "rb") - F.greatest("sa", "sb") + 1
+        ).cast("bigint").alias("overlap_days"),
+    )

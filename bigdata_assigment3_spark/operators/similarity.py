@@ -841,9 +841,7 @@ _SRP_SPARK_ROWS = [
 ]
 
 
-@query(
-    "ann_srp_bucketed",
-    oracle=f"""
+_SRP_ORACLE = f"""
     WITH base AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
@@ -893,8 +891,10 @@ _SRP_SPARK_ROWS = [
              ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
       FROM dots
     ) WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("ann_srp_bucketed", oracle=_SRP_ORACLE)
 def q_ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-random-projection LSH ANN (Charikar SRP) with
     DETERMINISTIC hyperplanes: the ±1 weights derive from md5, so —
@@ -1242,4 +1242,48 @@ def q_ann_pq_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "rank", F.col("adc_d2").cast("bigint").alias("adc_d2"))
+    )
+
+
+# ------------------------------------------------ ANN recall evaluation
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    SELECT e.query_id,
+           CAST(COUNT(s.cand_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(s.cand_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall_at_k
+    FROM ({_ANN_ORACLE}) e
+    LEFT JOIN ({_SRP_ORACLE}) s
+      ON e.query_id = s.query_id AND e.cand_id = s.cand_id
+    GROUP BY 1
+    """,
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the banded SRP-LSH index against exact
+    brute-force cosine, AS A RELATIONAL QUERY — the index-quality
+    eval every ANN deployment runs before trusting the approximate
+    path.  Both sides are deterministic and individually value-oracled
+    (``ann_cosine_topk``, ``ann_srp_bucketed``), so unlike the usual
+    sampled/eyeballed recall number this one is exact and
+    cross-engine reproducible down to the tie-breaks.
+
+    Shape: ground truth LEFT JOIN approximate on (query, candidate),
+    hits counted per query — a probe-set-sized join (10 x {TOP_K}
+    rows each side at every SF), so the eval itself costs two index
+    scans and an O(probes) join, never a corpus shuffle.
+    """
+    exact = q_ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = q_ann_srp_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("q2"), F.col("cand_id").alias("s_cand")
+    )
+    j = exact.join(
+        approx,
+        (exact.query_id == approx.q2) & (exact.cand_id == approx.s_cand),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("s_cand").alias("n_hits"),
+        F.round(F.count("s_cand") / F.lit(float(TOP_K)), 6).alias("recall_at_k"),
     )

@@ -69,6 +69,10 @@ INVARIANCE_QUERIES = [
     "ann_srp_bucketed",
     "ann_ivf_deterministic",
     "ann_pq_deterministic",
+    # recall eval composes two rank-tie-sensitive pipelines
+    "ann_recall_eval",
+    # grid interval join (exact-once cell-ownership rule)
+    "interval_overlap_pairs",
     # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
     "dedup_semantic_clustered",
     # NB classifier (float log-prob sums rounded before the argmax)

@@ -390,6 +390,13 @@ def test_shuffle_exchange_budgets(spark):
         "ann_srp_bucketed": 2,           # bucket equi-join + rerank window
         "ann_ivf_deterministic": 6,      # probe-list rank + cluster join + rerank
         "ann_pq_deterministic": 5,       # encode agg + code argmin + ADC agg + top-k
+        # 1 at test scale (small side broadcasts); 3 allows the SMJ the
+        # same plan becomes when BOTH explode sides grow past the
+        # broadcast threshold — still no quadratic group join either way
+        "interval_overlap_pairs": 3,
+        # exact pipeline (1) + SRP bucket join/rerank (2) + eval
+        # join/agg over probe-sized sides (3)
+        "ann_recall_eval": 6,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdata_assigment3_spark.registry import REGISTRY, _load_all
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 _load_all()
 
@@ -1331,3 +1331,54 @@ def test_pq_deterministic_twin_is_adc_minimal(spark, tmp_path):
     twin = [r for r in rows if r.cand_id == 9001]
     assert twin, rows[:6]
     assert twin[0].adc_d2 == min(r.adc_d2 for r in rows), rows[:6]
+
+
+def test_grid_overlap_pairs_planted(spark):
+    """Grid interval-overlap join: planted intervals pin (a) exact-once
+    counting when BOTH intervals of a pair span the same cell boundary
+    (the pair appears in two shared cells — the greatest-start rule
+    must keep exactly one), (b) touching endpoints count as overlap,
+    (c) disjoint intervals in the same cell do NOT pair, and (d) pairs
+    never cross suppliers."""
+    from bigdata_assigment3_spark.operators.relational import (
+        OVERLAP_CELL_DAYS as C,
+        grid_overlap_pairs,
+    )
+
+    rows = [
+        # supplier 1: both intervals span the cell-0/cell-1 boundary ->
+        # candidate rows in BOTH shared cells; must count once.
+        (1, 10, C - 5, C + 5),
+        (1, 11, C - 3, C + 9),
+        # supplier 1: touches k=11 at exactly one day (s == r of other)
+        (1, 12, C + 9, C + 12),
+        # supplier 1: same cell as k=10 but disjoint from everything
+        (1, 13, 1, 2),
+        # supplier 2: identical interval to k=10 but different supplier
+        (2, 14, C - 5, C + 5),
+    ]
+    it = spark.createDataFrame(rows, "suppkey long, k long, s long, r long")
+    got = {
+        r["suppkey"]: (r["n_pairs"], r["overlap_days"])
+        for r in grid_overlap_pairs(it).collect()
+    }
+    # supplier 1 pairs: (10,11) overlap C-3..C+5 = 9 days, counted once;
+    # (11,12) overlap exactly day C+9 = 1 day; (10,12) disjoint; 13 disjoint.
+    assert got == {1: (2, 10)}
+
+
+def test_ann_recall_eval_invariants(spark):
+    """Recall eval: one row per probe query, hits bounded by k, recall
+    arithmetically consistent with hits, and the banded SRP index is
+    not degenerate (mean recall must clear a floor a broken index —
+    empty buckets, wrong band packing — would miss)."""
+    from bigdata_assigment3_spark.operators import similarity as sim
+
+    rows = sim.q_ann_recall_eval(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in rows} == {
+        i * sim.QUERY_STRIDE for i in range(sim.N_PROBE_QUERIES)
+    }
+    for r in rows:
+        assert 0 <= r["n_hits"] <= sim.TOP_K
+        assert abs(r["recall_at_k"] - r["n_hits"] / sim.TOP_K) < 1e-9
+    assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.2
