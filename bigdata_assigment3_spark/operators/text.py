@@ -838,3 +838,126 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") == F.col("lang")).alias("correct"),
         "score_e4",
     )
+
+
+# ------------------------------------------------ HTML -> text extraction
+
+
+def _html_extract_duck() -> str:
+    """DuckDB twin of the Spark extraction chain below — kept adjacent
+    so the two regex/entity pipelines can be reviewed side by side."""
+    build = """
+      '<html><head><title>' || source || ' #' || CAST(doc_id AS VARCHAR)
+      || '</title><style>.m{color:#333}</style></head><body>'
+      || '<script type="text/javascript">track("' || source || '",'
+      || CAST(doc_id AS VARCHAR) || ');</script>'
+      || '<nav>home about contact</nav>'
+      || '<h1>' || lang || ' &lt;doc ' || CAST(doc_id AS VARCHAR) || '&gt;</h1>'
+      || '<p>' || replace(text, ' table ', ' &quot;table&quot; ') || '</p>'
+      || '<footer>site map</footer></body></html>'
+    """
+    return f"""
+    WITH page AS (SELECT doc_id, {build} AS html FROM documents),
+    stripped AS (
+      SELECT doc_id, html,
+        replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, '(?s)<head>.*?</head>', ' ', 'g'),
+                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+              '</(nav|h1|p|footer)>', chr(10), 'g'),
+            '<[^>]*>', ' ', 'g'),
+          '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS decoded
+      FROM page
+    ),
+    main AS (
+      SELECT doc_id, html,
+        COALESCE(list_aggregate(
+          list_filter(
+            list_transform(string_split(decoded, chr(10)),
+                           s -> trim(regexp_replace(s, ' +', ' ', 'g'))),
+            s -> len(string_split(s, ' ')) >= 4),
+          'string_agg', ' '), '') AS main_text
+      FROM stripped
+    )
+    SELECT doc_id, main_text,
+           CAST(len(string_split(main_text, ' ')) AS BIGINT) AS n_words,
+           ROUND((length(html) - length(main_text))
+                 / CAST(length(html) AS DOUBLE), 6) AS markup_ratio
+    FROM main
+    """
+
+
+@query("html_text_extract", oracle=_html_extract_duck())
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-text extraction — the first stage of every web-
+    scrape LLM corpus pipeline (trafilatura/jusText class), expressed
+    entirely as JVM-side string expressions: no UDF, no Python in the
+    hot path, so the whole chain stays inside whole-stage codegen and
+    scales as a pure projection (zero shuffles).
+
+    Both engines first wrap each document in an identical
+    deterministic page (head/title/style, a script tag, nav chrome,
+    an entity-bearing h1, the body paragraph with injected
+    ``&quot;`` entities, footer chrome) and then run the SAME
+    extraction semantics:
+
+      1. drop ``<head>...</head>`` (title/style are not content),
+      2. drop ``<script>`` blocks,
+      3. turn block-closers into line breaks,
+      4. strip remaining tags,
+      5. decode entities AFTER tag-stripping (decoded ``<`` must not
+         create fake tags),
+      6. boilerplate rule: keep only segments with >= 4 words (nav,
+         headings, footer chrome all fall below it; the ``documents``
+         corpus is >= 10 words per doc, so real content never does),
+      7. collapse/trim whitespace and report text + word count +
+         markup ratio (the classic text-to-markup quality signal).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.expr(
+        """concat(
+        '<html><head><title>', source, ' #', CAST(doc_id AS STRING),
+        '</title><style>.m{color:#333}</style></head><body>',
+        '<script type="text/javascript">track("', source, '",',
+        CAST(doc_id AS STRING), ');</script>',
+        '<nav>home about contact</nav>',
+        '<h1>', lang, ' &lt;doc ', CAST(doc_id AS STRING), '&gt;</h1>',
+        '<p>', replace(text, ' table ', ' &quot;table&quot; '), '</p>',
+        '<footer>site map</footer></body></html>')"""
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    decoded = F.expr(
+        """replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, '(?s)<head>.*?</head>', ' '),
+                '(?s)<script[^>]*>.*?</script>', ' '),
+              '</(nav|h1|p|footer)>', chr(10)),
+            '<[^>]*>', ' '),
+          '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"""
+    )
+    main_text = F.expr(
+        """array_join(
+          filter(
+            transform(split(decoded, chr(10)),
+                      s -> trim(regexp_replace(s, ' +', ' '))),
+            s -> size(split(s, ' ')) >= 4),
+        ' ')"""
+    )
+    return (
+        page.withColumn("decoded", decoded)
+        .withColumn("main_text", main_text)
+        .select(
+            "doc_id",
+            "main_text",
+            F.size(F.split("main_text", " ")).cast("bigint").alias("n_words"),
+            F.round(
+                (F.length("html") - F.length("main_text"))
+                / F.length("html").cast("double"),
+                6,
+            ).alias("markup_ratio"),
+        )
+    )

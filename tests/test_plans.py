@@ -397,6 +397,7 @@ def test_shuffle_exchange_budgets(spark):
         # exact pipeline (1) + SRP bucket join/rerank (2) + eval
         # join/agg over probe-sized sides (3)
         "ann_recall_eval": 6,
+        "html_text_extract": 0,          # pure codegen string projection
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

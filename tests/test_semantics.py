@@ -1382,3 +1382,26 @@ def test_ann_recall_eval_invariants(spark):
         assert 0 <= r["n_hits"] <= sim.TOP_K
         assert abs(r["recall_at_k"] - r["n_hits"] / sim.TOP_K) < 1e-9
     assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.2
+
+
+def test_html_extract_recovers_exact_content(spark):
+    """End-to-end property: for every document, the extraction chain
+    must recover EXACTLY the body paragraph (the original text with
+    the injected entity round-trip applied) — no nav/head/script/
+    footer residue, no lost or split content words."""
+    from bigdata_assigment3_spark.operators.text import q_html_text_extract
+    from bigdata_assigment3_spark.sources import load_table
+
+    got = q_html_text_extract(spark, SF_SMOKE)
+    want = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.expr("replace(text, ' table ', ' \"table\" ')").alias("want_text"),
+    )
+    j = got.join(want, "doc_id")
+    n_total = j.count()
+    assert n_total > 0
+    assert j.filter(F.col("main_text") != F.col("want_text")).count() == 0
+    # markup ratio is a real signal: strictly inside (0, 1) everywhere
+    assert j.filter(
+        (F.col("markup_ratio") <= 0) | (F.col("markup_ratio") >= 1)
+    ).count() == 0
