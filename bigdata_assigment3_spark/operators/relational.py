@@ -1203,11 +1203,9 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derive the identical interval: transit = 1 + (line key) % 28 days.
 OVERLAP_CELL_DAYS = 32  # >= max interval width (29d) => each interval spans <= 2 cells
 
-
-@query(
-    "interval_overlap_pairs",
-    oracle=f"""
-    WITH it AS (
+# Oracle twin of transit_intervals() below — shared by both interval ops.
+TRANSIT_IT_SQL = """
+    it AS (
       SELECT l_suppkey AS suppkey, l_orderkey * 8 + l_linenumber AS k,
              date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
              date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
@@ -1215,6 +1213,13 @@ OVERLAP_CELL_DAYS = 32  # >= max interval width (29d) => each interval spans <= 
       FROM lineitem
       WHERE l_quantity >= 45
     )
+"""
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle=f"""
+    WITH {TRANSIT_IT_SQL}
     SELECT a.suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(LEAST(a.r, b.r) - GREATEST(a.s, b.s) + 1) AS BIGINT) AS overlap_days
     FROM it a JOIN it b
@@ -1247,16 +1252,23 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.3 'absent' row); this is the Spark-first pattern a
     shipment-concurrency query would need.
     """
+    return grid_overlap_pairs(transit_intervals(spark, sf_dir))
+
+
+def transit_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-shipment transit intervals (suppkey, k, s, r) shared by
+    the grid-overlap join and the sweep-line union coverage — one
+    definition so the two oracles can never disagree about the
+    synthesized transit leg."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
     k = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint")
     s = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).cast("bigint")
-    it = li.select(
+    return li.select(
         F.col("l_suppkey").alias("suppkey"),
         k.alias("k"),
         s.alias("s"),
         (s + 1 + k % 28).alias("r"),
     )
-    return grid_overlap_pairs(it)
 
 
 def grid_overlap_pairs(it: DataFrame) -> DataFrame:
@@ -1298,3 +1310,141 @@ def grid_overlap_pairs(it: DataFrame) -> DataFrame:
             F.least("ra", "rb") - F.greatest("sa", "sb") + 1
         ).cast("bigint").alias("overlap_days"),
     )
+
+
+@query(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH {TRANSIT_IT_SQL},
+    days AS (
+      SELECT it.suppkey, d.d AS d
+      FROM it, unnest(generate_series(it.s, it.r)) AS d(d)
+    ),
+    per_day AS (
+      SELECT suppkey, d, COUNT(*) AS cov FROM days GROUP BY 1, 2
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS BIGINT) AS busy_days,
+           CAST(MAX(cov) AS BIGINT) AS max_concurrent
+    FROM per_day
+    GROUP BY 1
+    """,
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per supplier via SWEEP LINE: busy days (days
+    with >= 1 shipment in transit) and peak concurrency, over the same
+    transit intervals as ``interval_overlap_pairs``.
+
+    The naive plan explodes every interval into its days — O(n x
+    width) rows, and width is data (a 1-year interval is 365 rows).
+    The sweep is O(n) rows regardless of width: each interval
+    contributes one +1 event at s and one -1 at r+1, a per-(supplier,
+    day) delta aggregate collapses simultaneous events, a running sum
+    per supplier ordered by day gives the coverage on [day, next_day),
+    and busy days = sum of segment lengths where coverage > 0.  The
+    DuckDB oracle IS the naive day-explode (exact same answer, safe at
+    oracle scale because transit <= 29 days), which is the point: the
+    sweep must reproduce brute-force day counting exactly.
+
+    Scale shape: one shuffle to the (suppkey, day) delta agg, one
+    suppkey-partitioned window — never a row per covered day, never an
+    unpartitioned window.
+    """
+    return sweep_union_coverage(transit_intervals(spark, sf_dir))
+
+
+def sweep_union_coverage(it: DataFrame) -> DataFrame:
+    """Core sweep-line union over (suppkey, k, s, r) interval rows —
+    split out so the semantics test can feed planted intervals
+    (touching-but-not-overlapping, nested, disjoint)."""
+    ev = it.select("suppkey", F.col("s").alias("day"), F.lit(1).alias("delta")).unionAll(
+        it.select("suppkey", (F.col("r") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    deltas = ev.groupBy("suppkey", "day").agg(F.sum("delta").alias("delta"))
+    w = Window.partitionBy("suppkey").orderBy("day")
+    swept = deltas.select(
+        "suppkey",
+        "day",
+        F.sum("delta").over(w).alias("cov"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    return (
+        swept.filter((F.col("cov") > 0) & F.col("next_day").isNotNull())
+        .groupBy("suppkey")
+        .agg(
+            F.sum(F.col("next_day") - F.col("day")).cast("bigint").alias("busy_days"),
+            F.max("cov").cast("bigint").alias("max_concurrent"),
+        )
+    )
+
+
+@query(
+    "pareto_skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c, p_size
+      FROM part
+    )
+    SELECT p_brand AS brand, p_partkey AS partkey, price_c,
+           CAST(p_size AS BIGINT) AS size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_brand = a.p_brand
+        AND ((b.price_c < a.price_c AND b.p_size >= a.p_size)
+          OR (b.price_c <= a.price_c AND b.p_size > a.p_size))
+    )
+    """,
+)
+def q_pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) per brand — cheapest-for-the-size
+    parts (minimize price, maximize size), the multi-objective
+    shortlist query (Borzsony/Kossmann/Stocker, ICDE'01).
+
+    The definitional plan is a quadratic NOT EXISTS self-join per
+    brand — exactly what the DuckDB oracle runs.  The engine instead
+    uses the 2D sort trick: with prices as exact integer CENTS, two
+    brand-partitioned RANGE windows give max(size) over strictly
+    cheaper rows (frame ... AND 1 PRECEDING by value) and over
+    cheaper-or-equal rows (peers included); a part is dominated iff
+    the first is >= its size or the second exceeds it.  O(n log n)
+    per brand, no self-join, and ties (identical price+size twins)
+    survive together on the frontier in both formulations.
+
+    Cents, not doubles: a RANGE offset of -1 is only 'strictly
+    cheaper' when consecutive representable prices differ by >= 1,
+    which money in cents guarantees and float prices do not.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline_2d(p)
+
+
+def skyline_2d(p: DataFrame) -> DataFrame:
+    """Core per-brand 2D skyline over (brand, partkey, price_c, size)
+    rows — split out so the semantics test can plant frontier twins,
+    dominated points, and cross-brand decoys."""
+    w_lt = (
+        Window.partitionBy("brand").orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("brand").orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = p.select(
+        "brand", "partkey", "price_c", "size",
+        F.max("size").over(w_lt).alias("max_lt"),
+        F.max("size").over(w_le).alias("max_le"),
+    )
+    return flagged.filter(
+        ~(
+            (F.col("max_lt").isNotNull() & (F.col("max_lt") >= F.col("size")))
+            | (F.col("max_le") > F.col("size"))
+        )
+    ).select("brand", "partkey", "price_c", "size")

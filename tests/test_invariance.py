@@ -73,6 +73,9 @@ INVARIANCE_QUERIES = [
     "ann_recall_eval",
     # grid interval join (exact-once cell-ownership rule)
     "interval_overlap_pairs",
+    # sweep-line running sum + lead; skyline RANGE-frame maxes
+    "interval_union_coverage",
+    "pareto_skyline_parts",
     # one-step-Lloyd semantic dedup (LIMIT seed selection + rank ties)
     "dedup_semantic_clustered",
     # NB classifier (float log-prob sums rounded before the argmax)

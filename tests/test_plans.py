@@ -398,6 +398,9 @@ def test_shuffle_exchange_budgets(spark):
         # join/agg over probe-sized sides (3)
         "ann_recall_eval": 6,
         "html_text_extract": 0,          # pure codegen string projection
+        "bitmap_distinct_users": 2,      # (type,word) bit_or agg + popcount agg
+        "interval_union_coverage": 2,    # sweep delta agg + suppkey window/agg
+        "pareto_skyline_parts": 1,       # one brand shuffle feeds both windows
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

@@ -1405,3 +1405,70 @@ def test_html_extract_recovers_exact_content(spark):
     assert j.filter(
         (F.col("markup_ratio") <= 0) | (F.col("markup_ratio") >= 1)
     ).count() == 0
+
+
+def test_sweep_union_coverage_planted(spark):
+    """Sweep-line interval union: touching intervals merge into one
+    busy run without ever overlapping (max_concurrent stays 1),
+    nested intervals raise concurrency but not busy days, and a gap
+    splits runs."""
+    from bigdata_assigment3_spark.operators.relational import sweep_union_coverage
+
+    rows = [
+        # supplier 1: [0,5] and [6,10] touch (contiguous, no overlap),
+        # then a gap, then [20,20]
+        (1, 1, 0, 5), (1, 2, 6, 10), (1, 3, 20, 20),
+        # supplier 2: [0,10] with [3,5] nested inside
+        (2, 4, 0, 10), (2, 5, 3, 5),
+    ]
+    it = spark.createDataFrame(rows, "suppkey long, k long, s long, r long")
+    got = {
+        r["suppkey"]: (r["busy_days"], r["max_concurrent"])
+        for r in sweep_union_coverage(it).collect()
+    }
+    assert got == {1: (12, 1), 2: (11, 2)}
+
+
+def test_skyline_2d_planted(spark):
+    """Skyline: identical-price+size twins both survive, a strictly
+    dominated point dies, a cheaper-same-size point kills the pricier
+    one, and dominance never crosses brands."""
+    from bigdata_assigment3_spark.operators.relational import skyline_2d
+
+    rows = [
+        # brand A frontier: (100, 5) twins + (200, 9)
+        ("A", 1, 100, 5), ("A", 2, 100, 5), ("A", 3, 200, 9),
+        # dominated: (150, 4) loses to (100,5); (250, 9) loses to (200,9)
+        ("A", 4, 150, 4), ("A", 5, 250, 9),
+        # brand B: (150, 4) is fine HERE (no dominator in B)
+        ("B", 6, 150, 4),
+    ]
+    p = spark.createDataFrame(rows, "brand string, partkey long, price_c long, size long")
+    keys = sorted(r["partkey"] for r in skyline_2d(p).collect())
+    assert keys == [1, 2, 3, 6]
+
+
+def test_bitmap_distinct_matches_count_distinct(spark):
+    """The bitmap-word pipeline must equal plain countDistinct on the
+    same data — including users that straddle 63-bit word boundaries
+    and users appearing in many rows (idempotent OR)."""
+    from bigdata_assigment3_spark.operators.sketches import q_bitmap_distinct_users
+    from bigdata_assigment3_spark.sources import load_table
+
+    got = {
+        r["event_type"]: (r["n_users"], r["n_words"])
+        for r in q_bitmap_distinct_users(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: (r["n"], r["w"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.countDistinct(F.expr("user_id DIV 63")).alias("w"),
+        )
+        .collect()
+    }
+    assert got == want
+    # word compression is real on this corpus (some word holds >1 user)
+    assert any(n > w for n, w in got.values())
