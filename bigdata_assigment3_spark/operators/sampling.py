@@ -354,3 +354,57 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_kept_ids", F.lit(0)).cast("bigint").alias("sum_kept_ids"),
         )
     )
+
+
+# ------------------------------------- systematic weighted sampling
+
+SYS_STEP = 1000  # select one threshold per SYS_STEP chars of stratum mass
+
+
+@query(
+    "systematic_weighted_sample",
+    oracle=f"""
+    WITH cum AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           CAST(c // {SYS_STEP} - (c - n_chars) // {SYS_STEP} AS BIGINT) AS n_units
+    FROM cum
+    WHERE c // {SYS_STEP} > (c - n_chars) // {SYS_STEP}
+    """,
+)
+def q_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (fixed-interval) weighted sampling per source
+    stratum: lay documents along the cumulative n_chars axis in
+    doc_id order and select every document whose span covers a
+    multiple of {SYS_STEP} — selection probability proportional to
+    length, like the Bernoulli ``importance_weighted_sample``, but
+    with ZERO count variance (exactly floor(stratum_mass/{SYS_STEP})
+    +-1 selections per stratum, the property mixture builders want
+    when a stage must emit a predictable token budget).  ``n_units``
+    is the multiplicity for documents longer than the step.
+
+    Everything is integer (cumulative BIGINT sums, floor division) so
+    membership is bit-identical across engines — no float ever
+    touches the threshold test.
+
+    Scale shape: one window per stratum (strata are few and the
+    window is partitioned); at 100 TB replace the single window with
+    the per-partition-offset prefix-sum used by ``surrogate_keys`` —
+    same arithmetic, two passes, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("c")
+    )
+    lo = F.expr(f"(c - n_chars) DIV {SYS_STEP}")
+    hi = F.expr(f"c DIV {SYS_STEP}")
+    return cum.filter(hi > lo).select(
+        "source", "doc_id", "n_chars", (hi - lo).cast("bigint").alias("n_units")
+    )

@@ -1287,3 +1287,68 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s_cand").alias("n_hits"),
         F.round(F.count("s_cand") / F.lit(float(TOP_K)), 6).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------- reciprocal-rank fusion
+
+RRF_K = 60  # the standard Cormack/Clarke/Buettcher damping constant
+
+
+@query(
+    "ann_rrf_fusion",
+    oracle=f"""
+    WITH srp AS ({_SRP_ORACLE}),
+    ivf AS ({_ivf_det_oracle()}),
+    both_lists AS (
+      SELECT query_id, cand_id, rank FROM srp
+      UNION ALL
+      SELECT query_id, cand_id, rank FROM ivf
+    ),
+    fused AS (
+      SELECT query_id, cand_id,
+             SUM(1.0 / ({RRF_K} + rank)) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM both_lists GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, fused_rank, n_lists, rrf_score FROM (
+      SELECT query_id, cand_id, n_lists,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, cand_id) AS BIGINT) AS fused_rank,
+             ROUND(score, 6) AS rrf_score
+      FROM fused
+    ) WHERE fused_rank <= {TOP_K}
+    """,
+)
+def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) of the
+    two deterministic ANN indexes — the standard hybrid-retrieval
+    combiner (vector + keyword in RAG stacks; here SRP-LSH + IVF,
+    which fail on DIFFERENT queries, so fusion beats either alone).
+    score(c) = sum over lists of 1/({RRF_K} + rank_c); candidates
+    missing from a list contribute nothing.  Because both input
+    rankings are value-oracled and each fused score is a sum of at
+    most two doubles from a 10-value domain, the fusion is exact
+    cross-engine — rank ties break by cand_id as everywhere else.
+
+    Scale shape: the inputs are probe-sized (10 x {TOP_K} rows each)
+    no matter the corpus, so fusion adds one union + one tiny agg +
+    one tiny window on top of the index scans; the corpus is touched
+    only by the underlying indexes.
+    """
+    srp = q_ann_srp_bucketed(spark, sf_dir).select("query_id", "cand_id", "rank")
+    ivf = q_ann_ivf_deterministic(spark, sf_dir).select("query_id", "cand_id", "rank")
+    fused = (
+        srp.unionAll(ivf)
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum(1.0 / (F.lit(RRF_K) + F.col("rank"))).alias("score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select("query_id", "cand_id", "fused_rank", "n_lists",
+                F.round("score", 6).alias("rrf_score"))
+    )

@@ -71,6 +71,10 @@ INVARIANCE_QUERIES = [
     "ann_pq_deterministic",
     # recall eval composes two rank-tie-sensitive pipelines
     "ann_recall_eval",
+    # RRF fusion (float score ties broken by cand_id)
+    "ann_rrf_fusion",
+    # integer prefix-sum membership (stratum window order)
+    "systematic_weighted_sample",
     # grid interval join (exact-once cell-ownership rule)
     "interval_overlap_pairs",
     # sweep-line running sum + lead; skyline RANGE-frame maxes

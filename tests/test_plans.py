@@ -401,6 +401,11 @@ def test_shuffle_exchange_budgets(spark):
         "bitmap_distinct_users": 2,      # (type,word) bit_or agg + popcount agg
         "interval_union_coverage": 2,    # sweep delta agg + suppkey window/agg
         "pareto_skyline_parts": 1,       # one brand shuffle feeds both windows
+        "systematic_weighted_sample": 1,  # one stratum-window shuffle
+        # SRP (2) + IVF rerank over the memoized assignment (warm: 5)
+        # + fusion union/agg/window on probe-sized rows; cold sessions
+        # add the assignment build chain, hence the headroom
+        "ann_rrf_fusion": 12,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

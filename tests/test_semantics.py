@@ -1472,3 +1472,53 @@ def test_bitmap_distinct_matches_count_distinct(spark):
     assert got == want
     # word compression is real on this corpus (some word holds >1 user)
     assert any(n > w for n, w in got.values())
+
+
+def test_systematic_sample_exact_budget(spark):
+    """Systematic weighted sampling: per stratum, the selected unit
+    count is EXACTLY floor(stratum_mass / step) — the zero-variance
+    property that distinguishes it from Bernoulli sampling — and
+    every selected doc carries n_units >= 1."""
+    from bigdata_assigment3_spark.operators.sampling import (
+        SYS_STEP,
+        q_systematic_weighted_sample,
+    )
+    from bigdata_assigment3_spark.sources import load_table
+
+    sel = q_systematic_weighted_sample(spark, SF_SMOKE)
+    got = {
+        r["source"]: r["units"]
+        for r in sel.groupBy("source").agg(F.sum("n_units").alias("units")).collect()
+    }
+    mass = {
+        r["source"]: r["m"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("m"))
+        .collect()
+    }
+    assert got and got == {s: m // SYS_STEP for s, m in mass.items() if m // SYS_STEP > 0}
+    assert sel.filter(F.col("n_units") < 1).count() == 0
+
+
+def test_rrf_fusion_two_list_dominance(spark):
+    """RRF invariant: with ranks <= 5 and k=60, the worst two-list
+    score (2/65) beats the best one-list score (1/61), so within
+    every query ALL n_lists=2 candidates must outrank ALL n_lists=1
+    candidates; and at least one genuine two-list candidate exists."""
+    from bigdata_assigment3_spark.operators.similarity import q_ann_rrf_fusion
+
+    rows = q_ann_rrf_fusion(spark, SF_SMOKE).collect()
+    assert any(r["n_lists"] == 2 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        worst_two = max(
+            (r["fused_rank"] for r in rs if r["n_lists"] == 2), default=None
+        )
+        best_one = min(
+            (r["fused_rank"] for r in rs if r["n_lists"] == 1), default=None
+        )
+        if worst_two is not None and best_one is not None:
+            assert worst_two < best_one
