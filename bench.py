@@ -109,6 +109,12 @@ HEADLINE = [
     "hll_registers_portable",
     # round-8: quality-100 textured JPEG (exact integer IDCT path)
     "image_jpeg_q100_decode",
+    # round-8 continuation: scale-pattern batch (grid interval join,
+    # bitmap exact distinct, codegen HTML extraction, hybrid fusion)
+    "interval_overlap_pairs",
+    "bitmap_distinct_users",
+    "html_text_extract",
+    "ann_rrf_fusion",
 ]
 
 

@@ -1199,3 +1199,192 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars_actual").cast("bigint").alias("n_chars_actual"),
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+# ------------------------------------------- LSH band-tuning audit
+
+# All (bands x rows) factorizations of the J=8 signature, from
+# recall-greedy (8x1) to precision-greedy (1x8).
+BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+_SIG_CACHE: dict = {}
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature arrays (doc_id, mh), persisted and
+    memoized per (session, sf_dir) like the inverted index: the
+    band-tuning audit regroups this ONE table four ways, so the
+    signature hash runs once per corpus, not once per configuration."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_SIG_CACHE):
+        if k[0] == key[0]:
+            _SIG_CACHE.pop(k).unpersist()
+        else:
+            del _SIG_CACHE[k]
+    sig = (
+        _shingles_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("shs"))
+        .select("doc_id", F.expr(MINHASH_SIG_EXPR).alias("mh"))
+        .persist()
+    )
+    sig.count()
+    _SIG_CACHE[key] = sig
+    return sig
+
+
+def _band_tuning_oracle() -> str:
+    cfg_ctes, cfg_union = [], []
+    for b, r in BAND_CONFIGS:
+        key = md5_int56_duck(f"array_to_string(mh[(i.i*{r}+1):(i.i*{r}+{r})], ',')")
+        cfg_ctes.append(f"""
+    bk_{b}_{r} AS (
+      SELECT doc_id, i.i AS band, {key} AS key
+      FROM sig_arr, range(0, {b}) AS i(i)
+    ),
+    cd_{b}_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bk_{b}_{r} a JOIN bk_{b}_{r} b2
+        ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+    ),
+    ct_{b}_{r} AS (
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             COUNT(c.doc_a) AS n_candidates,
+             COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+               AS n_true_detected
+      FROM cd_{b}_{r} c
+      LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )""")
+        cfg_union.append(f"SELECT * FROM ct_{b}_{r}")
+    return f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH}, {_DUCK_JACCARD_PAIRS.lstrip().lstrip(',')},
+    sig_arr AS (SELECT doc_id, list(mh ORDER BY j) AS mh FROM sig GROUP BY 1),
+    truth AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard >= {JACC_T}),
+    {','.join(cfg_ctes)},
+    u AS ({' UNION ALL '.join(cfg_union)})
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_detected AS BIGINT) AS n_true_detected,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_total,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0
+                 ELSE n_true_detected
+                      / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END, 6) AS recall,
+           ROUND(CASE WHEN n_candidates = 0 THEN 0
+                 ELSE n_true_detected / CAST(n_candidates AS DOUBLE) END, 6) AS hit_rate
+    FROM u
+    """
+
+
+@query("lsh_band_tuning_audit", oracle=_band_tuning_oracle())
+def q_lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH INDEX TUNING AS A QUERY: sweep every (bands x rows)
+    factorization of the J=8 minhash signature — 8x1
+    (recall-greedy) through 1x8 (precision-greedy) — and report, per
+    configuration, the candidate-pair volume, how many true
+    (Jaccard >= 0.5) pairs the banding catches, recall against
+    the exact pair table, and the candidate hit rate.  This is the
+    S-curve trade every production dedup tunes by; here it is a
+    relational audit over ONE signature build, so re-banding costs a
+    regroup, never a re-hash of the corpus.
+
+    Band keys hash the row-slice through the shared 56-bit md5 (the
+    integer-polynomial key used by the 4x2 production banding caps at
+    two rows; md5 handles r up to 8 without overflow).  Shingles,
+    signatures, and the ground-truth pair table are the exact
+    constructs behind ``dedup_minhash_lsh`` / ``dedup_jaccard_pairs``,
+    so the audit can never drift from the index it tunes.
+
+    Scale: per config the only corpus-sized shuffle is the (band,
+    key) bucket groupBy — same class as the production banding; the
+    truth join is dup-rate-sized.  Monotonicity (wider bands => more
+    candidates, never fewer true hits) is test-pinned.
+    """
+    sig = _signature_df(spark, sf_dir)
+    truth = (
+        _jaccard_pairs_df(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACC_T)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
+    total = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true_total"))
+    # ONE tagged band table for all four configs: the per-config
+    # branches are pure projections over the cached signature table,
+    # so the whole sweep pays a single (config, band, key) bucket
+    # shuffle, a single pair-distinct, and a single truth join.
+    parts = []
+    for b, r in BAND_CONFIGS:
+        key_expr = md5_int56_spark(
+            f"array_join(transform(slice(mh, band*{r}+1, {r}),"
+            " x -> CAST(x AS STRING)), ',')"
+        )
+        parts.append(
+            sig.select(
+                "doc_id", "mh", F.explode(F.expr(f"sequence(0, {b - 1})")).alias("band")
+            ).select(
+                F.lit(b).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                "doc_id",
+                "band",
+                F.expr(key_expr).alias("key"),
+            )
+        )
+    bk = parts[0]
+    for p_ in parts[1:]:
+        bk = bk.unionAll(p_)
+    buckets = (
+        bk.groupBy("bands", "rows_per_band", "band", "key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    cand = (
+        buckets.select(
+            "bands", "rows_per_band", F.explode(F.expr(PAIR_EXPANSION_EXPR)).alias("p")
+        )
+        .select("bands", "rows_per_band", "p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    stats = (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_true_detected"),
+        )
+    )
+    # a zero-candidate config would drop out of the groupBy: re-anchor
+    # on the literal config list so every row the oracle emits exists
+    cfgs = parts[0].sparkSession.createDataFrame(
+        [(b, r) for b, r in BAND_CONFIGS], "bands long, rows_per_band long"
+    )
+    u = cfgs.join(stats, ["bands", "rows_per_band"], "left").select(
+        "bands",
+        "rows_per_band",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_true_detected", F.lit(0)).cast("bigint").alias("n_true_detected"),
+    )
+    # COUNT(*) over an empty (zero-candidate) config still yields its
+    # row, matching the oracle's scalar-aggregate semantics.  The
+    # 1-row total side needs no broadcast hint — AQE picks BNLJ on a
+    # single-row side by itself, and the provenance gate stays clean.
+    return u.crossJoin(total).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_detected",
+        F.col("n_true_total").cast("bigint").alias("n_true_total"),
+        F.round(
+            F.when(F.col("n_true_total") == 0, 0.0).otherwise(
+                F.col("n_true_detected") / F.col("n_true_total").cast("double")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_candidates") == 0, 0.0).otherwise(
+                F.col("n_true_detected") / F.col("n_candidates").cast("double")
+            ),
+            6,
+        ).alias("hit_rate"),
+    )

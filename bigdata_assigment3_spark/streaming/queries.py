@@ -1426,3 +1426,42 @@ def q_stream_corpus_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("byte_len").cast("bigint").alias("total_bytes"),
         F.bit_xor("h56").cast("bigint").alias("content_checksum"),
     )
+
+
+@query(
+    "stream_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_words
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct-user counts with BITMAP state — the
+    streaming twin of ``bitmap_distinct_users``: the streaming
+    aggregation keys on (event_type, user_id DIV 63) and bit_or's the
+    63-bit masks, so distinct state is one row per WORD (63 users)
+    instead of one dedup-state row per user — the state-store
+    compression that keeps exact streaming distinct viable when the
+    id space is large.  bit_or is idempotent and commutative, so the
+    incremental complete-mode result is batch-equal no matter how the
+    micro-batches split — which the batch COUNT(DISTINCT) oracle
+    checks end to end.  The popcount fold runs batch-side on the
+    drained sink (stacked streaming aggregations are unsupported in
+    complete mode, and the fold is output-sized anyway).
+    """
+    ev = _stream_events(spark, sf_dir)
+    words = ev.select(
+        "event_type",
+        F.expr("user_id DIV 63").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("mask"),
+    )
+    agg = words.groupBy("event_type", "word").agg(F.bit_or("mask").alias("bits"))
+    _run_to_memory(agg, "stream_bitmap_distinct_sink")
+    out = spark.table("stream_bitmap_distinct_sink")
+    return out.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

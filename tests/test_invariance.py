@@ -65,6 +65,7 @@ INVARIANCE_QUERIES = [
     "ann_ivf_probe",
     # LSH banding + sparse similarity (collect_list ordering)
     "dedup_minhash_lsh",
+    "lsh_band_tuning_audit",
     "ann_cosine_topk",
     "ann_srp_bucketed",
     "ann_ivf_deterministic",
@@ -128,8 +129,8 @@ def _clear_memo_caches():
     from bigdata_assigment3_spark.operators import curation, dedup, similarity
 
     for cache in (dedup._INV_CACHE, dedup._PAIRS_CACHE, dedup._CANON_CACHE,
-                  dedup._SEM_ASSIGN_CACHE, curation._RANGED_CACHE,
-                  similarity._PQ_CACHE):
+                  dedup._SEM_ASSIGN_CACHE, dedup._SIG_CACHE,
+                  curation._RANGED_CACHE, similarity._PQ_CACHE):
         for val in cache.values():
             for part in val if isinstance(val, tuple) else (val,):
                 if isinstance(part, DataFrame):

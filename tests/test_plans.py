@@ -406,6 +406,11 @@ def test_shuffle_exchange_budgets(spark):
         # + fusion union/agg/window on probe-sized rows; cold sessions
         # add the assignment build chain, hence the headroom
         "ann_rrf_fusion": 12,
+        # static count dominated by the cached inverted-index/signature
+        # lineage embedded in InMemoryRelation (like dedup_containment);
+        # the live work is ONE bucket shuffle + one distinct + the
+        # dup-rate-sized truth join (runs 1.2s warm at sf0.01)
+        "lsh_band_tuning_audit": 78,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

@@ -1522,3 +1522,23 @@ def test_rrf_fusion_two_list_dominance(spark):
         )
         if worst_two is not None and best_one is not None:
             assert worst_two < best_one
+
+
+def test_band_tuning_nesting_monotone(spark):
+    """Banding nests: a pair agreeing on an r=2k band agrees on both
+    its r=k halves, so candidate sets shrink monotonically from 8x1
+    to 1x8 — and so do detected true pairs; n_true_total is constant
+    across configs."""
+    from bigdata_assigment3_spark.operators.dedup import q_lsh_band_tuning_audit
+
+    rows = sorted(
+        q_lsh_band_tuning_audit(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert [r["bands"] for r in rows] == [8, 4, 2, 1]
+    assert len({r["n_true_total"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] >= b["n_candidates"]
+        assert a["n_true_detected"] >= b["n_true_detected"]
+    # the recall-greedy end actually finds something on this corpus
+    assert rows[0]["n_true_detected"] > 0
