@@ -381,3 +381,89 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+AUDIENCE_VALUE_MIN = 180.0  # high-value event threshold
+
+
+@query(
+    "bitmap_audience_overlap",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events WHERE value >= {AUDIENCE_VALUE_MIN}
+    ),
+    s AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+    i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_intersect
+      FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_intersect, 0) AS BIGINT) AS n_intersect,
+           CAST(sa.n + sb.n - COALESCE(i.n_intersect, 0) AS BIGINT) AS n_union,
+           ROUND(COALESCE(i.n_intersect, 0)
+                 / CAST(sa.n + sb.n - COALESCE(i.n_intersect, 0) AS DOUBLE), 6) AS jaccard
+    FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+    LEFT JOIN i ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    """,
+)
+def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap matrix (the 'did X and Y' cross-feature
+    analysis) over high-value audiences, computed on BITMAPS: per
+    (type, word) masks from ``bitmap_distinct_users``'s layout, the
+    intersection is popcount(bits_a AND bits_b) summed over the
+    word-aligned inner join, and unions come from inclusion-exclusion
+    on the per-type popcounts — so absent words never need an outer
+    join and no per-user pair rows ever exist.
+
+    The naive plan (the DuckDB oracle) self-joins the distinct
+    (type, user) table on user — |audience| rows per type per pair.
+    The bitmap plan's pair join touches |audience|/63 word rows per
+    type, and the full T x T matrix reuses the ONE bitmap build.
+
+    Zero-overlap type pairs would vanish from the intersection join;
+    the pair frame is re-anchored on sizes x sizes so the matrix is
+    always complete, 0-cells included.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") >= AUDIENCE_VALUE_MIN
+    )
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id DIV 63").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n")
+    )
+    a = words.select(F.col("event_type").alias("type_a"), "word",
+                     F.col("bits").alias("bits_a"))
+    b = words.select(F.col("event_type").alias("type_b"), "word",
+                     F.col("bits").alias("bits_b"))
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bits_a").bitwiseAND(F.col("bits_b"))))
+            .cast("bigint")
+            .alias("n_intersect"),
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    grid = sa.crossJoin(sb).filter(F.col("type_a") < F.col("type_b"))
+    j = grid.join(inter, ["type_a", "type_b"], "left").withColumn(
+        "n_intersect", F.coalesce("n_intersect", F.lit(0)).cast("bigint")
+    )
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast("bigint")
+    return j.select(
+        "type_a", "type_b", "n_a", "n_b", "n_intersect",
+        n_union.alias("n_union"),
+        F.round(F.col("n_intersect") / n_union.cast("double"), 6).alias("jaccard"),
+    )

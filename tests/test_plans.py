@@ -411,6 +411,9 @@ def test_shuffle_exchange_budgets(spark):
         # the live work is ONE bucket shuffle + one distinct + the
         # dup-rate-sized truth join (runs 1.2s warm at sf0.01)
         "lsh_band_tuning_audit": 78,
+        # one bitmap build shuffled 3 ways (sizes, pair-join sides) +
+        # matrix aggs — all word-compressed, no per-user rows
+        "bitmap_audience_overlap": 8,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

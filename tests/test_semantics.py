@@ -1542,3 +1542,36 @@ def test_band_tuning_nesting_monotone(spark):
         assert a["n_true_detected"] >= b["n_true_detected"]
     # the recall-greedy end actually finds something on this corpus
     assert rows[0]["n_true_detected"] > 0
+
+
+def test_bitmap_overlap_matches_set_algebra(spark):
+    """The word-aligned AND/popcount intersection plus the
+    inclusion-exclusion union must equal naive per-user set algebra
+    on the same thresholded audiences, for every type pair."""
+    from bigdata_assigment3_spark.operators.sketches import (
+        AUDIENCE_VALUE_MIN,
+        q_bitmap_audience_overlap,
+    )
+    from bigdata_assigment3_spark.sources import load_table
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_intersect"], r["n_union"])
+        for r in q_bitmap_audience_overlap(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("value") >= AUDIENCE_VALUE_MIN
+    )
+    sets = {
+        t: {r["user_id"] for r in rows}
+        for t, rows in (
+            (t, ev.filter(F.col("event_type") == t).select("user_id").distinct().collect())
+            for t in [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+        )
+    }
+    want = {
+        (a, b): (len(sets[a]), len(sets[b]), len(sets[a] & sets[b]), len(sets[a] | sets[b]))
+        for a in sets for b in sets if a < b
+    }
+    assert got == want
+    # the thresholded audiences genuinely differ (non-trivial overlap)
+    assert any(v[2] not in (0, v[0], v[1]) for v in got.values())
