@@ -1352,3 +1352,178 @@ def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "fused_rank", "n_lists",
                 F.round("score", 6).alias("rrf_score"))
     )
+
+
+# ------------------------------- relational power iteration (top PC)
+
+PI_ITERS = 20
+PI_VSCALE = 65536        # 2^16 vector scale
+PI_GBITS = 1 << 30       # Gram entries rescaled below 2^30
+
+
+def _sdiv_duck(x: str, d: str) -> str:
+    """Sign-decomposed integer division: DuckDB's // floors toward
+    -infinity while Spark's DIV truncates toward zero, so every
+    signed division goes through |x|//d with the sign reapplied —
+    identical in both engines."""
+    return f"(CASE WHEN ({x}) < 0 THEN -((-({x})) // ({d})) ELSE ({x}) // ({d}) END)"
+
+
+def _sdiv_spark(x: str, d: str) -> str:
+    return f"(CASE WHEN ({x}) < 0 THEN -((-({x})) DIV ({d})) ELSE ({x}) DIV ({d}) END)"
+
+
+def _power_iteration_oracle() -> str:
+    its = []
+    prev = "v0"
+    for t in range(1, PI_ITERS + 1):
+        its.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT g.i AS d, SUM(g.g * v.v) AS w
+      FROM gs g JOIN {prev} v ON g.j = v.d GROUP BY 1
+    ),
+    m{t} AS MATERIALIZED (SELECT GREATEST(1, MAX(ABS(w)) // {PI_VSCALE}) AS m FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT w.d, {_sdiv_duck('w.w', 'm.m')} AS v FROM w{t} w, m{t} m
+    )""")
+        prev = f"v{t}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS val FROM q
+    ),
+    gram AS MATERIALIZED (
+      SELECT a.d AS i, b.d AS j, SUM(a.val * b.val) AS g
+      FROM u a JOIN u b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    gdiv AS MATERIALIZED (SELECT 1 + MAX(ABS(g)) // {PI_GBITS} AS gd FROM gram),
+    gs AS MATERIALIZED (SELECT i, j, {_sdiv_duck('g', 'gd')} AS g FROM gram, gdiv),
+    v0 AS (SELECT i AS d, CAST({PI_VSCALE} AS BIGINT) AS v
+           FROM (SELECT DISTINCT i FROM gs)),
+    {','.join(its)},
+    wf AS (
+      SELECT g.i AS d, SUM(g.g * v.v) AS w
+      FROM gs g JOIN v{PI_ITERS} v ON g.j = v.d GROUP BY 1
+    ),
+    ray AS (
+      SELECT ROUND(
+        CAST(SUM(CAST(v.v AS HUGEINT) * w.w) AS DOUBLE)
+        / CAST(SUM(v.v * v.v) AS DOUBLE), 3) AS rayleigh
+      FROM v{PI_ITERS} v JOIN wf w USING (d)
+    ),
+    sgn AS (
+      SELECT CASE WHEN (SELECT v FROM v{PI_ITERS}
+                        WHERE ABS(v) = (SELECT MAX(ABS(v)) FROM v{PI_ITERS})
+                        ORDER BY d LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
+    )
+    SELECT CAST(v.d AS BIGINT) AS d, CAST(v.v * sgn.s AS BIGINT) AS v_scaled,
+           ray.rayleigh
+    FROM v{PI_ITERS} v, sgn, ray
+    """
+
+
+@query("embedding_power_iteration", oracle=_power_iteration_oracle())
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION, entirely as relational algebra — the pagerank
+    scaled-integer-trajectory trick applied to linear algebra, so an
+    ITERATIVE eigensolver sits under the exact value oracle.
+
+    Stages: (1) the 64x64 Gram matrix as exact BIGINT sums over the
+    milli-quantized embeddings (one self-join on vec_id — at 100 TB
+    this becomes a per-partition mapInArrow partial-Gram merged by a
+    4096-row agg; the relational form keeps both engines on identical
+    arithmetic); (2) a data-relative rescale to < 2^30 per entry
+    (1 + max|g| DIV 2^30 — keeps every w_i = sum_j g_ij v_j inside
+    int64 at ANY corpus size); (3) PI_ITERS=20 iterations of w = G'v
+    with integer renormalization to ~2^16; (4) deterministic sign fix
+    (the lowest-index maximal component is made positive) and an
+    exact-numerator Rayleigh quotient.
+
+    Every division is sign-decomposed (|x| div d with the sign
+    reapplied): Spark's DIV truncates toward zero, DuckDB's //
+    floors, and they only agree on non-negative operands.  After the
+    Gram agg all tables are 4096 or 64 rows — iteration cost is
+    independent of corpus size, the property that makes power
+    iteration viable at 100 TB.
+
+    The testdata spectrum is nearly degenerate at the top
+    (lambda1/lambda2 ~ 1.02-1.07), so convergence is judged the way
+    numerical practice does: Rayleigh quotient within a few percent
+    of lambda_max and a small eigen-residual — both pinned against a
+    numpy eigendecomposition of the identical integer Gram in
+    tests/test_semantics.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = (
+        emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+        .select("vec_id", F.posexplode("e").alias("d", "val"))
+    )
+    a = u.select("vec_id", F.col("d").alias("i"), F.col("val").alias("va"))
+    b = u.select("vec_id", F.col("d").alias("j"), F.col("val").alias("vb"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("g"))
+    )
+    gdiv = gram.groupBy().agg(
+        (F.lit(1) + F.expr(f"MAX(ABS(g)) DIV {PI_GBITS}")).alias("gd")
+    )
+    from ..session import lineage_checkpoint
+
+    # 4096 rows after the corpus-sized Gram agg: checkpoint once so
+    # the five iteration branches (each referencing gs and the
+    # previous v twice — once via the max-norm scalar, once directly)
+    # never re-derive the corpus join; without this the lazy DAG
+    # re-executes the Gram build 2^iters times.
+    gs = lineage_checkpoint(gram.crossJoin(gdiv).select(
+        "i", "j", F.expr(_sdiv_spark("g", "gd")).alias("g")
+    ))
+    v = gs.select("i").distinct().select(
+        F.col("i").alias("d"), F.lit(PI_VSCALE).cast("bigint").alias("v")
+    )
+    for _ in range(PI_ITERS):
+        w = (
+            gs.join(v, gs.j == v.d)
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        )
+        m = w.groupBy().agg(
+            F.greatest(F.lit(1).cast("bigint"),
+                       F.expr(f"MAX(ABS(w)) DIV {PI_VSCALE}")).alias("m")
+        )
+        v = lineage_checkpoint(w.crossJoin(m).select(
+            F.col("i").alias("d"), F.expr(_sdiv_spark("w", "m")).alias("v")
+        ))
+    wf = (
+        gs.join(v, gs.j == v.d)
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        .select(F.col("i").alias("d"), "w")
+    )
+    vw = v.join(wf, "d")
+    ray = vw.groupBy().agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("w")).cast("double")
+            / F.sum(F.col("v") * F.col("v")).cast("double"),
+            3,
+        ).alias("rayleigh")
+    )
+    vmax = v.groupBy().agg(F.max(F.abs(F.col("v"))).alias("av"))
+    sgn = (
+        v.crossJoin(vmax)
+        .filter(F.abs(F.col("v")) == F.col("av"))
+        .groupBy()
+        .agg(F.min_by("v", "d").alias("vtop"))
+        .select(F.when(F.col("vtop") < 0, -1).otherwise(1).cast("bigint").alias("s"))
+    )
+    return v.crossJoin(sgn).crossJoin(ray).select(
+        F.col("d").cast("bigint").alias("d"),
+        (F.col("v") * F.col("s")).cast("bigint").alias("v_scaled"),
+        "rayleigh",
+    )

@@ -60,6 +60,9 @@ INVARIANCE_QUERIES = [
     # k-means|| init in the two quantizer queries; both now train
     # driver-side on a bounded sorted sample and stay in the list
     "pagerank",
+    # integer power-iteration trajectory (reduce-order-sensitive if
+    # any step leaked float; must be bit-stable under repartitioning)
+    "embedding_power_iteration",
     "kmeans_init",
     "embedding_kmeans_purity",
     "ann_ivf_probe",

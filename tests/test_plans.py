@@ -414,6 +414,9 @@ def test_shuffle_exchange_budgets(spark):
         # one bitmap build shuffled 3 ways (sizes, pair-join sides) +
         # matrix aggs — all word-compressed, no per-user rows
         "bitmap_audience_overlap": 8,
+        # Gram agg + per-iteration 64-row joins; lineage checkpoints
+        # truncate the static plan, scalar-agg crossJoins dominate
+        "embedding_power_iteration": 10,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

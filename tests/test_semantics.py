@@ -1575,3 +1575,46 @@ def test_bitmap_overlap_matches_set_algebra(spark):
     assert got == want
     # the thresholded audiences genuinely differ (non-trivial overlap)
     assert any(v[2] not in (0, v[0], v[1]) for v in got.values())
+
+
+def test_power_iteration_converges_to_top_eigenspace(spark):
+    """Ground truth via numpy on the IDENTICAL integer Gram: the
+    relational power iteration's Rayleigh quotient must sit within a
+    few percent of lambda_max and its vector must be a near-
+    eigenvector (small relative residual).  The testdata spectrum is
+    nearly degenerate at the top, so a unique-eigenvector cosine
+    would be ill-posed — ratio + residual is the numerically correct
+    acceptance."""
+    import numpy as np
+
+    from bigdata_assigment3_spark.operators.similarity import (
+        PI_GBITS,
+        q_embedding_power_iteration,
+    )
+    from bigdata_assigment3_spark.sources import load_table
+
+    rows = sorted(
+        (r["d"], r["v_scaled"], r["rayleigh"])
+        for r in q_embedding_power_iteration(spark, SF_SMOKE).collect()
+    )
+    v = np.array([r[1] for r in rows], dtype=float)
+    ray = rows[0][2]
+    emb = [
+        r["e"]
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .selectExpr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e"
+        )
+        .collect()
+    ]
+    E = np.array(emb, dtype=float)
+    G = E.T @ E
+    gd = 1 + int(np.abs(G).max()) // PI_GBITS
+    Gs = np.sign(G) * (np.abs(G) // gd)
+    lmax = np.linalg.eigvalsh(Gs)[-1]
+    assert ray / lmax >= 0.93, (ray, lmax)
+    resid = np.linalg.norm(Gs @ v - ray * v) / (ray * np.linalg.norm(v))
+    assert resid <= 0.10, resid
+    # deterministic sign convention: lowest-index maximal component > 0
+    am = int(np.flatnonzero(np.abs(v) == np.abs(v).max())[0])
+    assert v[am] > 0
