@@ -961,3 +961,115 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("markup_ratio"),
         )
     )
+
+
+# ----------------------------------------------------- BM25 retrieval
+
+BM25_TERMS = ("table", "hash", "window")
+BM25_K1_E2 = 120   # k1 = 1.2 as integer hundredths
+BM25_B_E2 = 75     # b = 0.75
+BM25_TOPN = 15
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
+    terms AS (SELECT unnest(['{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}']) AS term),
+    tf AS (
+      SELECT d.doc_id, d.dl, t.term,
+             len(list_filter(d.ws, w -> w = t.term)) AS tf
+      FROM d, terms t
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf WHERE tf > 0 GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1)
+               * (tf.tf * ({BM25_K1_E2} + 100) / 100.0)
+               / (tf.tf + ({BM25_K1_E2} / 100.0)
+                  * ((100 - {BM25_B_E2}) / 100.0
+                     + ({BM25_B_E2} / 100.0) * tf.dl / (s.sumdl / CAST(s.n AS DOUBLE))))
+               * 10000) AS BIGINT) AS c_e4
+      FROM tf JOIN dft USING (term), stats s
+      WHERE tf.tf > 0
+    )
+    SELECT doc_id, CAST(SUM(c_e4) AS BIGINT) AS score_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM contrib GROUP BY 1
+    ORDER BY score_e4 DESC, doc_id
+    LIMIT {BM25_TOPN}
+    """,
+)
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones) for a fixed
+    3-term query — the lexical side of the hybrid-retrieval stack
+    whose vector side is ``ann_srp_bucketed`` and whose combiner is
+    ``ann_rrf_fusion``.  Scoring is Okapi BM25 (k1=1.2, b=0.75) with
+    corpus statistics (df per term, average doc length) computed
+    in-query.
+
+    Cross-engine determinism uses the ``langid_nb_classifier``
+    convention: each per-term contribution is rounded to integer 1e-4
+    units BEFORE summing, so the final score is an exact BIGINT sum
+    and the ranking (score desc, doc_id) cannot drift on float
+    association order.  Term counts come from
+    size(filter(words, w = term)) — a 3x bounded fan-out, never a
+    corpus-wide token explode.
+
+    Scale shape: one projection pass computes every tf; df and avgdl
+    are term-count-sized aggregates; the top-{BM25_TOPN} compiles to
+    TakeOrderedAndProject (no global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    stats = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
+    )
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in BM25_TERMS], "term string"
+    )
+    tf = docs.crossJoin(terms).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.expr("size(filter(ws, w -> w = term))").alias("tf"),
+    )
+    dft = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    k1 = BM25_K1_E2 / 100.0
+    b = BM25_B_E2 / 100.0
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    avgdl = F.col("sumdl") / F.col("n").cast("double")
+    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl)
+    )
+    contrib = (
+        tf.filter(F.col("tf") > 0)
+        .join(dft, "term")
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            F.round(idf * tfnorm * 10000).cast("bigint").alias("c_e4"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c_e4").cast("bigint").alias("score_e4"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_e4"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+    )

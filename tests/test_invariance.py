@@ -77,6 +77,8 @@ INVARIANCE_QUERIES = [
     "ann_recall_eval",
     # RRF fusion (float score ties broken by cand_id)
     "ann_rrf_fusion",
+    # BM25 top-k (TakeOrdered ties on integer scores + doc_id)
+    "bm25_topk_docs",
     # integer prefix-sum membership (stratum window order)
     "systematic_weighted_sample",
     # grid interval join (exact-once cell-ownership rule)

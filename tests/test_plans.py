@@ -417,6 +417,8 @@ def test_shuffle_exchange_budgets(spark):
         # Gram agg + per-iteration 64-row joins; lineage checkpoints
         # truncate the static plan, scalar-agg crossJoins dominate
         "embedding_power_iteration": 10,
+        # tf pass + df/stats aggs + contrib join; top-15 is TakeOrdered
+        "bm25_topk_docs": 4,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))

@@ -1618,3 +1618,45 @@ def test_power_iteration_converges_to_top_eigenspace(spark):
     # deterministic sign convention: lowest-index maximal component > 0
     am = int(np.flatnonzero(np.abs(v) == np.abs(v).max())[0])
     assert v[am] > 0
+
+
+def test_bm25_matches_python_reimplementation(spark):
+    """Full BM25 re-scored in plain Python over the collected smoke
+    corpus (tokenize, df, avgdl, per-term e4-rounded contributions,
+    integer sum, (score desc, doc_id) rank) must reproduce the
+    engine's top-15 exactly."""
+    import math
+
+    from bigdata_assigment3_spark.operators.text import (
+        BM25_TERMS,
+        BM25_TOPN,
+        q_bm25_topk_docs,
+    )
+    from bigdata_assigment3_spark.sources import load_table
+
+    got = [
+        (r["doc_id"], r["score_e4"], r["n_terms"])
+        for r in q_bm25_topk_docs(spark, SF_SMOKE).collect()
+    ]
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    want = []
+    for doc_id, ws in docs.items():
+        score, hit = 0, 0
+        for t in BM25_TERMS:
+            tf = sum(1 for w in ws if w == t)
+            if tf == 0:
+                continue
+            df = sum(1 for ws2 in docs.values() if t in ws2)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+            score += int(round(idf * tfn * 10000))
+            hit += 1
+        if hit:
+            want.append((doc_id, score, hit))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert got == want[:BM25_TOPN]
