@@ -338,6 +338,30 @@ def q_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- exact distinct via bitmaps
 
 
+def bitmap_word_mask(id_col: str = "user_id"):
+    """63-bit bitmap coordinates for an arbitrary BIGINT id — the ONE
+    definition behind every bitmap-distinct operator (here, the
+    audience-overlap matrix, and the streaming twin), so the
+    word/mask derivation cannot drift between sites.
+
+    Negative-id safety (not just a documented precondition): the bit
+    index is ``pmod(id, 63)`` — always in [0, 63) — so ``shiftleft``
+    never sees a negative shift count (the JVM masks those to
+    ``count & 63``, silently setting the wrong bit), and the word is
+    ``(id - pmod(id, 63)) DIV 63`` — an exact division, so truncating
+    DIV equals floor division for every sign, matching DuckDB's
+    flooring ``//``.  For non-negative ids this reduces to the obvious
+    ``id DIV 63`` / ``1 << (id % 63)``.
+
+    63-bit words, not 64: DuckDB's BIGINT ``<<`` raises on shift 63
+    (sign bit), and staying below it keeps every mask positive in both
+    engines.
+    """
+    word = F.expr(f"({id_col} - pmod({id_col}, 63)) DIV 63")
+    mask = F.expr(f"shiftleft(1L, CAST(pmod({id_col}, 63) AS INT))")
+    return word, mask
+
+
 @query(
     "bitmap_distinct_users",
     oracle="""
@@ -368,12 +392,9 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT ...), independently of the bitmap plumbing.
     """
     ev = load_table(spark, sf_dir, "events")
+    word, mask = bitmap_word_mask("user_id")
     words = (
-        ev.select(
-            "event_type",
-            F.expr("user_id DIV 63").alias("word"),
-            F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("mask"),
-        )
+        ev.select("event_type", word.alias("word"), mask.alias("mask"))
         .groupBy("event_type", "word")
         .agg(F.bit_or("mask").alias("bits"))
     )
@@ -429,12 +450,9 @@ def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value") >= AUDIENCE_VALUE_MIN
     )
+    word, mask = bitmap_word_mask("user_id")
     words = (
-        ev.select(
-            "event_type",
-            F.expr("user_id DIV 63").alias("word"),
-            F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("mask"),
-        )
+        ev.select("event_type", word.alias("word"), mask.alias("mask"))
         .groupBy("event_type", "word")
         .agg(F.bit_or("mask").alias("bits"))
     )

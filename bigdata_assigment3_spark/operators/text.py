@@ -882,7 +882,8 @@ def _html_extract_duck() -> str:
       FROM stripped
     )
     SELECT doc_id, main_text,
-           CAST(len(string_split(main_text, ' ')) AS BIGINT) AS n_words,
+           CAST(CASE WHEN main_text = '' THEN 0
+                ELSE len(string_split(main_text, ' ')) END AS BIGINT) AS n_words,
            ROUND((length(html) - length(main_text))
                  / CAST(length(html) AS DOUBLE), 6) AS markup_ratio
     FROM main
@@ -953,7 +954,12 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "main_text",
-            F.size(F.split("main_text", " ")).cast("bigint").alias("n_words"),
+            # split('') yields [''] (size 1, never 0): a boilerplate-only
+            # page with an empty extraction must report 0 words
+            F.when(F.col("main_text") == "", F.lit(0))
+            .otherwise(F.size(F.split("main_text", " ")))
+            .cast("bigint")
+            .alias("n_words"),
             F.round(
                 (F.length("html") - F.length("main_text"))
                 / F.length("html").cast("double"),
@@ -991,7 +997,7 @@ BM25_TOPN = 15
       SELECT tf.doc_id,
              CAST(ROUND(
                LN((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1)
-               * (tf.tf * ({BM25_K1_E2} + 100) / 100.0)
+               * (tf.tf * (({BM25_K1_E2} + 100) / 100.0))
                / (tf.tf + ({BM25_K1_E2} / 100.0)
                   * ((100 - {BM25_B_E2}) / 100.0
                      + ({BM25_B_E2} / 100.0) * tf.dl / (s.sumdl / CAST(s.n AS DOUBLE))))

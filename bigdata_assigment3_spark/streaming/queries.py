@@ -1452,12 +1452,11 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained sink (stacked streaming aggregations are unsupported in
     complete mode, and the fold is output-sized anyway).
     """
+    from ..operators.sketches import bitmap_word_mask
+
     ev = _stream_events(spark, sf_dir)
-    words = ev.select(
-        "event_type",
-        F.expr("user_id DIV 63").alias("word"),
-        F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("mask"),
-    )
+    word, mask = bitmap_word_mask("user_id")
+    words = ev.select("event_type", word.alias("word"), mask.alias("mask"))
     agg = words.groupBy("event_type", "word").agg(F.bit_or("mask").alias("bits"))
     _run_to_memory(agg, "stream_bitmap_distinct_sink")
     out = spark.table("stream_bitmap_distinct_sink")
