@@ -1427,23 +1427,121 @@ def _power_iteration_oracle() -> str:
     """
 
 
-@query("embedding_power_iteration", oracle=_power_iteration_oracle())
-def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus by POWER
-    ITERATION, entirely as relational algebra — the pagerank
+def _gram_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix as pure relational algebra: explode
+    each milli-quantized vector to (vec_id, d, val) and self-join on
+    vec_id — the form DuckDB can mirror verbatim, kept as the oracle
+    twin for the mapInArrow kernel.  Costs two 64N-row shuffles and a
+    4096N join product; correct but carries a 64x shuffle-inflation
+    constant the kernel removes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = (
+        emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+        .select("vec_id", F.posexplode("e").alias("d", "val"))
+    )
+    a = u.select("vec_id", F.col("d").alias("i"), F.col("val").alias("va"))
+    b = u.select("vec_id", F.col("d").alias("j"), F.col("val").alias("vb"))
+    return (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("g"))
+    )
+
+
+def _arrow_gram_batches(batches):
+    """mapInArrow kernel: per-partition PARTIAL Gram.
+
+    Consumes the partition's Arrow batches of a single
+    ``embedding: array<float>`` column, milli-quantizes with the
+    engines' shared convention (round half away from zero on the
+    float64-widened value — identical to Spark/DuckDB ROUND, same as
+    ``_arrow_norm_batches``), accumulates G_part = M^T M in one numpy
+    matmul per batch, and emits ONE (dim*dim)-row batch per partition.
+    The corpus never shuffles: only dim^2 rows per partition reach the
+    merging agg.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    Q_MAX = 3_037_000_499  # isqrt(2^63 - 1): q*q must fit int64
+    acc = None
+    dim = None
+    n_rows = 0
+    for batch in batches:
+        col = batch.column(0)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            continue
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if dim is None:
+            dim = int(widths[0])
+        if np.any(widths != dim):
+            raise ValueError("ragged embedding widths in partial-Gram kernel")
+        # offsets are absolute into the (possibly shared/sliced) child
+        # buffer: slice values to this array's window before reshaping
+        vals = col.values.to_numpy(zero_copy_only=False)[
+            offsets[0] : offsets[-1]
+        ].astype(np.float64)
+        if not np.all(np.isfinite(vals)):
+            raise ValueError("non-finite embedding value in partial-Gram kernel")
+        scaled = vals * 1000.0
+        q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+        amax = int(np.abs(q).max()) if q.size else 0
+        if amax > Q_MAX:
+            raise OverflowError("quantized embedding exceeds int64 square range")
+        n_rows += len(col)
+        # int64 matmul overflow guard: every Gram entry is a sum of
+        # n_rows products each bounded by amax^2; numpy would wrap
+        # silently, so refuse before it can (repartition the input to
+        # shrink partitions if this ever fires at real scale)
+        if amax and n_rows > (2**62) // (amax * amax):
+            raise OverflowError("partition too large for int64 partial Gram")
+        m = q.reshape(-1, dim)
+        part = m.T @ m
+        acc = part if acc is None else acc + part
+    if acc is not None:
+        ii, jj = np.indices((dim, dim))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii.ravel(), type=pa.int32()),
+                pa.array(jj.ravel(), type=pa.int32()),
+                pa.array(acc.ravel(), type=pa.int64()),
+            ],
+            names=["i", "j", "g"],
+        )
+
+
+def _gram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB Gram build: per-partition mapInArrow partial Grams
+    (one vectorized numpy matmul per Arrow batch, zero per-row Python)
+    merged by a dim^2-row SUM — the only exchange carries
+    partitions x 4096 rows instead of re-shuffling 64 copies of the
+    corpus.  Integer arithmetic end to end, so the merged Gram is
+    bit-identical to ``_gram_relational`` (asserted in
+    tests/test_semantics.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = emb.mapInArrow(_arrow_gram_batches, "i int, j int, g bigint")
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+_POWER_ITERATION_DOC = """Top principal direction of the embedding corpus by POWER
+    ITERATION under an exact value oracle — the pagerank
     scaled-integer-trajectory trick applied to linear algebra, so an
-    ITERATIVE eigensolver sits under the exact value oracle.
+    ITERATIVE eigensolver is cross-engine bit-checkable.
 
     Stages: (1) the 64x64 Gram matrix as exact BIGINT sums over the
-    milli-quantized embeddings (one self-join on vec_id — at 100 TB
-    this becomes a per-partition mapInArrow partial-Gram merged by a
-    4096-row agg; the relational form keeps both engines on identical
-    arithmetic); (2) a data-relative rescale to < 2^30 per entry
-    (1 + max|g| DIV 2^30 — keeps every w_i = sum_j g_ij v_j inside
-    int64 at ANY corpus size); (3) PI_ITERS=20 iterations of w = G'v
-    with integer renormalization to ~2^16; (4) deterministic sign fix
-    (the lowest-index maximal component is made positive) and an
-    exact-numerator Rayleigh quotient.
+    milli-quantized embeddings — default plan: per-partition
+    mapInArrow partial Grams merged by a 4096-row agg (corpus never
+    shuffles); oracle twin ``embedding_power_iteration_relational``
+    builds the identical integer Gram by explode + self-join, the
+    form DuckDB mirrors; (2) a data-relative rescale to < 2^30 per
+    entry (1 + max|g| DIV 2^30 — keeps every w_i = sum_j g_ij v_j
+    inside int64 at ANY corpus size); (3) PI_ITERS=20 iterations of
+    w = G'v with integer renormalization to ~2^16; (4) deterministic
+    sign fix (the lowest-index maximal component is made positive)
+    and an exact-numerator Rayleigh quotient.
 
     Every division is sign-decomposed (|x| div d with the sign
     reapplied): Spark's DIV truncates toward zero, DuckDB's //
@@ -1459,18 +1557,12 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy eigendecomposition of the identical integer Gram in
     tests/test_semantics.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    u = (
-        emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
-        .select("vec_id", F.posexplode("e").alias("d", "val"))
-    )
-    a = u.select("vec_id", F.col("d").alias("i"), F.col("val").alias("va"))
-    b = u.select("vec_id", F.col("d").alias("j"), F.col("val").alias("vb"))
-    gram = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("g"))
-    )
+
+
+def _power_iterate(gram: DataFrame) -> DataFrame:
+    """Shared post-Gram pipeline (rescale, PI_ITERS iterations, sign
+    fix, Rayleigh quotient) — both Gram builds feed the same code so
+    the kernel/relational twins can only diverge in the Gram itself."""
     gdiv = gram.groupBy().agg(
         (F.lit(1) + F.expr(f"MAX(ABS(g)) DIV {PI_GBITS}")).alias("gd")
     )
@@ -1527,3 +1619,32 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") * F.col("s")).cast("bigint").alias("v_scaled"),
         "rayleigh",
     )
+
+
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _power_iterate(_gram_arrow(spark, sf_dir))
+
+
+q_embedding_power_iteration.__doc__ = _POWER_ITERATION_DOC
+query("embedding_power_iteration", oracle=_power_iteration_oracle())(
+    q_embedding_power_iteration
+)
+
+
+def q_embedding_power_iteration_relational(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _power_iterate(_gram_relational(spark, sf_dir))
+
+
+q_embedding_power_iteration_relational.__doc__ = (
+    _POWER_ITERATION_DOC
+    + """
+    This is the RELATIONAL twin: same oracle, Gram built by explode +
+    vec_id self-join (the DuckDB-mirrorable form).  Kept registered so
+    the oracle suite value-checks both physical plans every run.
+    """
+)
+query("embedding_power_iteration_relational", oracle=_power_iteration_oracle())(
+    q_embedding_power_iteration_relational
+)

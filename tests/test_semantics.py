@@ -1620,6 +1620,39 @@ def test_power_iteration_converges_to_top_eigenspace(spark):
     assert v[am] > 0
 
 
+def test_power_iteration_kernel_gram_equals_relational(spark):
+    """The mapInArrow partial-Gram kernel (the 100 TB default plan)
+    must produce the BIT-IDENTICAL integer Gram matrix to the
+    relational explode + self-join twin — same quantization, same
+    exact BIGINT sums, different physical plan; and the two full
+    power-iteration queries must agree row-for-row."""
+    from bigdata_assigment3_spark.operators.similarity import (
+        _gram_arrow,
+        _gram_relational,
+    )
+    from bigdata_assigment3_spark.registry import REGISTRY
+
+    ga = {(r["i"], r["j"]): r["g"] for r in _gram_arrow(spark, SF_SMOKE).collect()}
+    gr = {(r["i"], r["j"]): r["g"] for r in _gram_relational(spark, SF_SMOKE).collect()}
+    assert ga == gr
+    assert len(ga) == 64 * 64
+    # symmetric, non-trivial (a degenerate all-zero Gram would also
+    # "match"; make sure the corpus actually exercised the kernel)
+    assert any(g != 0 for g in ga.values())
+    a = sorted(
+        map(tuple, REGISTRY["embedding_power_iteration"].fn(spark, SF_SMOKE).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            REGISTRY["embedding_power_iteration_relational"].fn(
+                spark, SF_SMOKE
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_bm25_matches_python_reimplementation(spark):
     """Full BM25 re-scored in plain Python over the collected smoke
     corpus (tokenize, df, avgdl, per-term e4-rounded contributions,
