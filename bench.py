@@ -115,6 +115,22 @@ HEADLINE = [
     "bitmap_distinct_users",
     "html_text_extract",
     "ann_rrf_fusion",
+    # round-10: the 14 previously-unbenched round-8 queries (judge
+    # directive — every headline-claimed operator needs a number)
+    "bm25_topk_docs",
+    "embedding_power_iteration",
+    "bitmap_audience_overlap",
+    "pareto_skyline_parts",
+    "interval_union_coverage",
+    "ann_recall_eval",
+    "ann_ivf_deterministic",
+    "ann_pq_deterministic",
+    "dedup_cascade_attrition",
+    "dedup_keep_longest",
+    "lsh_band_tuning_audit",
+    "mixture_token_budget",
+    "systematic_weighted_sample",
+    "stream_bitmap_distinct",
 ]
 
 
@@ -160,6 +176,7 @@ def main() -> None:
         per_query_min[name] = round(min(times), 3)
 
     total = round(sum(per_query.values()), 3)
+    total_min = round(sum(per_query_min.values()), 3)
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -169,6 +186,12 @@ def main() -> None:
         # one-time shared-artifact build (dedup inverted index + verified
         # pair table), reported separately so it is visible, not hidden
         "shared_setup_sec": shared_setup,
+        "n_runs": 3,
+        # the noise floor: sum of per-query min-of-3.  Round-over-round
+        # perf claims compare THIS number (min-to-min), not the median —
+        # a shared box swings medians 5-15% with zero code change.
+        "value_min": total_min,
+        "spread_sec": round(total - total_min, 3),
         "queries_min": per_query_min,
     }
 
@@ -189,7 +212,9 @@ def main() -> None:
             # from round 5 on that line carries only the slowest-10
             # queries — so prefer the committed full-results file and
             # overlay whatever the driver record has
-            prev_q = dict(((prev.get("parsed") or prev) or {}).get("queries", {}))
+            parsed = ((prev.get("parsed") or prev) or {})
+            prev_q = dict(parsed.get("queries", {}))
+            prev_qmin = dict(parsed.get("queries_min", {}))
             try:
                 with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
                     local_prev = json.load(fh)
@@ -198,18 +223,29 @@ def main() -> None:
                 # corrupt delta_vs_prev while labeling it prev_round=rnum
                 if local_prev.get("bench_round") == rnum:
                     prev_q = {**local_prev.get("queries", {}), **prev_q}
+                    prev_qmin = {**local_prev.get("queries_min", {}), **prev_qmin}
                 elif local_prev.get("bench_round") == rnum + 1:
                     # a mid-round re-run already replaced the file with
                     # THIS round's numbers; its carried prev_queries map
                     # is the previous round's full record
                     prev_q = {**local_prev.get("prev_queries", {}), **prev_q}
+                    prev_qmin = {
+                        **local_prev.get("prev_queries_min", {}), **prev_qmin
+                    }
             except (OSError, ValueError):
                 pass
             out["prev_round"] = rnum
             out["bench_round"] = rnum + 1  # identity stamp for next round's overlay
             out["prev_queries"] = prev_q  # carried so same-round re-runs keep the diff base
+            out["prev_queries_min"] = prev_qmin
             out["delta_vs_prev"] = {
                 n: round(t - prev_q[n], 3) for n, t in per_query.items() if n in prev_q
+            }
+            # the delta that counts: noise-floor to noise-floor
+            out["delta_min_vs_prev"] = {
+                n: round(t - prev_qmin[n], 3)
+                for n, t in per_query_min.items()
+                if n in prev_qmin
             }
         except (OSError, ValueError):
             pass  # unreadable previous record: skip the comparison
@@ -221,7 +257,7 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
 
     ranked = sorted(per_query.items(), key=lambda kv: -kv[1])
-    deltas = out.get("delta_vs_prev", {})
+    deltas = out.get("delta_min_vs_prev", {}) or out.get("delta_vs_prev", {})
     # The driver captures only a ~2 KB output tail: shrink the slowest-N
     # list until the line fits rather than asserting (an assert is
     # stripped under -O, and firing it would suppress the only summary).
@@ -232,6 +268,9 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(per_query),
+            "n_runs": 3,
+            "value_min": total_min,   # noise floor: sum of per-query min-of-3
+            "spread_sec": round(total - total_min, 3),
             "shared_setup_sec": shared_setup,
             "queries": dict(ranked[:top_n]),  # slowest N; full map in BENCH_LOCAL.json
             "full_results": "BENCH_LOCAL.json",
@@ -240,9 +279,11 @@ def main() -> None:
             worst = max(deltas, key=lambda n: deltas[n])
             best = min(deltas, key=lambda n: deltas[n])
             compact["prev_round"] = out["prev_round"]
-            compact["delta_total_shared"] = round(sum(deltas.values()), 3)
-            compact["max_regression"] = {worst: deltas[worst]}
-            compact["max_improvement"] = {best: deltas[best]}
+            # min-to-min over queries benched in BOTH rounds — the
+            # drift signal medians can't provide on a shared box
+            compact["delta_total_min_shared"] = round(sum(deltas.values()), 3)
+            compact["max_regression_min"] = {worst: deltas[worst]}
+            compact["max_improvement_min"] = {best: deltas[best]}
         line = json.dumps(compact)
         if len(line) < 1500:
             break

@@ -348,16 +348,24 @@ def bitmap_word_mask(id_col: str = "user_id"):
     index is ``pmod(id, 63)`` — always in [0, 63) — so ``shiftleft``
     never sees a negative shift count (the JVM masks those to
     ``count & 63``, silently setting the wrong bit), and the word is
-    ``(id - pmod(id, 63)) DIV 63`` — an exact division, so truncating
-    DIV equals floor division for every sign, matching DuckDB's
-    flooring ``//``.  For non-negative ids this reduces to the obvious
-    ``id DIV 63`` / ``1 << (id % 63)``.
+    the truncating quotient floor-corrected by the remainder's sign:
+    ``(id DIV 63) - (1 if id % 63 < 0 else 0)`` — floor division for
+    every sign, matching DuckDB's flooring ``//``, with NO
+    intermediate that can overflow (the earlier ``id - pmod(id, 63)``
+    form wrapped for ids within 62 of Long.MIN_VALUE; every term here
+    stays within [id DIV 63 - 1, id DIV 63], valid over the ENTIRE
+    BIGINT domain including Long.MIN_VALUE itself — pinned in
+    tests/test_semantics.py against Python's flooring ``//``).  For
+    non-negative ids this reduces to the obvious ``id DIV 63`` /
+    ``1 << (id % 63)``.
 
     63-bit words, not 64: DuckDB's BIGINT ``<<`` raises on shift 63
     (sign bit), and staying below it keeps every mask positive in both
     engines.
     """
-    word = F.expr(f"({id_col} - pmod({id_col}, 63)) DIV 63")
+    word = F.expr(
+        f"(({id_col}) DIV 63) - (CASE WHEN ({id_col}) % 63 < 0 THEN 1 ELSE 0 END)"
+    )
     mask = F.expr(f"shiftleft(1L, CAST(pmod({id_col}, 63) AS INT))")
     return word, mask
 

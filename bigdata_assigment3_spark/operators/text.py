@@ -971,30 +971,41 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- BM25 retrieval
 
-BM25_TERMS = ("table", "hash", "window")
 BM25_K1_E2 = 120   # k1 = 1.2 as integer hundredths
 BM25_B_E2 = 75     # b = 0.75
 BM25_TOPN = 15
+# The query RELATION: (query_id, term) rows — a retrieval operator's
+# contract is a table of queries, not compile-time literals.  Three
+# fixture queries with distinct term sets; query 3 carries a term
+# absent from the corpus (df = 0) to pin the missing-term path.
+BM25_QUERY_REL = (
+    (1, "table"), (1, "hash"), (1, "window"),
+    (2, "merge"), (2, "sort"), (2, "join"), (2, "scan"),
+    (3, "vector"), (3, "stream"), (3, "quantize"),
+)
+
+_BM25_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_REL)
 
 
 @query(
     "bm25_topk_docs",
     oracle=f"""
-    WITH d AS (
+    WITH queries(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+    d AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
              len(string_split(text, ' ')) AS dl
       FROM documents
     ),
     stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM d),
-    terms AS (SELECT unnest(['{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}']) AS term),
+    vocab AS (SELECT DISTINCT term FROM queries),
     tf AS (
-      SELECT d.doc_id, d.dl, t.term,
-             len(list_filter(d.ws, w -> w = t.term)) AS tf
-      FROM d, terms t
+      SELECT d.doc_id, d.dl, v.term,
+             len(list_filter(d.ws, w -> w = v.term)) AS tf
+      FROM d, vocab v
     ),
     dft AS (SELECT term, COUNT(*) AS df FROM tf WHERE tf > 0 GROUP BY 1),
     contrib AS (
-      SELECT tf.doc_id,
+      SELECT tf.doc_id, tf.term,
              CAST(ROUND(
                LN((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1)
                * (tf.tf * (({BM25_K1_E2} + 100) / 100.0))
@@ -1004,33 +1015,48 @@ BM25_TOPN = 15
                * 10000) AS BIGINT) AS c_e4
       FROM tf JOIN dft USING (term), stats s
       WHERE tf.tf > 0
+    ),
+    scored AS (
+      SELECT q.query_id, c.doc_id,
+             CAST(SUM(c.c_e4) AS BIGINT) AS score_e4,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM queries q JOIN contrib c ON c.term = q.term
+      GROUP BY 1, 2
     )
-    SELECT doc_id, CAST(SUM(c_e4) AS BIGINT) AS score_e4,
-           CAST(COUNT(*) AS BIGINT) AS n_terms
-    FROM contrib GROUP BY 1
-    ORDER BY score_e4 DESC, doc_id
-    LIMIT {BM25_TOPN}
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank,
+           score_e4, n_terms
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOPN}
     """,
 )
 def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (Robertson/Sparck Jones) for a fixed
-    3-term query — the lexical side of the hybrid-retrieval stack
-    whose vector side is ``ann_srp_bucketed`` and whose combiner is
-    ``ann_rrf_fusion``.  Scoring is Okapi BM25 (k1=1.2, b=0.75) with
-    corpus statistics (df per term, average doc length) computed
-    in-query.
+    """BM25 keyword retrieval (Robertson/Sparck Jones) over a QUERY
+    RELATION — the lexical side of the hybrid-retrieval stack whose
+    vector side is ``ann_srp_bucketed`` and whose combiner is
+    ``ann_rrf_fusion``.  Queries arrive as (query_id, term) rows (the
+    fixture carries three queries with distinct term sets, one term
+    with df = 0), so adding a query is adding rows, not recompiling a
+    plan.  Scoring is Okapi BM25 (k1=1.2, b=0.75) with corpus
+    statistics (df per term, average doc length) computed in-query.
 
     Cross-engine determinism uses the ``langid_nb_classifier``
     convention: each per-term contribution is rounded to integer 1e-4
     units BEFORE summing, so the final score is an exact BIGINT sum
-    and the ranking (score desc, doc_id) cannot drift on float
-    association order.  Term counts come from
-    size(filter(words, w = term)) — a 3x bounded fan-out, never a
-    corpus-wide token explode.
+    and the per-query ranking (score desc, doc_id) cannot drift on
+    float association order.
 
-    Scale shape: one projection pass computes every tf; df and avgdl
-    are term-count-sized aggregates; the top-{BM25_TOPN} compiles to
-    TakeOrderedAndProject (no global sort).
+    Scale shape — the DF-pruned posting join: the corpus tokenizes
+    ONCE and the token stream is pruned by a broadcast of the query
+    vocabulary BEFORE any shuffle, so the postings exchange carries
+    only (doc, vocab-term) hits, never the full token explode.
+    Per-term contributions are computed once per posting and shared
+    by every query containing the term (the term -> query join is a
+    broadcast); the final top-{BM25_TOPN} is a per-query window on
+    score-sized rows.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1040,18 +1066,19 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy().agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
     )
-    terms = docs.sparkSession.createDataFrame(
-        [(t,) for t in BM25_TERMS], "term string"
+    qrel = docs.sparkSession.createDataFrame(
+        list(BM25_QUERY_REL), "query_id int, term string"
     )
-    tf = docs.crossJoin(terms).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.expr("size(filter(ws, w -> w = term))").alias("tf"),
+    vocab = qrel.select("term").distinct()
+    # postings for the query vocabulary only: explode is pruned by the
+    # broadcast dictionary before the (doc_id, term) agg shuffles
+    postings = (
+        docs.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dft = tf.filter(F.col("tf") > 0).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k1 = BM25_K1_E2 / 100.0
     b = BM25_B_E2 / 100.0
     idf = F.log(
@@ -1062,20 +1089,33 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl)
     )
     contrib = (
-        tf.filter(F.col("tf") > 0)
-        .join(dft, "term")
-        .crossJoin(stats)
+        postings.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
+            "term",
             F.round(idf * tfnorm * 10000).cast("bigint").alias("c_e4"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
+    scored = (
+        contrib.join(F.broadcast(qrel), "term")
+        .groupBy("query_id", "doc_id")
         .agg(
             F.sum("c_e4").cast("bigint").alias("score_e4"),
             F.count(F.lit(1)).alias("n_terms"),
         )
-        .orderBy(F.desc("score_e4"), F.asc("doc_id"))
-        .limit(BM25_TOPN)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e4"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOPN)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "doc_id",
+            "rank",
+            "score_e4",
+            "n_terms",
+        )
     )

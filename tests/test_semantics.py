@@ -1656,40 +1656,144 @@ def test_power_iteration_kernel_gram_equals_relational(spark):
 def test_bm25_matches_python_reimplementation(spark):
     """Full BM25 re-scored in plain Python over the collected smoke
     corpus (tokenize, df, avgdl, per-term e4-rounded contributions,
-    integer sum, (score desc, doc_id) rank) must reproduce the
-    engine's top-15 exactly."""
+    integer sum, per-query (score desc, doc_id) rank) must reproduce
+    the engine's per-query top-15 exactly, for EVERY query in the
+    query relation."""
     import math
 
     from bigdata_assigment3_spark.operators.text import (
-        BM25_TERMS,
+        BM25_QUERY_REL,
         BM25_TOPN,
         q_bm25_topk_docs,
     )
     from bigdata_assigment3_spark.sources import load_table
 
-    got = [
-        (r["doc_id"], r["score_e4"], r["n_terms"])
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["score_e4"], r["n_terms"])
         for r in q_bm25_topk_docs(spark, SF_SMOKE).collect()
-    ]
+    )
     docs = {
         r["doc_id"]: r["text"].split(" ")
         for r in load_table(spark, SF_SMOKE, "documents").collect()
     }
     n = len(docs)
     avgdl = sum(len(w) for w in docs.values()) / n
+    queries: dict[int, list[str]] = {}
+    for qid, term in BM25_QUERY_REL:
+        queries.setdefault(qid, []).append(term)
     want = []
-    for doc_id, ws in docs.items():
-        score, hit = 0, 0
-        for t in BM25_TERMS:
-            tf = sum(1 for w in ws if w == t)
-            if tf == 0:
-                continue
-            df = sum(1 for ws2 in docs.values() if t in ws2)
-            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
-            tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
-            score += int(round(idf * tfn * 10000))
-            hit += 1
-        if hit:
-            want.append((doc_id, score, hit))
-    want.sort(key=lambda x: (-x[1], x[0]))
-    assert got == want[:BM25_TOPN]
+    for qid, terms in queries.items():
+        scored = []
+        for doc_id, ws in docs.items():
+            score, hit = 0, 0
+            for t in terms:
+                tf = sum(1 for w in ws if w == t)
+                if tf == 0:
+                    continue
+                df = sum(1 for ws2 in docs.values() if t in ws2)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+                tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+                score += int(round(idf * tfn * 10000))
+                hit += 1
+            if hit:
+                scored.append((doc_id, score, hit))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (doc_id, score, hit) in enumerate(scored[:BM25_TOPN], 1):
+            want.append((qid, doc_id, rank, score, hit))
+    assert got == sorted(want)
+    # the relation genuinely exercises >= 2 distinct term sets, and the
+    # df=0 term contributed to no document's n_terms
+    assert len({tuple(sorted(t)) for t in queries.values()}) >= 2
+    max_terms_q3 = max((g[4] for g in got if g[0] == 3), default=0)
+    assert max_terms_q3 < len(queries[3])
+
+
+# ------------------------- round-9 semantics-fix regression pins
+# Each of these fails on the pre-1d3c6b4 code: the fixtures carry no
+# negative user_id and no boilerplate-only page, so without them a
+# refactor could silently revert the fixes while every oracle stays
+# green.
+
+
+def test_bitmap_word_mask_full_bigint_domain(spark):
+    """bitmap_word_mask must floor-divide (DuckDB // semantics) over
+    the ENTIRE BIGINT domain — negative ids, word boundaries, and the
+    Long.MIN_VALUE edge where the old ``id - pmod(id, 63)`` form
+    overflowed — pinned against Python's flooring // and %."""
+    from bigdata_assigment3_spark.operators.sketches import bitmap_word_mask
+
+    lmin, lmax = -(2**63), 2**63 - 1
+    ids = [
+        lmin, lmin + 1, lmin + 61, lmin + 62, lmin + 63,
+        -127, -126, -125, -64, -63, -62, -1,
+        0, 1, 62, 63, 64, 126, lmax - 1, lmax,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    word, mask = bitmap_word_mask("user_id")
+    got = {
+        r["user_id"]: (r["w"], r["m"])
+        for r in df.select(
+            "user_id", word.alias("w"), mask.alias("m")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == (i // 63, 1 << (i % 63)), (
+            i, got[i], (i // 63, 1 << (i % 63))
+        )
+
+
+def test_html_extract_boilerplate_only_page_zero_words(spark, tmp_path):
+    """A page whose every segment falls below the 4-word boilerplate
+    floor extracts to the empty string and must report n_words = 0
+    (split('') yields [''], size 1 — the bug the round-9 fix pinned),
+    in BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_utils import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["tiny doc here", "this body paragraph has enough words"],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [13, 37],
+        }
+    )
+    fdir = tmp_path / "boilerplate"
+    fdir.mkdir()
+    docs.to_parquet(fdir / "documents.parquet", index=False)
+
+    spec = REGISTRY["html_text_extract"]
+    sdf = spec.fn(spark, str(fdir))
+    rows = {r.doc_id: r for r in sdf.collect()}
+    assert rows[0].main_text == "" and rows[0].n_words == 0, rows[0]
+    assert rows[1].n_words > 0, rows[1]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fdir}/documents.parquet')"
+    )
+    assert compare(sdf, con.sql(spec.oracle), "html_text_extract[boilerplate]") == []
+
+
+def test_bm25_tf_numerator_parenthesization_ulp():
+    """The BM25 tf numerator must be computed as tf * ((k1_e2+100)/100)
+    in BOTH engines: the unparenthesized (tf*(k1_e2+100))/100 differs
+    by 1 ulp at tf=3 (0x1.a666666666667p+2 vs 0x1.a666666666666p+2),
+    which moves the e4-rounded contribution across a .5 boundary for
+    some corpora.  Also pins that Spark's k1+1.0 literal equals the
+    oracle's (k1_e2+100)/100.0 double exactly."""
+    from bigdata_assigment3_spark.operators.text import BM25_K1_E2
+
+    k1 = BM25_K1_E2 / 100.0
+    assert k1 + 1.0 == (BM25_K1_E2 + 100) / 100.0
+    parenthesized = 3 * ((BM25_K1_E2 + 100) / 100.0)
+    unparenthesized = (3 * (BM25_K1_E2 + 100)) / 100.0
+    assert parenthesized != unparenthesized  # the 1-ulp trap exists
+    assert parenthesized.hex() == "0x1.a666666666667p+2"
+    # and tf * (k1 + 1.0) — the Spark-side expression — takes the
+    # parenthesized branch for every small tf
+    for tf in range(1, 50):
+        assert tf * (k1 + 1.0) == tf * ((BM25_K1_E2 + 100) / 100.0)
