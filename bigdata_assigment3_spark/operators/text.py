@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
+from ..plans.hints import bounded_broadcast
 from ..registry import query
+from ..session import lineage_checkpoint
 from ..sources import load_table
 
 # Shared sliding-window chunk rule (used by chunk_documents here, the
@@ -1052,27 +1054,39 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the DF-pruned posting join: the corpus tokenizes
     ONCE and the token stream is pruned by a broadcast of the query
     vocabulary BEFORE any shuffle, so the postings exchange carries
-    only (doc, vocab-term) hits, never the full token explode.
-    Per-term contributions are computed once per posting and shared
-    by every query containing the term (the term -> query join is a
-    broadcast); the final top-{BM25_TOPN} is a per-query window on
-    score-sized rows.
+    only (doc, vocab-term) hits, never the full token explode.  The
+    pruned postings frame is lineage-checkpointed — it is consumed by
+    BOTH the df aggregate and the contribution join, and without the
+    materialization Catalyst's column pruning diverges the two
+    subtrees past ReuseExchange, re-running the tokenize+prune pass
+    (the round-10 plan paid that twice).  Per-term contributions are
+    computed once per posting and shared by every query containing
+    the term (the term -> query join is a broadcast); the final
+    top-{BM25_TOPN} is a per-query WindowGroupLimit on score-sized
+    rows.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.split("text", " ").alias("ws"),
         F.size(F.split("text", " ")).alias("dl"),
     )
-    stats = docs.groupBy().agg(
+    stats = docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
     )
     qrel = docs.sparkSession.createDataFrame(
         list(BM25_QUERY_REL), "query_id int, term string"
     )
-    vocab = qrel.select("term").distinct()
+    # the query relation is a literal fixture; its term dictionary is
+    # deduped driver-side (a LocalRelation, zero exchanges) rather
+    # than with a .distinct() that would shuffle per consumer
+    vocab = docs.sparkSession.createDataFrame(
+        [(t,) for t in sorted({t for _, t in BM25_QUERY_REL})],
+        "term string",
+    )
     # postings for the query vocabulary only: explode is pruned by the
-    # broadcast dictionary before the (doc_id, term) agg shuffles
-    postings = (
+    # broadcast dictionary before the (doc_id, term) agg shuffles;
+    # materialized once (vocab-hit-sized) and shared by df + contrib
+    postings = lineage_checkpoint(
         docs.select("doc_id", "dl", F.explode("ws").alias("term"))
         .join(F.broadcast(vocab), "term")
         .groupBy("doc_id", "dl", "term")
@@ -1089,7 +1103,16 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl)
     )
     contrib = (
-        postings.join(F.broadcast(dft), "term")
+        postings.join(
+            bounded_broadcast(
+                dft,
+                "df aggregate keyed by query-vocabulary terms: <= |distinct "
+                "query terms| rows by construction (postings are pruned by "
+                "the broadcast vocab before this groupBy), independent of "
+                "corpus size",
+            ),
+            "term",
+        )
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

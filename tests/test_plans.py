@@ -417,7 +417,11 @@ def test_shuffle_exchange_budgets(spark):
         # Gram agg + per-iteration 64-row joins; lineage checkpoints
         # truncate the static plan, scalar-agg crossJoins dominate
         "embedding_power_iteration": 10,
-        # tf pass + df/stats aggs + contrib join; top-15 is TakeOrdered
+        # 4 = dft term agg over the checkpointed postings + stats
+        # SinglePartition agg + (query_id, doc_id) score agg + per-query
+        # WindowGroupLimit exchange; the vocab-pruned postings build
+        # (one more exchange) runs once at lineage-checkpoint time and
+        # is shared by the dft and contrib consumers
         "bm25_topk_docs": 4,
     }
     for name, budget in budgets.items():
