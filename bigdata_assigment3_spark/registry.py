@@ -124,8 +124,11 @@ PRIORITY: tuple[str, ...] = (
     "span_dedup_ratio",
     # graph analytics
     "pagerank",
-    # similarity search
+    # similarity search + embedding PCA (round-10 flagship: the
+    # mapInArrow partial-Gram kernel plan, oracle-backed by its
+    # relational twin's SQL)
     "ann_cosine_topk",
+    "embedding_power_iteration",
     # (ann_cosine_topk_vec is the int64-matmul twin of the slot above;
     # moved out for the runtime-pruned star join, still locally tested)
     "dpp_partitioned_join",
@@ -150,11 +153,11 @@ PRIORITY: tuple[str, ...] = (
     # Hough image analytics
     "hough_peak",
     "ellipse_candidate_score",
-    # motion estimation (full relational + routed full-search; the
-    # adaptive-walk routed variant is rows-only and sits outside the
-    # driver's 50-slot oracle window, covered by local tests)
+    # motion estimation (full relational search; the routed
+    # full-search and adaptive-walk variants sit outside the driver's
+    # 50-slot oracle window — same J4/A12 family, still locally
+    # oracle-tested — rotated out for embedding_power_iteration)
     "block_match_full",
-    "block_match_routed_full",
 )
 
 
