@@ -257,7 +257,14 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
 
     ranked = sorted(per_query.items(), key=lambda kv: -kv[1])
-    deltas = out.get("delta_min_vs_prev", {}) or out.get("delta_vs_prev", {})
+    # prefer min-to-min deltas; fall back to median-based ones (older
+    # records lack queries_min) and LABEL which source populated the
+    # summary so a fallback never masquerades as a noise-floor delta
+    deltas = out.get("delta_min_vs_prev", {})
+    delta_source = "min"
+    if not deltas:
+        deltas = out.get("delta_vs_prev", {})
+        delta_source = "median"
     # The driver captures only a ~2 KB output tail: shrink the slowest-N
     # list until the line fits rather than asserting (an assert is
     # stripped under -O, and firing it would suppress the only summary).
@@ -281,9 +288,10 @@ def main() -> None:
             compact["prev_round"] = out["prev_round"]
             # min-to-min over queries benched in BOTH rounds — the
             # drift signal medians can't provide on a shared box
-            compact["delta_total_min_shared"] = round(sum(deltas.values()), 3)
-            compact["max_regression_min"] = {worst: deltas[worst]}
-            compact["max_improvement_min"] = {best: deltas[best]}
+            sfx = delta_source  # "min", or "median" on the fallback path
+            compact[f"delta_total_{sfx}_shared"] = round(sum(deltas.values()), 3)
+            compact[f"max_regression_{sfx}"] = {worst: deltas[worst]}
+            compact[f"max_improvement_{sfx}"] = {best: deltas[best]}
         line = json.dumps(compact)
         if len(line) < 1500:
             break

@@ -1467,6 +1467,7 @@ def _arrow_gram_batches(batches):
     acc = None
     dim = None
     n_rows = 0
+    amax_run = 0  # running max over ALL batches seen so far
     for batch in batches:
         col = batch.column(0)
         if isinstance(col, pa.ChunkedArray):
@@ -1492,11 +1493,15 @@ def _arrow_gram_batches(batches):
         if amax > Q_MAX:
             raise OverflowError("quantized embedding exceeds int64 square range")
         n_rows += len(col)
-        # int64 matmul overflow guard: every Gram entry is a sum of
-        # n_rows products each bounded by amax^2; numpy would wrap
-        # silently, so refuse before it can (repartition the input to
-        # shrink partitions if this ever fires at real scale)
-        if amax and n_rows > (2**62) // (amax * amax):
+        # int64 matmul overflow guard: every ACCUMULATED Gram entry is
+        # a sum of n_rows products each bounded by (max |q| over every
+        # batch so far)^2 — the bound must use the running max, not the
+        # current batch's, or a large-magnitude early batch followed by
+        # many small ones slips past per-batch checks and wraps
+        # silently (repartition the input to shrink partitions if this
+        # ever fires at real scale)
+        amax_run = max(amax_run, amax)
+        if amax_run and n_rows > (2**62) // (amax_run * amax_run):
             raise OverflowError("partition too large for int64 partial Gram")
         m = q.reshape(-1, dim)
         part = m.T @ m

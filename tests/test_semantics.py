@@ -1653,6 +1653,38 @@ def test_power_iteration_kernel_gram_equals_relational(spark):
     assert a == b
 
 
+def test_gram_kernel_overflow_guard_uses_running_amax():
+    """The int64 partial-Gram guard must bound the ACCUMULATED sum: a
+    large-magnitude batch followed by a small one still tightens the
+    n_rows budget (a per-batch-amax check would wave the second batch
+    through and let the accumulator wrap silently at real scale)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from bigdata_assigment3_spark.operators.similarity import (
+        _arrow_gram_batches,
+    )
+
+    def _batch(vals):
+        arr = pa.array([list(np.asarray(v, dtype=np.float32)) for v in vals],
+                       type=pa.list_(pa.float32()))
+        return pa.RecordBatch.from_arrays([arr], names=["embedding"])
+
+    # q = 2e9 after milli-quantization (2_000_000.0 is exact in
+    # float32) -> the very first row exhausts the int64 budget
+    # (2^62 // (2e9)^2 == 1 row)
+    big = [[2_000_000.0, 0.0]]
+    small = [[0.001, 0.001]]
+    # big batch alone: exactly at the budget, passes
+    out = list(_arrow_gram_batches(iter([_batch(big)])))
+    assert len(out) == 1
+    # big then small: n_rows=2 exceeds the RUNNING-max budget even
+    # though the small batch's own amax (1) would allow 2^62 rows
+    with _pytest.raises(OverflowError, match="partition too large"):
+        list(_arrow_gram_batches(iter([_batch(big), _batch(small)])))
+
+
 def test_bm25_matches_python_reimplementation(spark):
     """Full BM25 re-scored in plain Python over the collected smoke
     corpus (tokenize, df, avgdl, per-term e4-rounded contributions,
