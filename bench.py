@@ -131,6 +131,9 @@ HEADLINE = [
     "mixture_token_budget",
     "systematic_weighted_sample",
     "stream_bitmap_distinct",
+    # round-11: fused ANN tuning table, char-ngram langid, streaming
+    # bitmap-overlap twin
+    "ann_band_recall_tradeoff",
 ]
 
 

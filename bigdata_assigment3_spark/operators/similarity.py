@@ -1289,6 +1289,265 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------- banded-SRP recall/cost trade-off audit
+
+# every (bands x bits-per-band) factorization of the 16-bit signature,
+# recall-greedy (16x1) through precision-greedy (1x16)
+SRP_BAND_SWEEP = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+_SRP_DENOM = float(SRP_BITS**SRP_BITS)  # B^B = 2^64, exact as a double
+
+
+def _srp_miss_num(m: int, bands: int, r: int) -> int:
+    """Exact integer numerator of the banded-LSH MISS probability.
+
+    For a pair whose signatures agree on m of B sign bits, the chance
+    no band of r bits collides is (1 - (m/B)^r)^bands; over the common
+    denominator B^B (= B^(r*bands)) that is the integer
+    (B^r - m^r)^bands — computed in Python arbitrary precision at
+    plan-build time, so neither engine ever calls float POWER."""
+    return (SRP_BITS**r - m**r) ** bands
+
+
+_BAND_MQ_DUCK = ",\n      ".join(
+    f"({b}, {r}, {m}, CAST('{_srp_miss_num(m, b, r)}' AS DECIMAL(38,0)))"
+    for b, r in SRP_BAND_SWEEP
+    for m in range(SRP_BITS + 1)
+)
+_BAND_CFG_DUCK = ", ".join(f"({b}, {r})" for b, r in SRP_BAND_SWEEP)
+
+
+@query(
+    "ann_band_recall_tradeoff",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS n2 FROM base),
+    nz AS (SELECT * FROM n WHERE n2 > 0),
+    ve AS (
+      SELECT vec_id, unnest(e) AS ea, generate_subscripts(e, 1) - 1 AS d FROM nz
+    ),
+    bits AS (
+      SELECT vec_id, bb.b,
+             SUM(ea * (CAST({_SRP_DUCK_LIT} AS BIGINT[]))[bb.b * {SRP_DIM} + d + 1]) >= 0 AS bit
+      FROM ve, range(0, {SRP_BITS}) AS bb(b)
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT vec_id,
+             SUM(CASE WHEN bit THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS sig
+      FROM bits GROUP BY 1
+    ),
+    truth AS (SELECT query_id, cand_id FROM ({_ANN_ORACLE})),
+    tm AS (
+      SELECT t.query_id, t.cand_id,
+             {SRP_BITS} - bit_count(xor(a.sig, c.sig)) AS m
+      FROM truth t
+      JOIN sigs a ON a.vec_id = t.query_id
+      JOIN sigs c ON c.vec_id = t.cand_id
+    ),
+    mq(bands, band_bits, m, miss_num) AS (VALUES {_BAND_MQ_DUCK}),
+    pred AS (
+      SELECT mq.bands, mq.band_bits,
+             SUM(mq.miss_num) AS miss_sum, COUNT(*) AS n_true
+      FROM tm JOIN mq ON mq.m = tm.m GROUP BY 1, 2
+    ),
+    bkb AS (
+      SELECT cfg.bands, cfg.band_bits, s.vec_id,
+             unnest(range(0, cfg.bands)) AS band, s.sig
+      FROM sigs s, (VALUES {_BAND_CFG_DUCK}) AS cfg(bands, band_bits)
+    ),
+    buck AS (
+      SELECT bands, band_bits, vec_id, band,
+             (sig >> (band * band_bits)) & ((1 << band_bits) - 1) AS bucket
+      FROM bkb
+    ),
+    cand AS (
+      SELECT DISTINCT q.bands, q.band_bits, q.vec_id AS query_id, v.vec_id AS cand_id
+      FROM buck q
+      JOIN buck v ON q.bands = v.bands AND q.band_bits = v.band_bits
+                 AND q.band = v.band AND q.bucket = v.bucket
+      WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id < {PROBE_MAX_ID}
+        AND q.vec_id <> v.vec_id
+    ),
+    st AS (
+      SELECT c.bands, c.band_bits,
+             COUNT(*) AS candidate_rows,
+             COALESCE(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hits
+      FROM cand c
+      LEFT JOIN truth t ON t.query_id = c.query_id AND t.cand_id = c.cand_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p.bands AS BIGINT) AS bands,
+           CAST(p.band_bits AS BIGINT) AS band_bits,
+           ROUND(1.0 - CAST(p.miss_sum AS DOUBLE)
+                 / (CAST(p.n_true AS DOUBLE) * {_SRP_DENOM!r}), 6) AS predicted_p,
+           ROUND(COALESCE(st.n_hits, 0) / CAST(p.n_true AS DOUBLE), 6) AS measured_recall,
+           CAST(COALESCE(st.candidate_rows, 0) AS BIGINT) AS candidate_rows,
+           CAST(COALESCE(st.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(p.n_true AS BIGINT) AS n_true
+    FROM pred p
+    LEFT JOIN st ON st.bands = p.bands AND st.band_bits = p.band_bits
+    """,
+)
+def q_ann_band_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused ANN index-tuning table: recall vs candidate cost vs
+    THEORY, per banding of the 16-bit SRP signature — the artifact an
+    ANN deployment actually tunes by, joining what ``ann_recall_eval``
+    measures with the S-curve sweep ``lsh_band_tuning_audit`` runs for
+    minhash.  Per (bands x bits) factorization it reports the
+    theoretical collision probability of the TRUE top-{TOP_K}
+    neighbors (predicted_p, from each truth pair's measured
+    bit-agreement m: mean over pairs of 1 - (1 - (m/{SRP_BITS})^r)^b),
+    the measured candidate recall of those same pairs, and the
+    candidate-pair volume the banding pays for it.
+
+    Cross-engine exactness: the miss probability is a rational with
+    denominator {SRP_BITS}^{SRP_BITS} = 2^64; its numerator is
+    precomputed in Python integers per (config, m) and summed as
+    DECIMAL(38,0), so the only float ops are one division and one
+    ROUND on bit-identical inputs — no POWER drift.
+
+    Scale shape: ONE signature build (lineage-checkpointed; it is the
+    index artifact a deployment materializes anyway) feeds all five
+    bandings by bit-slicing — re-banding is a regroup, never a
+    re-sketch; the candidate join is probe-side-bounded on
+    (config, band, bucket); the theory side joins a 50-row truth table
+    against an 85-row literal lookup.
+    """
+    from decimal import Decimal
+
+    from ..session import lineage_checkpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
+    nz = (
+        emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
+        .withColumn("n2", norm2)
+        .filter(F.col("n2") > 0)
+    )
+    sig = F.lit(0)
+    for b in range(SRP_BITS):
+        dot_b = F.expr(
+            f"aggregate(zip_with(e, {_SRP_SPARK_ROWS[b]},"
+            " (x, y) -> x * y), 0L, (a, b) -> a + b)"
+        )
+        sig = sig + F.when(dot_b >= 0, F.lit(1 << b)).otherwise(0)
+    sigs = lineage_checkpoint(
+        nz.select("vec_id", sig.cast("bigint").alias("sig"))
+    )
+
+    # the exact top-k truth table is <= 10 probes x TOP_K rows at any
+    # SF (probe-bounded): materialize it once (it is consumed by the
+    # theory side AND the hit count) and broadcast it into every join
+    # so the corpus-sized signature table only ever STREAMS
+    truth = lineage_checkpoint(
+        q_ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    )
+    _TRUTH_BOUND = (
+        "exact top-k truth table: <= PROBE_MAX_ID/QUERY_STRIDE * TOP_K "
+        "= 50 rows at any SF (probe-set contract)"
+    )
+    half = sigs.select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("sq")
+    ).join(bounded_broadcast(truth, _TRUTH_BOUND), "query_id")
+    tm = (
+        sigs.select(F.col("vec_id").alias("cand_id"), F.col("sig").alias("sc"))
+        .join(
+            bounded_broadcast(
+                half, "truth table enriched with one signature: still <= 50 rows"
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (F.lit(SRP_BITS) - F.bit_count(F.expr("sq ^ sc"))).cast("bigint").alias("m"),
+        )
+    )
+    mq = spark.createDataFrame(
+        [
+            (b, r, m, Decimal(_srp_miss_num(m, b, r)))
+            for b, r in SRP_BAND_SWEEP
+            for m in range(SRP_BITS + 1)
+        ],
+        "bands long, band_bits long, m long, miss_num decimal(38,0)",
+    )
+    pred = (
+        tm.join(F.broadcast(mq), "m")
+        .groupBy("bands", "band_bits")
+        .agg(F.sum("miss_num").alias("miss_sum"), F.count(F.lit(1)).alias("n_true"))
+    )
+
+    cfgs = spark.createDataFrame(list(SRP_BAND_SWEEP), "bands long, band_bits long")
+    buck = (
+        sigs.crossJoin(F.broadcast(cfgs))
+        .select(
+            "bands",
+            "band_bits",
+            "vec_id",
+            "sig",
+            F.explode(F.expr("sequence(0L, bands - 1)")).alias("band"),
+        )
+        .select(
+            "bands",
+            "band_bits",
+            "vec_id",
+            "band",
+            F.expr(
+                "shiftright(sig, CAST(band * band_bits AS INT))"
+                " & (shiftleft(1L, CAST(band_bits AS INT)) - 1)"
+            ).alias("bucket"),
+        )
+    )
+    qbk = buck.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)
+    ).select(
+        "bands", "band_bits", F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        buck.withColumnRenamed("vec_id", "cand_id")
+        .join(
+            bounded_broadcast(
+                qbk,
+                "probe-side band table: <= 10 probe ids x 31 (config, band) "
+                "rows at any SF",
+            ),
+            ["bands", "band_bits", "band", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("bands", "band_bits", "query_id", "cand_id")
+        .distinct()
+    )
+    tr = truth.select("query_id", "cand_id", F.lit(1).alias("hit"))
+    st = (
+        cand.join(bounded_broadcast(tr, _TRUTH_BOUND), ["query_id", "cand_id"], "left")
+        .groupBy("bands", "band_bits")
+        .agg(
+            F.count(F.lit(1)).alias("candidate_rows"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    return pred.join(st, ["bands", "band_bits"], "left").select(
+        "bands",
+        "band_bits",
+        F.round(
+            F.lit(1.0)
+            - F.col("miss_sum").cast("double")
+            / (F.col("n_true").cast("double") * F.lit(_SRP_DENOM)),
+            6,
+        ).alias("predicted_p"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_true").cast("double"), 6
+        ).alias("measured_recall"),
+        F.coalesce(F.col("candidate_rows"), F.lit(0)).cast("bigint").alias("candidate_rows"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+    )
+
+
 # --------------------------------------------- reciprocal-rank fusion
 
 RRF_K = 60  # the standard Cormack/Clarke/Buettcher damping constant

@@ -262,6 +262,7 @@ def test_bounded_broadcast_waivers_pinned():
                     sites.add((str(path.relative_to(PKG)), fn.name))
     assert sites == {
         ("operators/similarity.py", "q_ann_cosine_topk"),
+        ("operators/similarity.py", "q_ann_band_recall_tradeoff"),
         ("operators/text.py", "q_bm25_topk_docs"),
         ("streaming/queries.py", "q_stream_pit_enrich"),
     }, sites

@@ -417,6 +417,11 @@ def test_shuffle_exchange_budgets(spark):
         # Gram agg + per-iteration 64-row joins; lineage checkpoints
         # truncate the static plan, scalar-agg crossJoins dominate
         "embedding_power_iteration": 10,
+        # 3 = candidate-pair distinct + the two 5-row config aggs; the
+        # corpus-sized signature table only STREAMS (truth/probe sides
+        # are waivered broadcasts), and the signature build + truth
+        # top-k run once at lineage-checkpoint time
+        "ann_band_recall_tradeoff": 3,
         # 4 = dft term agg over the checkpointed postings + stats
         # SinglePartition agg + (query_id, doc_id) score agg + per-query
         # WindowGroupLimit exchange; the vocab-pruned postings build

@@ -1653,6 +1653,30 @@ def test_power_iteration_kernel_gram_equals_relational(spark):
     assert a == b
 
 
+def test_ann_band_tradeoff_scurve_monotone(spark):
+    """The banded-SRP trade-off table must be a proper S-curve sweep:
+    as bits-per-band grows (precision-greedy), candidate volume, hit
+    count, and the THEORETICAL collision probability of true neighbors
+    are all non-increasing; and predicted_p must stay a probability
+    computed over the full truth table (n_true constant)."""
+    from bigdata_assigment3_spark.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ann_band_recall_tradeoff"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["band_bits"],
+    )
+    assert [r["bands"] * r["band_bits"] for r in rows] == [16] * len(rows)
+    assert len({r["n_true"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["candidate_rows"] >= b["candidate_rows"]
+        assert a["n_hits"] >= b["n_hits"]
+        assert a["predicted_p"] >= b["predicted_p"]
+        assert a["measured_recall"] >= b["measured_recall"]
+    for r in rows:
+        assert 0.0 <= r["predicted_p"] <= 1.0
+        assert r["n_hits"] <= r["candidate_rows"] or r["candidate_rows"] == 0
+
+
 def test_gram_kernel_overflow_guard_uses_running_amax():
     """The int64 partial-Gram guard must bound the ACCUMULATED sum: a
     large-magnitude batch followed by a small one still tightens the
