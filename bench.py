@@ -134,6 +134,7 @@ HEADLINE = [
     # round-11: fused ANN tuning table, char-ngram langid, streaming
     # bitmap-overlap twin
     "ann_band_recall_tradeoff",
+    "langid_char_ngram",
 ]
 
 

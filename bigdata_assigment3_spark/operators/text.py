@@ -842,6 +842,164 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- char-ngram language classifier
+
+LANGID_NGRAM_N = 3        # character trigrams, CCNet/fastText-style
+LANGID_NGRAM_BUCKETS = 4096  # feature-hashing space (caps the model)
+
+_LANGID_GRAM_BUCKET_DUCK = (
+    f"({md5_int56_duck(f'substring(t, i, {LANGID_NGRAM_N})')}"
+    f" % {LANGID_NGRAM_BUCKETS})"
+)
+
+
+@query(
+    "langid_char_ngram",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT doc_id, lang, '_' || replace(text, ' ', '_') || '_' AS t
+      FROM documents
+    ),
+    base AS (SELECT * FROM b0 WHERE length(t) >= {LANGID_NGRAM_N}),
+    gi AS (
+      SELECT doc_id, lang, t,
+             unnest(range(1, length(t) - {LANGID_NGRAM_N - 2})) AS i
+      FROM base
+    ),
+    g AS (SELECT doc_id, lang, {_LANGID_GRAM_BUCKET_DUCK} AS b FROM gi),
+    dw AS (SELECT doc_id, lang, b, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+    wc AS (SELECT b, lang AS c, SUM(cnt) AS cnt FROM dw GROUP BY 1, 2),
+    tokc AS (SELECT c, SUM(cnt) AS tok FROM wc GROUP BY 1),
+    vb AS (SELECT DISTINCT b FROM wc),
+    cls AS (SELECT lang AS c, COUNT(*) AS n_docs FROM base GROUP BY 1),
+    tot AS (SELECT SUM(n_docs) AS n FROM cls),
+    lp AS (
+      SELECT vb.b, cls.c,
+             LN(CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE)
+                / (tokc.tok + {LANGID_NGRAM_BUCKETS})) AS lp
+      FROM vb
+      CROSS JOIN cls
+      JOIN tokc ON tokc.c = cls.c
+      LEFT JOIN wc ON wc.b = vb.b AND wc.c = cls.c
+    ),
+    score AS (
+      SELECT dw.doc_id, lp.c, SUM(dw.cnt * lp.lp) AS s
+      FROM dw JOIN lp ON lp.b = dw.b
+      GROUP BY 1, 2
+    ),
+    prior AS (SELECT c, LN(CAST(n_docs AS DOUBLE) / tot.n) AS lprior
+              FROM cls CROSS JOIN tot),
+    ranked AS (
+      SELECT doc_id, c,
+             CAST(ROUND((s + lprior) * 10000) AS BIGINT) AS score_e4,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY CAST(ROUND((s + lprior) * 10000) AS BIGINT) DESC, c) AS rnk
+      FROM score JOIN prior USING (c)
+    )
+    SELECT r.doc_id, d.lang, r.c AS predicted, (r.c = d.lang) AS correct, r.score_e4
+    FROM ranked r JOIN documents d USING (doc_id) WHERE rnk = 1
+    """,
+)
+def q_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language identification on HASHED CHARACTER
+    TRIGRAMS — the sub-word twin of ``langid_nb_classifier``.  Word
+    features fail exactly where production langid matters most: short
+    documents and unseen inflections (a novel word contributes nothing
+    but smoothing noise).  Char n-grams over a boundary-marked stream
+    ('_' stands in for word boundaries, so prefixes/suffixes hash
+    distinctly from word-internal grams) capture the morphology that
+    identifies a language from a single novel token; the planted
+    short-doc test pins a case the word model gets wrong and this one
+    gets right.
+
+    The vocab-scaling path the word model doesn't have: every trigram
+    hashes into one of {LANGID_NGRAM_BUCKETS} buckets through the
+    engines' shared 56-bit md5 (fastText's feature-hashing trick), so
+    the MODEL is structurally capped at buckets x classes rows AT ANY
+    CORPUS SIZE and ships to every executor as a broadcast — scoring
+    never shuffles on the feature key, unlike the word model's
+    vocab-sized postings join.  Add-one smoothing runs over the fixed
+    hash space, making V a compile-time constant rather than a
+    corpus-dependent 1-row aggregate.
+
+    Same cross-engine determinism contract as the word model: integer
+    counts, one LN per (bucket, class), per-(doc, class) sums rounded
+    to INTEGER 1e-4 units before the argmax, ties lexicographic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.lit("_"), F.regexp_replace("text", " ", "_"), F.lit("_"))
+    base = docs.select("doc_id", "lang", t.alias("t")).filter(
+        F.length("t") >= LANGID_NGRAM_N
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {LANGID_NGRAM_N - 1}),"
+                f" i -> substring(t, i, {LANGID_NGRAM_N}))"
+            )
+        ).alias("gram"),
+    )
+    bucket = F.expr(f"{md5_int56_spark('gram')} % {LANGID_NGRAM_BUCKETS}")
+    dw = (
+        grams.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = dw.groupBy("b", F.col("lang").alias("c")).agg(F.sum("cnt").alias("cnt"))
+    tokc = wc.groupBy("c").agg(F.sum("cnt").alias("tok"))
+    vb = wc.select("b").distinct()  # occupied buckets: <= 4096 by construction
+    cls = base.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cls.agg(F.sum("n_docs").alias("n"))
+    lp = (
+        vb.crossJoin(cls.join(tokc, "c"))
+        .join(wc, ["b", "c"], "left")
+        .select(
+            "b",
+            "c",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("tok") + F.lit(LANGID_NGRAM_BUCKETS))
+            ).alias("lp"),
+        )
+    )
+    # the hashed model is <= buckets x classes rows BY CONSTRUCTION —
+    # broadcast it so inference is a map-side join on the feature key
+    score = (
+        dw.join(
+            bounded_broadcast(
+                lp,
+                f"feature-hashed NB model: <= {LANGID_NGRAM_BUCKETS} buckets "
+                "x |langs| rows at any corpus size (hash-space contract)",
+            ),
+            "b",
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("cnt") * F.col("lp")).alias("s"))
+    )
+    prior = cls.crossJoin(tot).select(
+        "c", F.log(F.col("n_docs").cast("double") / F.col("n")).alias("lprior")
+    )
+    score_e4 = F.round((F.col("s") + F.col("lprior")) * 10000).cast("bigint")
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("score_e4"), F.asc("c"))
+    ranked = (
+        score.join(F.broadcast(prior), "c")
+        .select("doc_id", "c", score_e4.alias("score_e4"))
+        .withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") == 1)
+    )
+    return ranked.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("c").alias("predicted"),
+        (F.col("c") == F.col("lang")).alias("correct"),
+        "score_e4",
+    )
+
+
 # ------------------------------------------------ HTML -> text extraction
 
 

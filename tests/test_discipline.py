@@ -264,5 +264,6 @@ def test_bounded_broadcast_waivers_pinned():
         ("operators/similarity.py", "q_ann_cosine_topk"),
         ("operators/similarity.py", "q_ann_band_recall_tradeoff"),
         ("operators/text.py", "q_bm25_topk_docs"),
+        ("operators/text.py", "q_langid_char_ngram"),
         ("streaming/queries.py", "q_stream_pit_enrich"),
     }, sites

@@ -1653,6 +1653,51 @@ def test_power_iteration_kernel_gram_equals_relational(spark):
     assert a == b
 
 
+def test_langid_char_ngram_beats_words_on_short_novel_doc(spark, tmp_path):
+    """The planted short/ambiguous doc: two synthetic languages with
+    distinct morphology ('aa' words end -ora, 'bb' words end -ix) and
+    a 2-word test doc made ENTIRELY of novel stems with 'aa' suffixes
+    ("velora xunora").  The word model sees two singleton vocabulary
+    entries drowned by smoothing over the token-rich 'aa' class and
+    misclassifies; the char-trigram model reads the '-ora' morphology
+    and classifies correctly — the exact failure mode CCNet-style
+    sub-word langid exists to fix."""
+    import shutil
+
+    from bigdata_assigment3_spark.sources import load_table
+
+    aa_stems = ["kan", "mel", "tas", "bor", "dun", "fip", "gol", "hev",
+                "jul", "nim", "pak", "qes", "rud", "sev", "tob", "vog",
+                "wix", "yal", "zem", "cob"]
+    docs, did = [], 1
+    for d in range(5):
+        words = [f"{aa_stems[(d * 7 + k) % 20]}ora" for k in range(20)]
+        docs.append((did, " ".join(words), "aa", "src")); did += 1
+    bb_stems = ["kan", "mel", "tas", "bor"]
+    for d in range(4):
+        words = [f"{bb_stems[(d + k) % 4]}ix" for k in range(4)]
+        docs.append((did, " ".join(words), "bb", "src")); did += 1
+    docs.append((999, "velora xunora", "aa", "src"))
+
+    src = load_table(spark, SF_SMOKE, "documents")
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs], schema=src.schema
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+
+    words = {r.doc_id: (r.predicted, r.correct)
+             for r in REGISTRY["langid_nb_classifier"].fn(spark, sf_dir).collect()}
+    chars = {r.doc_id: (r.predicted, r.correct)
+             for r in REGISTRY["langid_char_ngram"].fn(spark, sf_dir).collect()}
+    assert words[999] == ("bb", False), words[999]   # words fail it
+    assert chars[999] == ("aa", True), chars[999]    # trigrams fix it
+    # and the char model loses nothing on the easy majority
+    assert all(c for _, c in chars.values())
+
+
 def test_ann_band_tradeoff_scurve_monotone(spark):
     """The banded-SRP trade-off table must be a proper S-curve sweep:
     as bits-per-band grows (precision-greedy), candidate volume, hit
