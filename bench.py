@@ -135,6 +135,7 @@ HEADLINE = [
     # bitmap-overlap twin
     "ann_band_recall_tradeoff",
     "langid_char_ngram",
+    "stream_bitmap_overlap",
 ]
 
 

@@ -1464,3 +1464,184 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+@query(
+    "stream_bitmap_overlap",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+             event_type, user_id
+      FROM events WHERE value >= 180.0
+    ),
+    s AS (SELECT window_start, event_type, COUNT(*) AS n FROM u GROUP BY 1, 2),
+    i AS (
+      SELECT a.window_start, a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_intersect
+      FROM u a
+      JOIN u b ON a.window_start = b.window_start
+              AND a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT sa.window_start, sa.event_type AS type_a, sb.event_type AS type_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_intersect, 0) AS BIGINT) AS n_intersect,
+           CAST(sa.n + sb.n - COALESCE(i.n_intersect, 0) AS BIGINT) AS n_union,
+           ROUND(COALESCE(i.n_intersect, 0)
+                 / CAST(sa.n + sb.n - COALESCE(i.n_intersect, 0) AS DOUBLE), 6) AS jaccard
+    FROM s sa
+    JOIN s sb ON sa.window_start = sb.window_start
+             AND sa.event_type < sb.event_type
+    LEFT JOIN i ON i.window_start = sa.window_start
+               AND i.type_a = sa.event_type AND i.type_b = sb.event_type
+    """,
+)
+def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED audience overlap on streaming BITMAP state — the
+    streaming twin of ``bitmap_audience_overlap``: per tumbling
+    event-time day, high-value audiences accumulate as
+    (window, type, word) -> bit_or(mask) rows in UPDATE mode, so
+    overlap state is |audience|/63 words per (window, type) — never a
+    per-user dedup row — and the watermark bounds it to windows
+    inside the horizon.
+
+    The update stream is drained through three staged micro-batches,
+    the second of which REPLAYS the first's boundary day (at-least-once
+    delivery): the replayed keys re-emit without changing a bit, so
+    update-mode re-emission is exercised deterministically and replay
+    tolerance is proven by the oracle itself.  Folding the update log
+    with ANOTHER bit_or reconstructs the final state exactly because
+    bit_or is idempotent, commutative, and monotone — every update row
+    is a superset of the previous one for its key — and the pairwise
+    matrix (word-aligned AND + popcount, inclusion-exclusion unions,
+    0-cells re-anchored on the per-window size grid) then runs
+    batch-side on word-compressed rows, same algebra as the batch
+    query.  The oracle recomputes every closed window from plain
+    per-day COUNT(DISTINCT ...) self-joins, independent of the bitmap
+    plumbing.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import AUDIENCE_VALUE_MIN, bitmap_word_mask
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"bd3_bitmap_overlap_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    # three TIME-ORDERED micro-batches; batch 2 additionally REPLAYS
+    # the whole boundary day (at-least-once delivery, the Kafka
+    # contract): bit_or state is idempotent under replay, so the
+    # duplicated day re-emits its keys (a genuine update-mode
+    # re-emission, asserted in tests) without changing any bit — the
+    # exactly-once-not-required property that makes bitmap state
+    # operationally cheap.  Cuts are at midnights, so each batch stays
+    # inside the watermark the previous one set (the replayed day is
+    # 0-1 days old against a 2-day horizon; true late-drop semantics
+    # are pinned separately by stream_late_data_drop).
+    import datetime
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]  # 1-row collect
+    span = hi - lo
+
+    def _next_midnight(t: "datetime.datetime") -> "datetime.datetime":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0) + datetime.timedelta(days=1)
+
+    c1 = _next_midnight(lo + span / 3)
+    c2 = _next_midnight(lo + 2 * span / 3)
+    replay_from = c1 - datetime.timedelta(days=1)  # the boundary day
+    batches = (
+        ev.filter(F.col("ts") < F.lit(c1)),
+        ev.filter((F.col("ts") >= F.lit(replay_from)) & (F.col("ts") < F.lit(c2))),
+        ev.filter(F.col("ts") >= F.lit(c2)),
+    )
+    for i, bdf in enumerate(batches):
+        bdf.coalesce(1).write.parquet(f"{stage}/b{i}")
+        for f in os.listdir(f"{stage}/b{i}"):
+            os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+    stream = normalize_events_ts(
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    word, mask = bitmap_word_mask("user_id")
+    agg = (
+        stream.filter(F.col("value") >= AUDIENCE_VALUE_MIN)
+        .withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"), "event_type", word.alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+    )
+    sink = "stream_bitmap_overlap_sink"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # observability for tests: real multi-batch run, real re-updates
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    spark.conf.set("bd3.stream_bitmap_overlap.n_batches", str(n_batches))
+    upd = spark.table(sink).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "word",
+        "bits",
+    )
+    spark.conf.set(
+        "bd3.stream_bitmap_overlap.n_updates", str(upd.count())
+    )
+    # bit_or-fold of the update log == final state (monotone updates);
+    # materialized once — it self-joins below, and the memory-sink
+    # view cannot be referenced twice in one plan (conflicting refs)
+    from ..session import lineage_checkpoint
+
+    words = lineage_checkpoint(
+        upd.groupBy("window_start", "event_type", "word").agg(
+            F.bit_or("bits").alias("bits")
+        )
+    )
+    sizes = words.groupBy("window_start", "event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n")
+    )
+    a = words.select(
+        "window_start", F.col("event_type").alias("type_a"), "word",
+        F.col("bits").alias("bits_a"),
+    )
+    b = words.select(
+        "window_start", F.col("event_type").alias("type_b"), "word",
+        F.col("bits").alias("bits_b"),
+    )
+    inter = (
+        a.join(b, ["window_start", "word"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("window_start", "type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bits_a").bitwiseAND(F.col("bits_b"))))
+            .cast("bigint")
+            .alias("n_intersect"),
+        )
+    )
+    sa = sizes.select(
+        "window_start", F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        "window_start", F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    grid = sa.join(sb, "window_start").filter(F.col("type_a") < F.col("type_b"))
+    j = grid.join(inter, ["window_start", "type_a", "type_b"], "left").withColumn(
+        "n_intersect", F.coalesce("n_intersect", F.lit(0)).cast("bigint")
+    )
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast("bigint")
+    return j.select(
+        "window_start", "type_a", "type_b", "n_a", "n_b", "n_intersect",
+        n_union.alias("n_union"),
+        F.round(F.col("n_intersect") / n_union.cast("double"), 6).alias("jaccard"),
+    )

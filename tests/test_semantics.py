@@ -1653,6 +1653,31 @@ def test_power_iteration_kernel_gram_equals_relational(spark):
     assert a == b
 
 
+def test_stream_bitmap_overlap_really_updates(spark):
+    """The streaming overlap twin must be a REAL update-mode run, not
+    a single-batch batch job in disguise: three staged triggers each
+    carry rows, and the update log re-emits at least one
+    (window, type, word) key — i.e. the sink holds more update rows
+    than the folded state has keys (bit_or state genuinely updated
+    across micro-batches)."""
+    from bigdata_assigment3_spark.registry import REGISTRY
+
+    df = REGISTRY["stream_bitmap_overlap"].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) > 0
+    n_batches = int(spark.conf.get("bd3.stream_bitmap_overlap.n_batches"))
+    n_updates = int(spark.conf.get("bd3.stream_bitmap_overlap.n_updates"))
+    assert n_batches == 3, n_batches
+    # folded-state key count, recomputed from the sink the query left
+    n_keys = (
+        spark.table("stream_bitmap_overlap_sink")
+        .select("window", "event_type", "word")
+        .distinct()
+        .count()
+    )
+    assert n_updates > n_keys, (n_updates, n_keys)
+
+
 def test_langid_char_ngram_beats_words_on_short_novel_doc(spark, tmp_path):
     """The planted short/ambiguous doc: two synthetic languages with
     distinct morphology ('aa' words end -ora, 'bb' words end -ix) and
