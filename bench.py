@@ -168,17 +168,44 @@ def main() -> None:
     # shared box, which would read as phantom regressions round-over-round.
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
+    all_times: dict[str, list[float]] = {}
     for name in names:
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
+        all_times[name] = times
         per_query[name] = round(sorted(times)[1], 3)
         # the min is the noise floor: when median >> min the spread is
         # GC/box noise, not a plan regression — recorded so round-over-
         # round deltas can be attributed
         per_query_min[name] = round(min(times), 3)
+
+    # Spread enforcement (round-10 verdict: a snapshot whose own numbers
+    # sit 40% above the floor poisons round-over-round deltas): while
+    # the suite-level median-vs-min spread exceeds 10%, re-time the
+    # widest queries (their medians are the suspect numbers) up to two
+    # extra passes, folding new samples into the same min/median.
+    extra_passes = 0
+    while (
+        sum(per_query.values()) - sum(per_query_min.values())
+        > 0.10 * sum(per_query.values())
+        and extra_passes < 2
+    ):
+        extra_passes += 1
+        worst = sorted(
+            names,
+            key=lambda n: per_query[n] - per_query_min[n],
+            reverse=True,
+        )[: max(5, len(names) // 4)]
+        for name in worst:
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            all_times[name].append(time.perf_counter() - t0)
+            ts = sorted(all_times[name])
+            per_query[name] = round(ts[len(ts) // 2], 3)
+            per_query_min[name] = round(ts[0], 3)
 
     total = round(sum(per_query.values()), 3)
     total_min = round(sum(per_query_min.values()), 3)
@@ -197,6 +224,10 @@ def main() -> None:
         # a shared box swings medians 5-15% with zero code change.
         "value_min": total_min,
         "spread_sec": round(total - total_min, 3),
+        # widest-query re-time passes taken to get under the 10% spread
+        # target; box_loaded flags a snapshot that stayed wide anyway
+        "extra_passes": extra_passes,
+        "box_loaded": bool(total - total_min > 0.10 * total),
         "queries_min": per_query_min,
     }
 
@@ -283,6 +314,8 @@ def main() -> None:
             "n_runs": 3,
             "value_min": total_min,   # noise floor: sum of per-query min-of-3
             "spread_sec": round(total - total_min, 3),
+            "extra_passes": extra_passes,
+            "box_loaded": bool(total - total_min > 0.10 * total),
             "shared_setup_sec": shared_setup,
             "queries": dict(ranked[:top_n]),  # slowest N; full map in BENCH_LOCAL.json
             "full_results": "BENCH_LOCAL.json",
