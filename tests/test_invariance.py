@@ -77,6 +77,10 @@ INVARIANCE_QUERIES = [
     "ann_recall_eval",
     # RRF fusion (float score ties broken by cand_id)
     "ann_rrf_fusion",
+    # banding trade-off table (exact-topk ties + decimal miss-sum fold)
+    "ann_band_recall_tradeoff",
+    # hashed-trigram NB (float log-prob sums rounded before the argmax)
+    "langid_char_ngram",
     # BM25 top-k (TakeOrdered ties on integer scores + doc_id)
     "bm25_topk_docs",
     # integer prefix-sum membership (stratum window order)
