@@ -942,7 +942,11 @@ def q_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     bucket = F.expr(f"{md5_int56_spark('gram')} % {LANGID_NGRAM_BUCKETS}")
-    dw = (
+    # materialize the (doc, bucket) count table once: it feeds BOTH the
+    # model build and the scoring join, and without the checkpoint the
+    # corpus-sized explode + md5 pass runs twice (the BM25-postings
+    # lesson; measured 2x wall at the 10x audit scale)
+    dw = lineage_checkpoint(
         grams.select("doc_id", "lang", bucket.alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -422,10 +422,12 @@ def test_shuffle_exchange_budgets(spark):
         # are waivered broadcasts), and the signature build + truth
         # top-k run once at lineage-checkpoint time
         "ann_band_recall_tradeoff": 3,
-        # hashed-feature NB: gram/model-build aggs + doc-score agg +
-        # argmax window; INFERENCE joins the broadcast model (no
-        # vocab-keyed postings shuffle, unlike the word model's 15)
-        "langid_char_ngram": 13,
+        # hashed-feature NB: model-build aggs over the checkpointed
+        # (doc, bucket) counts + doc-score agg + argmax window;
+        # INFERENCE joins the broadcast model (no vocab-keyed postings
+        # shuffle, unlike the word model's 15); the corpus-sized
+        # explode+md5 pass runs once at lineage-checkpoint time
+        "langid_char_ngram": 10,
         # 4 = dft term agg over the checkpointed postings + stats
         # SinglePartition agg + (query_id, doc_id) score agg + per-query
         # WindowGroupLimit exchange; the vocab-pruned postings build
