@@ -1803,7 +1803,10 @@ _POWER_ITERATION_DOC = """Top principal direction of the embedding corpus by POW
     form DuckDB mirrors; (2) a data-relative rescale to < 2^30 per
     entry (1 + max|g| DIV 2^30 — keeps every w_i = sum_j g_ij v_j
     inside int64 at ANY corpus size); (3) PI_ITERS=20 iterations of
-    w = G'v with integer renormalization to ~2^16; (4) deterministic
+    w = G'v with integer renormalization to ~2^16 — run DRIVER-SIDE
+    over the collected dim^2-bounded Gram (the MLlib RowMatrix PCA
+    split: distribute the Gramian, eigensolve locally; the relational
+    twin keeps the fully-relational iteration form); (4) deterministic
     sign fix (the lowest-index maximal component is made positive)
     and an exact-numerator Rayleigh quotient.
 
@@ -1885,8 +1888,57 @@ def _power_iterate(gram: DataFrame) -> DataFrame:
     )
 
 
+def _power_iterate_local(gram: DataFrame) -> DataFrame:
+    """Driver-side twin of :func:`_power_iterate` over the SAME
+    integer semantics — the MLlib-PCA split (RowMatrix distributes the
+    Gramian, eigendecomposes on the driver): the corpus-distributed
+    work IS the Gram build; iterating a dim^2 = 4096-entry matrix is
+    not distributable work at any corpus size, and running it as 20
+    Spark jobs paid ~4s of scheduling for ~86k integer multiplies.
+    The collect is bounded by CONSTRUCTION (dim^2 rows, corpus-
+    independent).  Python ints replicate BIGINT exactly (the rescale
+    keeps every product in range, so neither wraps); the Rayleigh
+    round replicates Spark's Round-on-double (shortest-repr decimal,
+    HALF_UP — Java BigDecimal.valueOf semantics) via
+    Decimal(repr(x)).  Bit-equality with the relational-iteration twin
+    is pinned in tests/test_semantics.py."""
+    import decimal
+
+    rows = gram.collect()  # dim^2 rows — bounded, corpus-independent
+    spark = gram.sparkSession
+    schema = "d bigint, v_scaled bigint, rayleigh double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def sdiv(x: int, d: int) -> int:
+        return -((-x) // d) if x < 0 else x // d
+
+    dims = sorted({r["i"] for r in rows})
+    gd = 1 + max(abs(r["g"]) for r in rows) // PI_GBITS
+    gs = {(r["i"], r["j"]): sdiv(r["g"], gd) for r in rows}
+    v = {d: PI_VSCALE for d in dims}
+    for _ in range(PI_ITERS):
+        w = {i: sum(gs[(i, j)] * v[j] for j in dims) for i in dims}
+        m = max(1, max(abs(x) for x in w.values()) // PI_VSCALE)
+        v = {i: sdiv(w[i], m) for i in dims}
+    wf = {i: sum(gs[(i, j)] * v[j] for j in dims) for i in dims}
+    num = sum(v[i] * wf[i] for i in dims)
+    den = sum(v[i] * v[i] for i in dims)
+    ray = float(
+        decimal.Decimal(repr(float(num) / float(den))).quantize(
+            decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    av = max(abs(x) for x in v.values())
+    vtop = v[min(d for d in dims if abs(v[d]) == av)]
+    s = -1 if vtop < 0 else 1
+    return spark.createDataFrame(
+        [(int(d), int(v[d] * s), ray) for d in dims], schema
+    )
+
+
 def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _power_iterate(_gram_arrow(spark, sf_dir))
+    return _power_iterate_local(_gram_arrow(spark, sf_dir))
 
 
 q_embedding_power_iteration.__doc__ = _POWER_ITERATION_DOC

@@ -414,9 +414,11 @@ def test_shuffle_exchange_budgets(spark):
         # one bitmap build shuffled 3 ways (sizes, pair-join sides) +
         # matrix aggs — all word-compressed, no per-user rows
         "bitmap_audience_overlap": 8,
-        # Gram agg + per-iteration 64-row joins; lineage checkpoints
-        # truncate the static plan, scalar-agg crossJoins dominate
-        "embedding_power_iteration": 10,
+        # the corpus-sized Gram agg (1 exchange) runs eagerly at the
+        # bounded dim^2 collect; the 20 integer iterations run
+        # driver-side (MLlib-PCA split) and the result is a
+        # LocalRelation — 0 exchanges in the returned plan
+        "embedding_power_iteration": 0,
         # 3 = candidate-pair distinct + the two 5-row config aggs; the
         # corpus-sized signature table only STREAMS (truth/probe sides
         # are waivered broadcasts), and the signature build + truth
