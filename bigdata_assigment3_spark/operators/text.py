@@ -949,7 +949,9 @@ def q_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = lineage_checkpoint(
         grams.select("doc_id", "lang", bucket.alias("b"))
         .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        big=True,  # corpus-sized: DISK_ONLY so the pinned blocks never
+        # starve the scoring aggregation (100x-audit OOM otherwise)
     )
     wc = dw.groupBy("b", F.col("lang").alias("c")).agg(F.sum("cnt").alias("cnt"))
     tokc = wc.groupBy("c").agg(F.sum("cnt").alias("tok"))

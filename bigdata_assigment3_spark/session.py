@@ -58,7 +58,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def lineage_checkpoint(df):
+def lineage_checkpoint(df, big: bool = False):
     """Truncate lineage for iterative loops (EM, label propagation).
 
     ``localCheckpoint`` stores blocks on executors — fast, but lost
@@ -67,6 +67,14 @@ def lineage_checkpoint(df):
     ``SPARK_GRAFT_CHECKPOINT_DIR`` is set, use a reliable
     ``checkpoint`` to that (HDFS/S3) path instead; default stays local
     for single-box runs.
+
+    ``big=True`` marks a CORPUS-SIZED frame: its local checkpoint goes
+    to DISK_ONLY so the pinned (non-evictable) checkpoint blocks never
+    compete with execution memory — at the 100x derived-scale audit a
+    MEMORY_AND_DISK checkpoint of a 150M-row count table starved the
+    downstream hash aggregation into UNABLE_TO_ACQUIRE_MEMORY.
+    Bounded frames (scalars, dim^2 tables, vocab-pruned postings)
+    keep the default memory level.
     """
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:
@@ -74,6 +82,10 @@ def lineage_checkpoint(df):
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint()
+    if big:
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     return df.localCheckpoint()
 
 
