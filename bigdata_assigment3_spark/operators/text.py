@@ -782,14 +782,22 @@ def q_langid_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sublinear in corpus) built with a 5-row broadcast of the class
     totals; scoring shuffles on ``word`` then on ``(doc_id, class)``
     — the classic MapReduce NB, nothing grows quadratically."""
+    from .dedup import _docs_parallel
+
     docs = load_table(spark, sf_dir, "documents")
     words_arr = F.filter(F.split("text", " "), lambda x: x != "")
     # the single corpus-wide tokenize pass: everything below derives
-    # from this (doc, word) count table or from plain `documents`
-    dw = (
-        docs.select("doc_id", "lang", F.explode(words_arr).alias("word"))
+    # from this (doc, word) count table or from plain `documents`.
+    # Checkpointed because BOTH the model build (wc) and the scoring
+    # join consume it — without materialization the tokenize pass runs
+    # twice; _docs_parallel widens the single-file testdata scan so
+    # the explode runs at cluster parallelism (no-op at real scale)
+    dw = lineage_checkpoint(
+        _docs_parallel(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(words_arr).alias("word"))
         .groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        big=True,  # (doc, word) counts are corpus-sized
     )
     wc = dw.groupBy("word", F.col("lang").alias("c")).agg(F.sum("cnt").alias("cnt"))
     tokc = wc.groupBy("c").agg(F.sum("cnt").alias("tok"))
@@ -926,12 +934,22 @@ def q_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, one LN per (bucket, class), per-(doc, class) sums rounded
     to INTEGER 1e-4 units before the argmax, ties lexicographic.
     """
+    from .dedup import _docs_parallel
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.concat(F.lit("_"), F.regexp_replace("text", " ", "_"), F.lit("_"))
     base = docs.select("doc_id", "lang", t.alias("t")).filter(
         F.length("t") >= LANGID_NGRAM_N
     )
-    grams = base.select(
+    # small-file guard for the HEAVY pass only: the per-char explode +
+    # md5 must run at cluster parallelism, not at the one-partition
+    # width of a single-file testdata scan (no-op at real corpus
+    # scale); cls and the output join stay on the plain scan, and the
+    # guard's exchange runs once at dw's lineage checkpoint
+    gbase = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "lang", t.alias("t")
+    ).filter(F.length("t") >= LANGID_NGRAM_N)
+    grams = gbase.select(
         "doc_id",
         "lang",
         F.explode(

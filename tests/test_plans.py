@@ -383,7 +383,9 @@ def test_shuffle_exchange_budgets(spark):
         "stream_pit_enrich": 0,      # broadcast history into each micro-batch
         # round-8 continuation (counts at landing; tighten, don't loosen)
         "dedup_semantic_clustered": 7,   # cached assignment + cluster pair join
-        "langid_nb_classifier": 15,      # MapReduce-NB: dw/wc/tokc aggs + scoring joins
+        # MapReduce-NB: wc/tokc/vocab aggs over the checkpointed
+        # (doc, word) counts + scoring joins; tokenize runs once
+        "langid_nb_classifier": 12,
         "dedup_cascade_attrition": 12,   # exact groupBy + cached canonical + funnel aggs
         "dedup_keep_longest": 2,         # cached canonical join + rank window
         "mixture_token_budget": 7,       # enum-keyed aggs + rate join-back
