@@ -90,9 +90,11 @@ PRIORITY: tuple[str, ...] = (
     "rate_limit_window",
     "request_metrics",
     "json_extract",
-    # TPC-H-style relational anchors (joins/aggs/windows/set ops)
+    # TPC-H-style relational anchors (joins/aggs/windows/set ops);
+    # top_revenue_orders rotated out round 12 (second TPC-H join
+    # shape — region_revenue/customers_with_orders cover the family;
+    # still locally tested) for ann_band_recall_tradeoff
     "pricing_summary",
-    "top_revenue_orders",
     "region_revenue",
     "customers_with_orders",
     # (customers_without_orders moved out of the window: dq_audit's FK
@@ -101,17 +103,22 @@ PRIORITY: tuple[str, ...] = (
     "window_topk_orders",
     "set_operations",
     "rollup_lineitem",
-    # image kernels
+    # image kernels (bias_field_correct rotated out round 12 — the
+    # U8 neighborhood-kernel family keeps gaussian_denoise in-window;
+    # still locally tested — for langid_char_ngram)
     "sobel_edges",
-    "bias_field_correct",
-    # structured streaming
+    # structured streaming (stream_stream_join rotated out round 12 —
+    # four stream reps stay in-window; still locally tested — for
+    # stream_bitmap_overlap)
     "stream_window_counts",
     "sessionize",
     "stream_stateful_rate_limit",
-    "stream_stream_join",
+    "stream_bitmap_overlap",
     # text analysis (langid_heuristic moved out for the F12 security
-    # battery; still locally tested)
+    # battery; still locally tested) + the round-11 char-trigram
+    # language-ID flagship (rotated in round 12)
     "text_quality",
+    "langid_char_ngram",
     "security_hash_battery",
     # event-journey analytics
     "funnel_conversion",
@@ -126,9 +133,11 @@ PRIORITY: tuple[str, ...] = (
     "pagerank",
     # similarity search + embedding PCA (round-10 flagship: the
     # mapInArrow partial-Gram kernel plan, oracle-backed by its
-    # relational twin's SQL)
+    # relational twin's SQL) + the round-11 recall×cost fusion audit
+    # (rotated in round 12)
     "ann_cosine_topk",
     "embedding_power_iteration",
+    "ann_band_recall_tradeoff",
     # (ann_cosine_topk_vec is the int64-matmul twin of the slot above;
     # moved out for the runtime-pruned star join, still locally tested)
     "dpp_partitioned_join",
