@@ -290,10 +290,94 @@ def q_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank INT, center DOUBLE, n BIGINT")
 
 
+# early-stop threshold as an exact rational (changed/total < 1/100),
+# so the Spark loop and the unrolled SQL oracle compare identically —
+# integer cross-multiplication, no float ratio on either side
+STOP_NUM, STOP_DEN = 1, 100
+
+
+def _em_unrolled_oracle(src_sql: str, n_iters: int = 3) -> str:
+    """The FULL bounded EM loop as ONE DuckDB statement: the driver-side
+    Python iteration unrolls into chained CTEs (one nbr/energy/label/
+    M-step block per iteration), and the early stop becomes a CASE that
+    selects which iteration's labeling is final.  Every quantity the
+    loop compares is exact (integer neighbor counts and changed-counts;
+    means as double(SUM)/COUNT — a single deterministic IEEE division),
+    so the oracle replays the Spark trajectory bit-for-bit.
+
+    ``src_sql`` must yield the masked voxel table (z, y, x, inten_m).
+    """
+    ctes = [f"src AS ({src_sql})",
+            f"lab0 AS (SELECT z, y, x, inten_m, {_INIT_LABEL} AS label FROM src)",
+            "tot AS (SELECT COUNT(*) AS n FROM lab0)"]
+    init_mu = [f"CAST({m} AS DOUBLE)" for m in MEANS_M]
+    for i in range(1, n_iters + 1):
+        prev = f"lab{i - 1}"
+        if i == 1:
+            mus = ", ".join(f"{e} AS mu{k}" for k, e in enumerate(init_mu))
+            ctes.append(f"mu{i} AS (SELECT {mus})")
+        else:
+            # M-step over the previous labeling; empty classes carry the
+            # prior mean forward (COALESCE), like the loop's params dict
+            ctes.append(
+                f"st{i} AS (SELECT label, CAST(SUM(inten_m) AS DOUBLE) / COUNT(*) AS mu"
+                f" FROM {prev} GROUP BY label)"
+            )
+            fb = (init_mu if i == 2
+                  else [f"(SELECT mu{k} FROM mu{i - 1})" for k in range(3)])
+            mus = ", ".join(
+                f"COALESCE(MAX(CASE WHEN label = {k} THEN mu END), {fb[k]}) AS mu{k}"
+                for k in range(3)
+            )
+            ctes.append(f"mu{i} AS (SELECT {mus} FROM st{i})")
+        ctes.append(f"""nbr{i} AS (
+          SELECT l.z, l.y, l.x,
+                 COUNT(n.label) AS n_nbr,
+                 COUNT(n.label) FILTER (WHERE n.label = 0) AS c0,
+                 COUNT(n.label) FILTER (WHERE n.label = 1) AS c1,
+                 COUNT(n.label) FILTER (WHERE n.label = 2) AS c2
+          FROM {prev} l
+          CROSS JOIN {_NBR_OFFS}
+          LEFT JOIN {prev} n ON n.z = l.z + o.dz AND n.y = l.y + o.dy AND n.x = l.x + o.dx
+          GROUP BY 1, 2, 3
+        )""")
+        ctes.append(f"""en{i} AS (
+          SELECT l.z, l.y, l.x, l.inten_m, l.label AS old,
+                 5 * (l.inten_m - m.mu0) * (l.inten_m - m.mu0) + {_POTTS_W} * (b.n_nbr - b.c0) AS e0,
+                 5 * (l.inten_m - m.mu1) * (l.inten_m - m.mu1) + {_POTTS_W} * (b.n_nbr - b.c1) AS e1,
+                 5 * (l.inten_m - m.mu2) * (l.inten_m - m.mu2) + {_POTTS_W} * (b.n_nbr - b.c2) AS e2
+          FROM {prev} l JOIN nbr{i} b ON b.z = l.z AND b.y = l.y AND b.x = l.x, mu{i} m
+        )""")
+        ctes.append(
+            f"lab{i} AS (SELECT z, y, x, inten_m, old,"
+            " CASE WHEN e0 <= e1 AND e0 <= e2 THEN 0 WHEN e1 <= e2 THEN 1 ELSE 2 END AS label"
+            f" FROM en{i})"
+        )
+        ctes.append(
+            f"ch{i} AS (SELECT SUM(CASE WHEN old <> label THEN 1 ELSE 0 END) AS ch FROM lab{i})"
+        )
+    stop = [
+        f"WHEN (SELECT ch FROM ch{i}) * {STOP_DEN} < {STOP_NUM} * (SELECT n FROM tot) THEN {i}"
+        for i in range(1, n_iters)
+    ]
+    ctes.append(f"sel AS (SELECT CASE {' '.join(stop)} ELSE {n_iters} END AS fin)")
+    branches = " UNION ALL ".join(
+        f"SELECT z, y, x, inten_m, label FROM lab{i} WHERE (SELECT fin FROM sel) = {i}"
+        for i in range(1, n_iters + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT label, COUNT(*) AS n, ROUND(AVG(inten_m), 3) AS mean_m"
+        + f"\nFROM ({branches}) GROUP BY label"
+    )
+
+
+_EM_SRC_RAW = f"SELECT z, y, x, inten_m FROM ({VOXELS_SQL}) WHERE in_mask"
+
+
 def hmrf_em(
     spark: SparkSession,
     n_iters: int = 3,
-    stop_ratio: float = 0.01,
     vox: DataFrame | None = None,
 ) -> DataFrame:
     """Full HMRF-EM loop (ref brain_segmentation.py:274-318): driver-side
@@ -303,6 +387,9 @@ def hmrf_em(
 
     ``vox`` lets a preprocessing chain (denoise, bias-field) hand in
     transformed intensities; default is the raw fixture volume.
+
+    Value-oracled end to end: ``_em_unrolled_oracle`` replays this exact
+    loop (bounded iterations + early stop) as chained CTEs in DuckDB.
     """
     if vox is None:
         vox = _voxels(spark)
@@ -332,7 +419,9 @@ def hmrf_em(
         got = {int(r.label): float(r.s) / float(r.c) for r in stats}
         params = [got.get(k, params[k]) for k in range(3)]
         lab = nxt.drop("old")
-        if changed / total < stop_ratio:
+        # exact rational early stop (changed/total < STOP_NUM/STOP_DEN):
+        # integer cross-multiply so the SQL oracle compares identically
+        if changed * STOP_DEN < STOP_NUM * total:
             break
     return lab.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -340,10 +429,13 @@ def hmrf_em(
     )
 
 
-@query("hmrf_em_segmentation")  # rows-only: iterative, driver-controlled loop
+@query("hmrf_em_segmentation", oracle=_em_unrolled_oracle(_EM_SRC_RAW))
 def q_hmrf_em_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end HMRF-EM (3 iterations or converged) — final per-class
-    voxel counts + means (the reference report's summary table)."""
+    voxel counts + means (the reference report's summary table).
+
+    Value-oracled (round 12): the bounded driver loop unrolls into one
+    chained-CTE DuckDB statement with a CASE-selected early stop."""
     return hmrf_em(spark)
 
 
@@ -535,12 +627,29 @@ def q_nlm_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hmrf_em_denoised")  # rows-only: iterative, driver-controlled loop
+_EM_SRC_DENOISED = f"""
+SELECT z, y, x, CAST(swv // sw AS BIGINT) AS inten_m FROM (
+  SELECT a.z, a.y, a.x, a.in_mask,
+         SUM(b.inten_m * (2 - ABS(o.oy)) * (2 - ABS(o.ox))) AS swv,
+         SUM((2 - ABS(o.oy)) * (2 - ABS(o.ox))) AS sw
+  FROM ({VOXELS_SQL}) a
+  CROSS JOIN (SELECT CAST(FLOOR(id / 3) AS BIGINT) - 1 AS oy, id % 3 - 1 AS ox
+              FROM range(9) AS r(id)) o
+  JOIN ({VOXELS_SQL}) b ON b.z = a.z AND b.y = a.y + o.oy AND b.x = a.x + o.ox
+  GROUP BY 1, 2, 3, 4
+) WHERE in_mask
+"""
+
+
+@query("hmrf_em_denoised", oracle=_em_unrolled_oracle(_EM_SRC_DENOISED))
 def q_hmrf_em_denoised(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual preprocessing chain wired together:
     Gaussian denoise -> HMRF-EM (brain_segmentation.py:384-395 then
     :274-318).  Same EM loop as `hmrf_em_segmentation`, consuming the
-    denoised intensities."""
+    denoised intensities.
+
+    Value-oracled (round 12): the unrolled EM oracle over the denoise
+    CTE (same integer binomial kernel as `gaussian_denoise`'s)."""
     return hmrf_em(spark, vox=_denoised_voxels(spark))
 
 
@@ -870,7 +979,7 @@ def _slab_label_step(spark: SparkSession, lab: DataFrame, means, slab_z: int = 4
     )
 
 
-@query("hmrf_em_slab")  # rows-only: iterative, slab physical plan
+@query("hmrf_em_slab", oracle=_em_unrolled_oracle(_EM_SRC_RAW))  # shares the relational twin's oracle
 def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL EM loop on the halo-slab physical plan (SURVEY §4.3's
     cluster-deploy refinement, end-to-end): per iteration one
@@ -881,7 +990,7 @@ def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Jacobi trajectory, different shuffle geometry: per-iteration
     traffic is slab-local + two halo faces instead of a full
     coordinate-join shuffle."""
-    n_iters, stop_ratio = 3, 0.01
+    n_iters = 3
     vox = _voxels(spark).filter(F.col("in_mask"))
     lab = vox.select("z", "y", "x", "inten_m", F.expr(_INIT_LABEL).alias("label"))
     lab = lineage_checkpoint(lab)
@@ -899,7 +1008,7 @@ def q_hmrf_em_slab(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {int(r.label): float(r.s) / float(r.c) for r in stats}
         params = [got.get(k, params[k]) for k in range(3)]
         lab = nxt.drop("old")
-        if changed / total < stop_ratio:
+        if changed * STOP_DEN < STOP_NUM * total:
             break
     return lab.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
