@@ -260,34 +260,101 @@ def q_segmentation_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_init")  # rows-only: iterative ML, not SQL-expressible
+# deterministic 1-D k-means: fixed-point centroids in micro-units
+# (Q = 1000) so every assignment and M-step is exact integer math,
+# replayable verbatim as SQL — no RNG anywhere
+KM_Q = 1000
+KM_ITERS = 8  # fixpoint by iteration 2 on the fixture; extra Lloyd
+              # steps are exact no-ops, so a fixed unroll stays correct
+
+
+def _kmeans_1d_oracle() -> str:
+    """The deterministic 1-D k-means as ONE DuckDB statement: intensity
+    histogram -> farthest-point seeds (min, max, argmax-of-min-distance)
+    -> {KM_ITERS} unrolled exact-integer Lloyd steps."""
+    ctes = [
+        f"hist AS (SELECT inten_m * {KM_Q} AS vq, COUNT(*) AS c"
+        f" FROM ({VOXELS_SQL}) WHERE in_mask GROUP BY 1)",
+        "ext AS (SELECT MIN(vq) AS lo, MAX(vq) AS hi FROM hist)",
+        # third seed: farthest point from both extremes, tie -> lowest
+        "seed3 AS (SELECT vq FROM hist, ext"
+        " ORDER BY LEAST(ABS(vq - lo), ABS(vq - hi)) DESC, vq ASC LIMIT 1)",
+        "mu0 AS (SELECT lo AS m0, (SELECT vq FROM seed3) AS m1, hi AS m2 FROM ext)",
+    ]
+    for i in range(1, KM_ITERS + 1):
+        ctes.append(f"""asg{i} AS MATERIALIZED (
+          SELECT h.vq, h.c,
+                 CASE WHEN (h.vq - m.m0) * (h.vq - m.m0) <= (h.vq - m.m1) * (h.vq - m.m1)
+                       AND (h.vq - m.m0) * (h.vq - m.m0) <= (h.vq - m.m2) * (h.vq - m.m2) THEN 0
+                      WHEN (h.vq - m.m1) * (h.vq - m.m1) <= (h.vq - m.m2) * (h.vq - m.m2) THEN 1
+                      ELSE 2 END AS k
+          FROM hist h, mu{i - 1} m
+        )""")
+        ctes.append(f"st{i} AS MATERIALIZED (SELECT k, SUM(vq * c) AS s, SUM(c) AS c FROM asg{i} GROUP BY k)")
+        mus = ", ".join(
+            f"COALESCE(MAX(CASE WHEN k = {k} THEN (2 * s + c) // (2 * c) END),"
+            f" (SELECT m{k} FROM mu{i - 1})) AS m{k}"
+            for k in range(3)
+        )
+        ctes.append(f"mu{i} AS MATERIALIZED (SELECT {mus} FROM st{i})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY center, n) - 1 AS INT) AS rank, center, n
+    FROM (
+      SELECT ROUND(CAST(s AS DOUBLE) / c / {KM_Q}, 6) AS center, CAST(c AS BIGINT) AS n
+      FROM st{KM_ITERS}
+    )"""
+    )
+
+
+@query("kmeans_init", oracle=_kmeans_1d_oracle())
 def q_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means intensity init, classes ordered by mean (SURVEY U6/O3;
     ref brain_segmentation.py:100-116 — sklearn KMeans(n_init=4,
-    random_state=0) there, pyspark.ml KMeans(seed=0) here).
+    random_state=0) there; HERE a fully deterministic 1-D k-means:
+    farthest-point seeding + exact fixed-point Lloyd over the bounded
+    intensity HISTOGRAM, so the whole trajectory is RNG-free and
+    value-oracled as unrolled SQL, where seeded pyspark.ml KMeans was
+    rows-only AND partition-dependent (k-means|| samples per split).
+
+    Scale shape: ONE distributed groupBy builds the histogram — its
+    size is bounded by the intensity domain (milli-units of a 12-bit
+    scanner range), not the corpus, so the driver-side Lloyd loop is
+    O(domain * k * iters) no matter how many voxels stream in.
 
     Returns per-class (rank, center, n) with rank assigned ascending
     by center so labels are order-stable like the reference's argsort
     remap (brain_segmentation.py:109-116).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
-
-    vox = _voxels(spark).filter(F.col("in_mask"))
-    feat = VectorAssembler(inputCols=["inten_m"], outputCol="features").transform(
-        vox.select(F.col("inten_m").cast("double"))
-    )
-    model = KMeans(k=3, seed=0, maxIter=20).fit(feat)
-    pred = model.transform(feat)
-    stats = (
-        pred.groupBy("prediction")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("inten_m").alias("center"))
-        .orderBy("center")
+    hist = sorted(
+        (int(r.vq), int(r.c))
+        for r in _voxels(spark)
+        .filter(F.col("in_mask"))
+        .groupBy((F.col("inten_m") * KM_Q).alias("vq"))
+        .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    # tiny (K rows) driver-side remap, then back to a DataFrame
-    rows = [(rank, float(r.center), int(r.n)) for rank, r in enumerate(stats)]
-    return spark.createDataFrame(rows, "rank INT, center DOUBLE, n BIGINT")
+    lo, hi = hist[0][0], hist[-1][0]
+    seed3 = max(hist, key=lambda vc: (min(abs(vc[0] - lo), abs(vc[0] - hi)), -vc[0]))[0]
+    mus = [lo, seed3, hi]
+    s_fin = c_fin = None
+    for _ in range(KM_ITERS):
+        s, c = [0, 0, 0], [0, 0, 0]
+        for vq, cnt in hist:
+            d = [(vq - m) * (vq - m) for m in mus]
+            k = d.index(min(d))  # ties -> lowest k, like the SQL CASE
+            s[k] += vq * cnt
+            c[k] += cnt
+        # round-half-up integer mean (all positive -> // is floor)
+        mus = [(2 * s[k] + c[k]) // (2 * c[k]) if c[k] else mus[k] for k in range(3)]
+        s_fin, c_fin = s, c
+    rows = sorted(
+        ((s_fin[k] / c_fin[k] / KM_Q, c_fin[k]) for k in range(3) if c_fin[k]),
+    )
+    return spark.createDataFrame(
+        [(rank, round(center, 6), int(n)) for rank, (center, n) in enumerate(rows)],
+        "rank INT, center DOUBLE, n BIGINT",
+    )
 
 
 # early-stop threshold as an exact rational (changed/total < 1/100),
@@ -308,19 +375,19 @@ def _em_unrolled_oracle(src_sql: str, n_iters: int = 3) -> str:
     ``src_sql`` must yield the masked voxel table (z, y, x, inten_m).
     """
     ctes = [f"src AS ({src_sql})",
-            f"lab0 AS (SELECT z, y, x, inten_m, {_INIT_LABEL} AS label FROM src)",
+            f"lab0 AS MATERIALIZED (SELECT z, y, x, inten_m, {_INIT_LABEL} AS label FROM src)",
             "tot AS (SELECT COUNT(*) AS n FROM lab0)"]
     init_mu = [f"CAST({m} AS DOUBLE)" for m in MEANS_M]
     for i in range(1, n_iters + 1):
         prev = f"lab{i - 1}"
         if i == 1:
             mus = ", ".join(f"{e} AS mu{k}" for k, e in enumerate(init_mu))
-            ctes.append(f"mu{i} AS (SELECT {mus})")
+            ctes.append(f"mu{i} AS MATERIALIZED (SELECT {mus})")
         else:
             # M-step over the previous labeling; empty classes carry the
             # prior mean forward (COALESCE), like the loop's params dict
             ctes.append(
-                f"st{i} AS (SELECT label, CAST(SUM(inten_m) AS DOUBLE) / COUNT(*) AS mu"
+                f"st{i} AS MATERIALIZED (SELECT label, CAST(SUM(inten_m) AS DOUBLE) / COUNT(*) AS mu"
                 f" FROM {prev} GROUP BY label)"
             )
             fb = (init_mu if i == 2
@@ -329,8 +396,8 @@ def _em_unrolled_oracle(src_sql: str, n_iters: int = 3) -> str:
                 f"COALESCE(MAX(CASE WHEN label = {k} THEN mu END), {fb[k]}) AS mu{k}"
                 for k in range(3)
             )
-            ctes.append(f"mu{i} AS (SELECT {mus} FROM st{i})")
-        ctes.append(f"""nbr{i} AS (
+            ctes.append(f"mu{i} AS MATERIALIZED (SELECT {mus} FROM st{i})")
+        ctes.append(f"""nbr{i} AS MATERIALIZED (
           SELECT l.z, l.y, l.x,
                  COUNT(n.label) AS n_nbr,
                  COUNT(n.label) FILTER (WHERE n.label = 0) AS c0,
@@ -341,7 +408,7 @@ def _em_unrolled_oracle(src_sql: str, n_iters: int = 3) -> str:
           LEFT JOIN {prev} n ON n.z = l.z + o.dz AND n.y = l.y + o.dy AND n.x = l.x + o.dx
           GROUP BY 1, 2, 3
         )""")
-        ctes.append(f"""en{i} AS (
+        ctes.append(f"""en{i} AS MATERIALIZED (
           SELECT l.z, l.y, l.x, l.inten_m, l.label AS old,
                  5 * (l.inten_m - m.mu0) * (l.inten_m - m.mu0) + {_POTTS_W} * (b.n_nbr - b.c0) AS e0,
                  5 * (l.inten_m - m.mu1) * (l.inten_m - m.mu1) + {_POTTS_W} * (b.n_nbr - b.c1) AS e1,
@@ -349,12 +416,12 @@ def _em_unrolled_oracle(src_sql: str, n_iters: int = 3) -> str:
           FROM {prev} l JOIN nbr{i} b ON b.z = l.z AND b.y = l.y AND b.x = l.x, mu{i} m
         )""")
         ctes.append(
-            f"lab{i} AS (SELECT z, y, x, inten_m, old,"
+            f"lab{i} AS MATERIALIZED (SELECT z, y, x, inten_m, old,"
             " CASE WHEN e0 <= e1 AND e0 <= e2 THEN 0 WHEN e1 <= e2 THEN 1 ELSE 2 END AS label"
             f" FROM en{i})"
         )
         ctes.append(
-            f"ch{i} AS (SELECT SUM(CASE WHEN old <> label THEN 1 ELSE 0 END) AS ch FROM lab{i})"
+            f"ch{i} AS MATERIALIZED (SELECT SUM(CASE WHEN old <> label THEN 1 ELSE 0 END) AS ch FROM lab{i})"
         )
     stop = [
         f"WHEN (SELECT ch FROM ch{i}) * {STOP_DEN} < {STOP_NUM} * (SELECT n FROM tot) THEN {i}"
