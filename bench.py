@@ -200,9 +200,14 @@ def main() -> None:
             reverse=True,
         )[: max(5, len(names) // 4)]
         for name in worst:
-            t0 = time.perf_counter()
-            fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            all_times[name].append(time.perf_counter() - t0)
+            # two extra samples per pass so the count stays ODD: with an
+            # even count, ts[len//2] is the upper-middle element — a
+            # systematically high-biased "median" that would make
+            # re-timed queries read slower than non-re-timed ones
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                all_times[name].append(time.perf_counter() - t0)
             ts = sorted(all_times[name])
             per_query[name] = round(ts[len(ts) // 2], 3)
             per_query_min[name] = round(ts[0], 3)

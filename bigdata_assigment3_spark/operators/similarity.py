@@ -3,8 +3,10 @@ embedding: array<float>, label) — ANN for LLM-data pipelines
 (BASELINE.json north star).
 
 Brute-force cosine top-k is the oracle-checked baseline; the scale
-paths are LSH-bucketed variants (pyspark.ml BucketedRandomProjection,
-rows-only — iterative/model-based, not SQL-expressible).
+paths are LSH/IVF/PQ variants — ALL value-oracled since round 12:
+every index build (E2LSH hyperplanes, the spherical k-means coarse
+quantizer, the PQ codebooks) is deterministic integer math that the
+DuckDB oracle replays verbatim as unrolled SQL.
 
 Cross-engine exactness trick: elements are quantized to integer
 milli-units (round(x*1000)) so dot products and norms are exact
@@ -651,6 +653,7 @@ PQ_M = 8         # subspaces
 PQ_K = 16        # centroids per subspace (4-bit codes)
 PQ_SHORTLIST = 50
 PQ_TRAIN_N = 256  # bounded codebook-training sample (driver-side)
+PQ_L = 2          # exact fixed-point Lloyd steps per subspace codebook
 
 # PQ index memo per (session, sf_dir): codebooks + the persisted codes
 # DF are the "index build" — training and encoding run once, repeat
@@ -659,8 +662,16 @@ _PQ_CACHE: dict = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
-    """Returns (vecs_df, cents_df, codes_df, ds) — normalized vectors,
-    centroid table, persisted PQ codes."""
+    """Returns (frame, cents_df, codes_df, ds) — the integer spherical
+    frame (vec_id, e, n2, xp), the deterministic codebook table, and
+    the persisted PQ codes.
+
+    Round 12: codebooks are DETERMINISTIC — per subspace, the PQ_K
+    lowest-vec_id train subvectors seed PQ_L exact fixed-point Lloyd
+    steps over the bounded sorted sample (vec_id < PQ_TRAIN_N), all
+    int64, so the whole index build is value-oracled as unrolled SQL;
+    the previous seeded-RNG k-means was rows-only.  Training stays
+    driver-side (train-small/apply-big) and partition-invariant."""
     import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -672,58 +683,48 @@ def _pq_index(spark: SparkSession, sf_dir: str):
             _PQ_CACHE.pop(k)[2].unpersist()
         else:
             del _PQ_CACHE[k]  # dead session: blocks already gone
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    frame = _sph_frame(spark, sf_dir)
+    dim = len(frame.select("e").first()[0])
     ds = dim // PQ_M
-    norm = F.expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE) / "
-        "sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * v),"
-        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)))"
-    )
-    # an exactly-zero embedding would divide by zero (an ERROR under
-    # the session's pinned ANSI mode) — drop it before normalizing
-    nonzero = F.expr(
-        "aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * v),"
-        " CAST(0.0 AS DOUBLE), (a, b) -> a + b) > 0"
-    )
-    vecs = emb.filter(nonzero).select("vec_id", norm.alias("e"))
 
-    # train codebooks on a bounded deterministic sample (driver-side);
-    # sorted() pins the matrix row order regardless of partition layout
-    # so the seeded init — and therefore the codebooks — are
-    # reproducible on any file split
-    train = np.array(
-        [
-            r.e
-            for r in sorted(
-                vecs.filter(F.col("vec_id") < PQ_TRAIN_N).collect(),
-                key=lambda r: r.vec_id,
-            )
-        ],
-        dtype=np.float64,
+    rows = sorted(
+        frame.filter(F.col("vec_id") < PQ_TRAIN_N).select("vec_id", "xp").collect(),
+        key=lambda r: r.vec_id,
     )
-    if len(train) < PQ_K:
+    if len(rows) < PQ_K:
         raise ValueError(
-            f"PQ training needs >= {PQ_K} vectors with vec_id < {PQ_TRAIN_N}; "
-            f"got {len(train)} — raise PQ_TRAIN_N for this id layout"
+            f"PQ training needs >= {PQ_K} nonzero vectors with vec_id < {PQ_TRAIN_N}; "
+            f"got {len(rows)} — raise PQ_TRAIN_N for this id layout"
         )
-    rng = np.random.RandomState(0)
-    books = [_np_kmeans(train[:, m * ds:(m + 1) * ds], PQ_K, rng) for m in range(PQ_M)]
+    X = np.array([r.xp for r in rows], dtype=np.int64)
+    books = []
+    for m in range(PQ_M):
+        sub = X[:, m * ds:(m + 1) * ds]
+        cents = sub[:PQ_K].copy()  # seeds: PQ_K lowest train vec_ids
+        for _ in range(PQ_L):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)  # ties -> lowest code
+            for j in range(PQ_K):
+                mm = assign == j
+                if mm.any():
+                    sv, c = sub[mm].sum(0), int(mm.sum())
+                    cents[j] = (2 * sv + c) // (2 * c)  # positive -> floor
+        books.append(cents)
     cent_rows = [
-        (m, c, [float(x) for x in books[m][c]]) for m in range(PQ_M) for c in range(PQ_K)
+        (m, c, [int(x) for x in books[m][c]]) for m in range(PQ_M) for c in range(PQ_K)
     ]
-    cents = spark.createDataFrame(cent_rows, "sub_id INT, code INT, centroid ARRAY<DOUBLE>")
+    cents = spark.createDataFrame(cent_rows, "sub_id INT, code INT, centroid ARRAY<BIGINT>")
 
-    # relational encode: nearest subspace centroid per (vec, sub)
-    subs = vecs.select(
+    # relational encode: nearest subspace centroid per (vec, sub) —
+    # exact integer d2, ties to the lowest code via the min_by struct
+    subs = frame.select(
         "vec_id",
         F.posexplode(
-            F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(e, m * {ds} + 1, {ds}))")
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(xp, m * {ds} + 1, {ds}))")
         ).alias("sub_id", "sv"),
     )
     d2 = F.expr(
-        "aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),"
-        " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        "aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)), 0L, (x, y) -> x + y)"
     )
     codes = (
         subs.join(F.broadcast(cents), "sub_id")
@@ -733,46 +734,141 @@ def _pq_index(spark: SparkSession, sf_dir: str):
         .persist()
     )
     codes.count()  # materialize the index now (see dedup.py note)
-    built = (vecs, cents, codes, ds)
+    built = (frame, cents, codes, ds)
     _PQ_CACHE[key] = built
     return built
 
 
-@query("ann_pq_rerank")  # rows-only: model-based (PQ codebooks)
+def _pq_rerank_oracle() -> str:
+    """Unrolled-SQL replay of the deterministic PQ index + ADC + exact
+    re-rank; shares the spherical requant CTEs with the IVF oracle."""
+    ds = 64 // PQ_M  # the testdata corpus is 64-wide (oracle scale)
+    parts = [
+        "nzq AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e FROM embeddings)",
+        "nzn AS MATERIALIZED (SELECT vec_id, e,"
+        " CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2 FROM nzq)",
+        f"fem AS MATERIALIZED (SELECT vec_id, (generate_subscripts(e, 1) - 1) // {ds} AS m,"
+        f" (generate_subscripts(e, 1) - 1) % {ds} AS jj,"
+        f" (CAST(ROUND(CAST(unnest(e) AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)) * {SPH_NQ})"
+        f" AS BIGINT) + {SPH_OFF}) * {SPH_CQ} AS xq FROM nzn WHERE n2 > 0)",
+        f"femt AS MATERIALIZED (SELECT * FROM fem WHERE vec_id < {PQ_TRAIN_N})",
+        f"cbs AS (SELECT DISTINCT vec_id FROM femt ORDER BY vec_id LIMIT {PQ_K})",
+        "cb0 AS MATERIALIZED (SELECT DENSE_RANK() OVER (ORDER BY f.vec_id) - 1 AS code,"
+        " f.m, f.jj, f.xq AS w FROM femt f JOIN cbs s ON s.vec_id = f.vec_id)",
+    ]
+    for it in range(1, PQ_L + 1):
+        parts.append(
+            f"pasg{it} AS MATERIALIZED (SELECT vec_id, m, code FROM ("
+            f"SELECT vec_id, m, code, ROW_NUMBER() OVER (PARTITION BY vec_id, m"
+            f" ORDER BY d2, code) AS rn FROM ("
+            f"SELECT f.vec_id, f.m, c.code, SUM((f.xq - c.w) * (f.xq - c.w)) AS d2"
+            f" FROM femt f JOIN cb{it - 1} c ON c.m = f.m AND c.jj = f.jj"
+            f" GROUP BY f.vec_id, f.m, c.code)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"pst{it} AS MATERIALIZED (SELECT a.m, a.code, f.jj, SUM(f.xq) AS s, COUNT(*) AS c"
+            f" FROM pasg{it} a JOIN femt f ON f.vec_id = a.vec_id AND f.m = a.m"
+            f" GROUP BY a.m, a.code, f.jj)"
+        )
+        parts.append(
+            f"cb{it} AS MATERIALIZED (SELECT p.code, p.m, p.jj,"
+            f" COALESCE((2 * n.s + n.c) // (2 * n.c), p.w) AS w"
+            f" FROM cb{it - 1} p LEFT JOIN pst{it} n"
+            f" ON n.code = p.code AND n.m = p.m AND n.jj = p.jj)"
+        )
+    body = f"""
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM (SELECT f.vec_id, f.m, c.code, SUM((f.xq - c.w) * (f.xq - c.w)) AS d2
+              FROM fem f JOIN cb{PQ_L} c ON c.m = f.m AND c.jj = f.jj
+              GROUP BY f.vec_id, f.m, c.code)
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT f.vec_id AS query_id, f.m, c.code, SUM((f.xq - c.w) * (f.xq - c.w)) AS d2
+      FROM fem f JOIN cb{PQ_L} c ON c.m = f.m AND c.jj = f.jj
+      WHERE f.vec_id % {QUERY_STRIDE} = 0 AND f.vec_id < {PROBE_MAX_ID}
+      GROUP BY 1, 2, 3
+    ),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, c.vec_id AS cand_id, SUM(l.d2) AS adc_d2
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE l.query_id <> c.vec_id GROUP BY 1, 2
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    spr AS (
+      SELECT s.query_id, s.cand_id, unnest(a.e) AS ea, unnest(b.e) AS eb,
+             a.n2 AS na2, b.n2 AS nb2
+      FROM short s JOIN nzn a ON a.vec_id = s.query_id JOIN nzn b ON b.vec_id = s.cand_id
+    ),
+    sdots AS (
+      SELECT query_id, cand_id, SUM(ea * eb) AS dot,
+             ANY_VALUE(na2) AS na2, ANY_VALUE(nb2) AS nb2
+      FROM spr GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, rank, cosine FROM (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2) DESC,
+                           cand_id) AS BIGINT) AS rank,
+             ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
+      FROM sdots
+    ) WHERE rank <= {TOP_K}
+    """
+    return "WITH " + ",\n".join(parts) + "," + body
+
+
+@query("ann_pq_rerank", oracle=_pq_rerank_oracle())
 def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the memory-bound
     scale path beside LSH/IVF: vectors compress to PQ_M 4-bit codes
     (~8 bytes vs 512), the WHOLE corpus is scored from codes via a
     broadcast lookup-table join, and only the per-query shortlist of
     PQ_SHORTLIST candidates touches full vectors for exact cosine
-    re-ranking (recall vs brute force asserted in tests).
+    re-ranking (recall vs brute force asserted in tests; the
+    deterministic codebooks measure 0.66 on this corpus).
 
-    Scale shape: codebooks train on a BOUNDED sample (PQ_TRAIN_N rows,
-    driver-side seeded k-means — the standard train-small/apply-big
-    split); the trained codebooks + persisted codes are memoized per
-    session as the index build; ADC scoring is a broadcast join + one
-    partial agg, linear in corpus x probes; the re-rank join touches
-    O(probes x shortlist) full vectors regardless of corpus size.
+    Round 12: codebooks are the engine's deterministic fixed-point
+    k-means (PQ_K lowest-id train subvectors + PQ_L exact Lloyd steps
+    per subspace), so index build, ADC scoring and re-rank are all
+    value-oracled as unrolled SQL — the seeded-RNG codebooks were
+    rows-only.  Every distance until the final cosine is an exact
+    int64, so no float reduce order can flip a code or a shortlist.
+
+    Scale shape unchanged: codebooks train on a BOUNDED sample
+    (train-small/apply-big); trained codebooks + persisted codes are
+    memoized per session as the index build; ADC scoring is a
+    broadcast join + one partial agg, linear in corpus x probes; the
+    re-rank join touches O(probes x shortlist) full vectors regardless
+    of corpus size.
     """
-    vecs, cents, codes, ds = _pq_index(spark, sf_dir)
+    frame, cents, codes, ds = _pq_index(spark, sf_dir)
 
     # --- per-query ADC lookup tables (probes x PQ_M x PQ_K rows) ---
-    q = vecs.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID))
+    q = frame.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID))
     qsubs = q.select(
         F.col("vec_id").alias("query_id"),
         F.posexplode(
-            F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(e, m * {ds} + 1, {ds}))")
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), m -> slice(xp, m * {ds} + 1, {ds}))")
         ).alias("sub_id", "sv"),
     )
     d2 = F.expr(
-        "aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),"
-        " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        "aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)), 0L, (x, y) -> x + y)"
     )
     lut = qsubs.join(F.broadcast(cents), "sub_id").select(
         "query_id", "sub_id", "code", d2.alias("ld2")
     )
 
-    # --- ADC scoring from codes only + shortlist ---
+    # --- ADC scoring from codes only + shortlist (exact int sums) ---
     approx = (
         codes.join(F.broadcast(lut), ["sub_id", "code"])
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -786,23 +882,22 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
 
-    # --- exact re-rank of the shortlist only ---
-    qv = q.select(F.col("vec_id").alias("query_id"), F.col("e").alias("eq"))
-    cv = vecs.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"))
-    dot = F.expr(
-        "aggregate(zip_with(eq, ev, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-    )
-    # rank on the RAW cosine (round only for display) so rounding ties
-    # can't reorder the top-k relative to the brute-force baseline
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("cand_id"))
+    # --- exact integer-dot cosine re-rank of the shortlist only ---
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("e").alias("eq"),
+                  F.col("n2").alias("na2"))
+    cv = frame.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ev"),
+                      F.col("n2").alias("nb2"))
+    dot = F.expr("aggregate(zip_with(eq, ev, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
     return (
         shortlist.join(cv, "cand_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine_raw", dot)
+        .withColumn("cos_raw",
+                    dot.cast("double") / F.sqrt(F.col("na2").cast("double") * F.col("nb2")))
         .withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select(
-            "query_id", "cand_id", "rank", F.round("cosine_raw", 6).alias("cosine")
+            "query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine")
         )
     )
 
@@ -1090,8 +1185,7 @@ _SRP_ORACLE = f"""
 def q_ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-random-projection LSH ANN (Charikar SRP) with
     DETERMINISTIC hyperplanes: the ±1 weights derive from md5, so —
-    unlike the MLlib BucketedRandomProjection twin
-    (``ann_lsh_bucketed``, rows-only) — the whole pipeline
+    like the Euclidean twin (``ann_lsh_bucketed``) — the whole pipeline
     (sketch -> band buckets -> candidate join -> exact rerank) is
     value-oracled end to end.
 
@@ -1226,8 +1320,9 @@ def _ivf_det_oracle() -> str:
 @query("ann_ivf_deterministic", oracle=_ivf_det_oracle())
 def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a DETERMINISTIC coarse quantizer — the
-    oracle-backed twin of the KMeans-based ``ann_ivf_probe``
-    (rows-only): the inverted lists are the one-step-Lloyd clusters
+    seed-quantizer twin of the Lloyd-trained ``ann_ivf_probe`` (also
+    oracle-backed since round 12): the inverted lists are the
+    one-step-Lloyd clusters
     already memoized for SemDeDup (dedup.py:_semantic_assign_df — K
     lowest-id seeds, cosine argmax), each probe scans only its
     {IVF_DET_PROBE} highest-cosine lists, and survivors rerank by
@@ -1349,8 +1444,9 @@ PQD_K = 16     # codebook entries per subspace (seed codebooks)
 )
 def q_ann_pq_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization + ADC with DETERMINISTIC seed codebooks —
-    the oracle-backed twin of the KMeans-codebook ``ann_pq_rerank``
-    (rows-only): each {PQD_M * PQD_DS}-dim vector splits into {PQD_M}
+    the ADC-only twin of the Lloyd-trained ``ann_pq_rerank`` (also
+    oracle-backed since round 12): each {PQD_M * PQD_DS}-dim vector
+    splits into {PQD_M}
     subspaces of {PQD_DS} dims, the per-subspace codebook is the
     subvectors of the {PQD_K} lowest-id vectors, and every vector
     encodes to its argmin-L2 code per subspace (ties to the lowest
@@ -2107,20 +2203,28 @@ def _power_iterate_local(gram: DataFrame) -> DataFrame:
 
     dims = sorted({r["i"] for r in rows})
     gd = 1 + max(abs(r["g"]) for r in rows) // PI_GBITS
+    # .get(..., 0): tolerate a sparse Gram input (dense today only by
+    # _gram_arrow construction — a missing (i, j) is a zero entry)
     gs = {(r["i"], r["j"]): sdiv(r["g"], gd) for r in rows}
     v = {d: PI_VSCALE for d in dims}
     for _ in range(PI_ITERS):
-        w = {i: sum(gs[(i, j)] * v[j] for j in dims) for i in dims}
+        w = {i: sum(gs.get((i, j), 0) * v[j] for j in dims) for i in dims}
         m = max(1, max(abs(x) for x in w.values()) // PI_VSCALE)
         v = {i: sdiv(w[i], m) for i in dims}
-    wf = {i: sum(gs[(i, j)] * v[j] for j in dims) for i in dims}
+    wf = {i: sum(gs.get((i, j), 0) * v[j] for j in dims) for i in dims}
     num = sum(v[i] * wf[i] for i in dims)
     den = sum(v[i] * v[i] for i in dims)
-    ray = float(
-        decimal.Decimal(repr(float(num) / float(den))).quantize(
-            decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
+    if den == 0:
+        # all-zero quantized corpus drives v to zero: the relational
+        # twin's double division yields a null rayleigh there — match
+        # it instead of raising ZeroDivisionError
+        ray = None
+    else:
+        ray = float(
+            decimal.Decimal(repr(float(num) / float(den))).quantize(
+                decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
+            )
         )
-    )
     av = max(abs(x) for x in v.values())
     vtop = v[min(d for d in dims if abs(v[d]) == av)]
     s = -1 if vtop < 0 else 1

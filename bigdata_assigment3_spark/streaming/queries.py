@@ -1551,44 +1551,64 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _next_midnight(t: "datetime.datetime") -> "datetime.datetime":
         return t.replace(hour=0, minute=0, second=0, microsecond=0) + datetime.timedelta(days=1)
 
-    c1 = _next_midnight(lo + span / 3)
-    c2 = _next_midnight(lo + 2 * span / 3)
+    # cuts derived DEFENSIVELY (round-11 advice): clamp both to
+    # midnights strictly inside (lo, hi] so the three-trigger contract
+    # (three non-empty, time-ordered batches) holds for any conforming
+    # events table, not just the fixture's ~30-day span
+    first_mid = _next_midnight(lo)
+    last_mid = hi.replace(hour=0, minute=0, second=0, microsecond=0)
+    if last_mid >= hi:
+        last_mid -= datetime.timedelta(days=1)
+    c2 = min(_next_midnight(lo + 2 * span / 3), last_mid)
+    c1 = min(_next_midnight(lo + span / 3), c2 - datetime.timedelta(days=1))
+    if c1 < first_mid:
+        raise ValueError(
+            f"stream_bitmap_overlap needs an events span of >= 3 days to "
+            f"stage three midnight-cut batches; got ts in [{lo}, {hi}]"
+        )
     replay_from = c1 - datetime.timedelta(days=1)  # the boundary day
     batches = (
         ev.filter(F.col("ts") < F.lit(c1)),
         ev.filter((F.col("ts") >= F.lit(replay_from)) & (F.col("ts") < F.lit(c2))),
         ev.filter(F.col("ts") >= F.lit(c2)),
     )
-    for i, bdf in enumerate(batches):
-        bdf.coalesce(1).write.parquet(f"{stage}/b{i}")
-        for f in os.listdir(f"{stage}/b{i}"):
-            os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
-    stream = normalize_events_ts(
-        spark.readStream.schema(ev.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
-    word, mask = bitmap_word_mask("user_id")
-    agg = (
-        stream.filter(F.col("value") >= AUDIENCE_VALUE_MIN)
-        .withWatermark("ts", "2 days")
-        .groupBy(F.window("ts", "1 day"), "event_type", word.alias("word"))
-        .agg(F.bit_or(mask).alias("bits"))
-    )
-    sink = "stream_bitmap_overlap_sink"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # observability for tests: real multi-batch run, real re-updates
-    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-    spark.conf.set("bd3.stream_bitmap_overlap.n_batches", str(n_batches))
+    try:
+        for i, bdf in enumerate(batches):
+            bdf.coalesce(1).write.parquet(f"{stage}/b{i}")
+            for f in os.listdir(f"{stage}/b{i}"):
+                os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+        stream = normalize_events_ts(
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        word, mask = bitmap_word_mask("user_id")
+        agg = (
+            stream.filter(F.col("value") >= AUDIENCE_VALUE_MIN)
+            .withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day"), "event_type", word.alias("word"))
+            .agg(F.bit_or(mask).alias("bits"))
+        )
+        sink = "stream_bitmap_overlap_sink"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # observability for tests: real multi-batch run, real re-updates
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        spark.conf.set("bd3.stream_bitmap_overlap.n_batches", str(n_batches))
+    finally:
+        # the memory sink holds the drained updates — the staged parquet
+        # is dead weight once the stream terminates, and the appId-keyed
+        # dir name means the pre-run rmtree above can't reclaim OTHER
+        # sessions' leftovers, so clean up eagerly (round-11 advice)
+        shutil.rmtree(stage, ignore_errors=True)
     upd = spark.table(sink).select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "event_type",

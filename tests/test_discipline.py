@@ -263,6 +263,10 @@ def test_bounded_broadcast_waivers_pinned():
     assert sites == {
         ("operators/similarity.py", "q_ann_cosine_topk"),
         ("operators/similarity.py", "q_ann_band_recall_tradeoff"),
+        # round 12: the deterministic E2LSH / multi-assign IVF probe
+        # sides — both bounded by the fixed 10-probe set at every SF
+        ("operators/similarity.py", "q_ann_lsh_bucketed"),
+        ("operators/similarity.py", "q_ann_ivf_probe"),
         ("operators/text.py", "q_bm25_topk_docs"),
         ("operators/text.py", "q_langid_char_ngram"),
         ("streaming/queries.py", "q_stream_pit_enrich"),

@@ -51,7 +51,7 @@ def test_no_cartesian_anywhere(spark):
     bounded_window_ok = {"otsu_threshold", "largest_component_3d", "token_zipf_slope",
                          "ann_pq_deterministic"}
     for name, spec in REGISTRY.items():
-        if name in ("hmrf_em_segmentation", "kmeans_init", "ann_lsh_bucketed",
+        if name in ("hmrf_em_segmentation",
                     "stream_window_counts", "stream_type_totals",
                     "multimodal_decode", "multimodal_features", "binary_dir_scan"):
             continue  # iterative/streaming/UDF paths checked elsewhere

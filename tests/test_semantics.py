@@ -1706,8 +1706,16 @@ def test_langid_char_ngram_beats_words_on_short_novel_doc(spark, tmp_path):
 
     src = load_table(spark, SF_SMOKE, "documents")
     sf_dir = str(tmp_path)
+    # named fields, validated against the real schema: a positional
+    # tuple would silently mis-assign columns if the documents schema
+    # order ever changed (round-11 advice)
+    assert set(src.schema.fieldNames()) == {"doc_id", "text", "lang", "source", "n_chars"}, (
+        src.schema.fieldNames()
+    )
     spark.createDataFrame(
-        [(i, t, l, s, len(t)) for i, t, l, s in docs], schema=src.schema
+        [{"doc_id": i, "text": t, "lang": l, "source": s, "n_chars": len(t)}
+         for i, t, l, s in docs],
+        schema=src.schema,
     ).write.parquet(f"{sf_dir}/documents.parquet")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "embeddings"):
