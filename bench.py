@@ -136,6 +136,10 @@ HEADLINE = [
     "ann_band_recall_tradeoff",
     "langid_char_ngram",
     "stream_bitmap_overlap",
+    # round-12: the deterministic (now oracle-backed) E2LSH and
+    # multi-assign IVF scale paths
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
 ]
 
 
