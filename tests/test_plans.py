@@ -421,6 +421,22 @@ def test_shuffle_exchange_budgets(spark):
         # driver-side (MLlib-PCA split) and the result is a
         # LocalRelation — 0 exchanges in the returned plan
         "embedding_power_iteration": 0,
+        # round-12 deterministic (oracle-backed) index paths — hashing
+        # and list assignment are STATELESS per row, so the only
+        # exchanges are candidate distincts / final aggs:
+        # E2LSH: candidate-pair distinct + per-query agg
+        "ann_lsh_bucketed": 2,
+        # IVF: candidate-pair distinct + per-query top-k window
+        "ann_ivf_probe": 2,
+        # PQ: encode argmin agg + ADC agg + shortlist window + rerank
+        # window (the bounded LUT/codebook sides all broadcast)
+        "ann_pq_rerank": 4,
+        # spherical k-means purity: (cluster,label) agg + majority agg
+        # (training runs driver-side on the bounded sorted sample)
+        "embedding_kmeans_purity": 2,
+        # 1-D histogram k-means: the histogram agg runs eagerly inside
+        # the bounded collect; the returned frame is a LocalRelation
+        "kmeans_init": 0,
         # 3 = candidate-pair distinct + the two 5-row config aggs; the
         # corpus-sized signature table only STREAMS (truth/probe sides
         # are waivered broadcasts), and the signature build + truth
