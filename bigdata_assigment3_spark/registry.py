@@ -96,17 +96,19 @@ PRIORITY: tuple[str, ...] = (
     # still locally tested) for ann_band_recall_tradeoff
     "pricing_summary",
     "region_revenue",
-    "customers_with_orders",
+    # (customers_with_orders rotated out round 13 — region_revenue and
+    # dq_audit's FK semi/anti checks keep the TPC-H join family
+    # in-window; still locally tested — for ann_ivf_probe)
     # (customers_without_orders moved out of the window: dq_audit's FK
     # checks exercise the same LEFT ANTI shape; still locally tested)
     "dq_audit",
     "window_topk_orders",
     "set_operations",
     "rollup_lineitem",
-    # image kernels (bias_field_correct rotated out round 12 — the
-    # U8 neighborhood-kernel family keeps gaussian_denoise in-window;
-    # still locally tested — for langid_char_ngram)
-    "sobel_edges",
+    # image kernels (bias_field_correct rotated out round 12 for
+    # langid_char_ngram; sobel_edges rotated out round 13 — the U8
+    # neighborhood-kernel family keeps gaussian_denoise in-window;
+    # both still locally tested — for hmrf_em_segmentation)
     # structured streaming (stream_stream_join rotated out round 12 —
     # four stream reps stay in-window; still locally tested — for
     # stream_bitmap_overlap)
@@ -138,6 +140,9 @@ PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk",
     "embedding_power_iteration",
     "ann_band_recall_tradeoff",
+    # deterministic IVF with multi-assignment (round-12 flagship,
+    # rotated in round 13)
+    "ann_ivf_probe",
     # (ann_cosine_topk_vec is the int64-matmul twin of the slot above;
     # moved out for the runtime-pruned star join, still locally tested)
     "dpp_partitioned_join",
@@ -155,8 +160,14 @@ PRIORITY: tuple[str, ...] = (
     "figure_heatmap_sink",
     "asof_last_error",
     # HMRF volume analytics + NIfTI-1 artifact export (S15 closure;
-    # posterior_softmax moved out, still locally tested)
-    "mstep_class_stats",
+    # posterior_softmax moved out round 10, mstep_class_stats rotated
+    # out round 13 — the oracled EM loop runs the same exact-integer
+    # M-step inside every iteration's CTE chain, so A9 stays
+    # driver-verified through the capstone; still locally tested).
+    # Round-13 rotation: the round-12 flagships whose oracles that
+    # round created get driver-verified rows.
+    "hmrf_em_segmentation",
+    "kmeans_init",
     "volume_nifti_export",
     "gaussian_denoise",
     # Hough image analytics
