@@ -297,11 +297,16 @@ def _kmeans_1d_oracle() -> str:
             for k in range(3)
         )
         ctes.append(f"mu{i} AS MATERIALIZED (SELECT {mus} FROM st{i})")
+    # rank by the EXACT unrounded mean (one IEEE double division,
+    # identical to the Python side's sort key), not the 6-dp ROUND —
+    # two classes agreeing to 1e-6 but differing beyond it must not
+    # swap ranks between engines (round-12 advice)
     return (
         "WITH " + ",\n".join(ctes) + f"""
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY center, n) - 1 AS INT) AS rank, center, n
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY mc, n) - 1 AS INT) AS rank, center, n
     FROM (
-      SELECT ROUND(CAST(s AS DOUBLE) / c / {KM_Q}, 6) AS center, CAST(c AS BIGINT) AS n
+      SELECT CAST(s AS DOUBLE) / c / {KM_Q} AS mc,
+             ROUND(CAST(s AS DOUBLE) / c / {KM_Q}, 6) AS center, CAST(c AS BIGINT) AS n
       FROM st{KM_ITERS}
     )"""
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..plans.hints import bounded_broadcast
 from ..registry import query
 from ..sources import load_table
@@ -294,26 +295,31 @@ def _sph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sph_train_cents(spark: SparkSession, sf_dir: str, k: int) -> list[list[int]]:
-    """Deterministic spherical k-means on the bounded sorted sample
-    (vec_id < KM_TRAIN_N): farthest-point seeding from the lowest
-    vec_id, then SPH_L exact fixed-point Lloyd steps.  int64 end to
-    end — numpy here is just a fast integer ALU, so the oracle's
-    unrolled SQL replays the identical trajectory (same argmin ties ->
-    lowest cluster, same round-half-up integer means)."""
+    """Deterministic spherical k-means on the bounded hash-selected
+    sample (the KM_TRAIN_N lowest md5-int56(vec_id) — round-12 advice:
+    a lowest-id PREFIX trains on a biased slice whenever ids correlate
+    with content, e.g. time-ordered ingestion; the salted-hash top-N is
+    equally replayable in DuckDB and unbiased at any scale).
+    Farthest-point seeding from the lowest vec_id in the sample, then
+    SPH_L exact fixed-point Lloyd steps.  int64 end to end — numpy
+    here is just a fast integer ALU, so the oracle's unrolled SQL
+    replays the identical trajectory (same argmin ties -> lowest
+    cluster, same round-half-up integer means)."""
     import numpy as np
 
     rows = sorted(
         _sph_frame(spark, sf_dir)
-        .filter(F.col("vec_id") < KM_TRAIN_N)
-        .select("vec_id", "xp")
+        .select("vec_id", "xp", F.expr(md5_int56_spark("CAST(vec_id AS STRING)")).alias("h"))
+        .orderBy("h", "vec_id")  # top-N by hash: a TakeOrdered, never a full sort
+        .limit(KM_TRAIN_N)
         .collect(),
         key=lambda r: r.vec_id,
     )
     X = np.array([r.xp for r in rows], dtype=np.int64)
     if len(X) < k:
         raise ValueError(
-            f"quantizer training needs >= {k} nonzero vectors with vec_id < {KM_TRAIN_N};"
-            f" got {len(X)}"
+            f"quantizer training needs >= {k} nonzero vectors in the"
+            f" {KM_TRAIN_N}-row hash sample; got {len(X)}"
         )
     chosen = [0]
     for _ in range(1, k):
@@ -345,6 +351,83 @@ def _sph_lists_expr(cents: list[list[int]], na: int) -> str:
     return f"slice(array_sort(array({', '.join(parts)})), 1, {na})"
 
 
+# centroid count above which the literal-expression argmin gives way
+# to the mapInArrow kernel: the expression tree is O(k * dim) literals,
+# optimal at the engine's fixture k's (8/10/16) but a Catalyst
+# plan-size blowup at a realistic IVF nlist (thousands)
+K_LITERAL_MAX = 32
+
+
+def _nearest_lists_arrow(frame: DataFrame, cents: list[list[int]], na: int) -> DataFrame:
+    """Large-k twin of ``_sph_lists_expr``: same exact-int64 nearest-na
+    assignment (ties -> lowest k), computed by a mapInArrow kernel
+    instead of an inlined expression.  The centroid matrix rides into
+    the closure (bounded: k x dim int64 — an index artifact, not
+    data), each Arrow batch computes the full d2 matrix in one numpy
+    pass, and a stable argsort keeps the tie-break.  Still stateless
+    per-row: no join, no window, no shuffle to assign a 100 TB corpus.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(cents, dtype=np.int64)          # (k, dim)
+    cn2 = (C * C).sum(axis=1)                      # (k,)
+    take = min(na, len(C))
+
+    def assign_batches(batches):
+        struct_t = pa.struct([pa.field("d2", pa.int64()), pa.field("k", pa.int32())])
+        for batch in batches:
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            xp = cols["xp"]
+            if isinstance(xp, pa.ChunkedArray):
+                xp = xp.combine_chunks()
+            n = len(xp)
+            if n == 0:
+                continue
+            offs = xp.offsets.to_numpy(zero_copy_only=False)
+            widths = offs[1:] - offs[:-1]
+            if not np.all(widths == C.shape[1]):
+                raise ValueError(
+                    f"xp width {set(widths.tolist())} != centroid dim {C.shape[1]}"
+                )
+            X = xp.values.to_numpy(zero_copy_only=False).astype(np.int64).reshape(n, -1)
+            # exact |x|^2 - 2<x,c> + |c|^2: every term bounded by
+            # dim * ((SPH_NQ + SPH_OFF) * SPH_CQ)^2 ~ 2^60, no wrap
+            d2 = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + cn2[None, :]
+            order = np.argsort(d2, axis=1, kind="stable")[:, :take]  # ties -> lowest k
+            dsel = np.take_along_axis(d2, order, axis=1)
+            sa = pa.StructArray.from_arrays(
+                [pa.array(dsel.ravel(), type=pa.int64()),
+                 pa.array(order.ravel().astype(np.int32), type=pa.int32())],
+                fields=list(struct_t),
+            )
+            nl = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * take, take, dtype=np.int32)), sa
+            )
+            yield pa.RecordBatch.from_arrays(
+                [cols[f] for f in batch.schema.names] + [nl],
+                names=list(batch.schema.names) + ["nl"],
+            )
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in frame.schema.fields)
+    out_schema += ", nl array<struct<d2: bigint, k: int>>"
+    return frame.mapInArrow(assign_batches, out_schema)
+
+
+def _with_nearest_lists(frame: DataFrame, cents: list[list[int]], na: int) -> DataFrame:
+    """``frame`` + column ``nl``: the ``na`` nearest centroids as
+    array<struct<d2, k>> — exact integer d2, ties -> lowest k.
+
+    k-threshold dispatch (round-12 advice): k <= K_LITERAL_MAX keeps
+    the zero-shuffle literal-expression argmin; above it the identical
+    assignment runs as the Arrow kernel so the plan stays O(1) in k.
+    Both paths are deterministic and value-identical (pinned by
+    tests), so the unrolled-SQL oracles never change."""
+    if len(cents) <= K_LITERAL_MAX:
+        return frame.withColumn("nl", F.expr(_sph_lists_expr(cents, na)))
+    return _nearest_lists_arrow(frame, cents, na)
+
+
 def _sph_duck_ctes(k: int) -> str:
     """DuckDB CTE chain replaying ``_sph_train_cents`` exactly: the
     training sample, the k farthest-point seed selections, and SPH_L
@@ -360,7 +443,10 @@ def _sph_duck_ctes(k: int) -> str:
         f"fe AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) - 1 AS j,"
         f" (CAST(ROUND(CAST(unnest(e) AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)) * {SPH_NQ})"
         f" AS BIGINT) + {SPH_OFF}) * {SPH_CQ} AS xq FROM nzn WHERE n2 > 0)",
-        f"fet AS MATERIALIZED (SELECT * FROM fe WHERE vec_id < {KM_TRAIN_N})",
+        f"ksamp AS MATERIALIZED (SELECT vec_id FROM nzn WHERE n2 > 0"
+        f" ORDER BY {md5_int56_duck('CAST(vec_id AS VARCHAR)')}, vec_id"
+        f" LIMIT {KM_TRAIN_N})",
+        "fet AS MATERIALIZED (SELECT f.* FROM fe f JOIN ksamp s USING (vec_id))",
         "seeds1 AS MATERIALIZED (SELECT 0 AS k, vec_id AS sv, j, xq AS w FROM fet"
         " WHERE vec_id = (SELECT MIN(vec_id) FROM fet))",
     ]
@@ -439,15 +525,23 @@ def q_embedding_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 12: the quantizer is the engine's own deterministic
     spherical k-means (farthest-point seeds + exact fixed-point Lloyd
-    on the bounded sorted sample), so the WHOLE pipeline — training
+    on the bounded hash-selected sample), so the WHOLE pipeline — training
     included — is value-oracled as unrolled SQL; the previous
     seeded-RNG trainer was rows-only.  Assignment is a stateless
     per-row argmin over k centroid literals: no join, no window, no
     shuffle touches the corpus until the k x label count aggregate."""
+    labels = load_table(spark, sf_dir, "embeddings").select("label")
+    n_labels = labels.distinct().count()  # bounded: label domain, not corpus
+    if n_labels != K_PURITY:
+        # K_PURITY is pinned to the corpus' label cardinality; a
+        # fixture change must fail loudly, not silently cluster
+        # against the wrong k (round-12 advice)
+        raise ValueError(f"purity report expects {K_PURITY} labels, corpus has {n_labels}")
     frame = _sph_frame(spark, sf_dir)
     cents = _sph_train_cents(spark, sf_dir, K_PURITY)
-    one = F.expr(f"element_at({_sph_lists_expr(cents, 1)}, 1).k")
-    pred = frame.select("vec_id", one.alias("prediction")).join(
+    pred = _with_nearest_lists(frame, cents, 1).select(
+        "vec_id", F.expr("element_at(nl, 1).k").alias("prediction")
+    ).join(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
     )
     per = pred.groupBy("prediction", "label").agg(F.count(F.lit(1)).alias("n"))
@@ -519,7 +613,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 12 design: the quantizer is the engine's deterministic
     spherical k-means (farthest-point seeds + exact fixed-point Lloyd
-    on the bounded sorted sample — value-oracled end to end, where the
+    on the bounded hash-selected sample — value-oracled end to end, where the
     seeded-RNG trainer was rows-only), and the index MULTI-ASSIGNS
     each vector to its {IVF_MULTI} nearest lists — the standard IVF
     recall lever: measured recall@5 vs brute force rises from
@@ -535,9 +629,8 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k, both proportional to the scanned fraction."""
     frame = _sph_frame(spark, sf_dir)
     cents = _sph_train_cents(spark, sf_dir, N_LISTS)
-    memb = frame.select(
-        "vec_id", "e", "n2",
-        F.explode(F.expr(_sph_lists_expr(cents, IVF_MULTI))).alias("s"),
+    memb = _with_nearest_lists(frame, cents, IVF_MULTI).select(
+        "vec_id", "e", "n2", F.explode("nl").alias("s")
     ).select("vec_id", "e", "n2", F.col("s.k").alias("list_id"))
     qpr = memb.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)
@@ -666,9 +759,9 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     frame (vec_id, e, n2, xp), the deterministic codebook table, and
     the persisted PQ codes.
 
-    Round 12: codebooks are DETERMINISTIC — per subspace, the PQ_K
-    lowest-vec_id train subvectors seed PQ_L exact fixed-point Lloyd
-    steps over the bounded sorted sample (vec_id < PQ_TRAIN_N), all
+    Round 12/13: codebooks are DETERMINISTIC — per subspace, the PQ_K
+    lowest-vec_id subvectors OF the bounded hash-selected training
+    sample seed PQ_L exact fixed-point Lloyd steps, all
     int64, so the whole index build is value-oracled as unrolled SQL;
     the previous seeded-RNG k-means was rows-only.  Training stays
     driver-side (train-small/apply-big) and partition-invariant."""
@@ -685,16 +778,28 @@ def _pq_index(spark: SparkSession, sf_dir: str):
             del _PQ_CACHE[k]  # dead session: blocks already gone
     frame = _sph_frame(spark, sf_dir)
     dim = len(frame.select("e").first()[0])
+    if dim != E2_DIM:
+        # the oracle's unrolled SQL encodes ds = E2_DIM // PQ_M; a
+        # fixture width change must fail loudly, not silently encode
+        # different subspaces than the engine (round-12 advice)
+        raise ValueError(f"PQ index expects {E2_DIM}-wide embeddings, got {dim}")
     ds = dim // PQ_M
 
+    # hash-selected training sample (round-12 advice: no lowest-id
+    # prefix bias); seeds below are the PQ_K lowest vec_ids WITHIN it
     rows = sorted(
-        frame.filter(F.col("vec_id") < PQ_TRAIN_N).select("vec_id", "xp").collect(),
+        frame.select(
+            "vec_id", "xp", F.expr(md5_int56_spark("CAST(vec_id AS STRING)")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_TRAIN_N)
+        .collect(),
         key=lambda r: r.vec_id,
     )
     if len(rows) < PQ_K:
         raise ValueError(
-            f"PQ training needs >= {PQ_K} nonzero vectors with vec_id < {PQ_TRAIN_N}; "
-            f"got {len(rows)} — raise PQ_TRAIN_N for this id layout"
+            f"PQ training needs >= {PQ_K} nonzero vectors in the"
+            f" {PQ_TRAIN_N}-row hash sample; got {len(rows)}"
         )
     X = np.array([r.xp for r in rows], dtype=np.int64)
     books = []
@@ -742,7 +847,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
 def _pq_rerank_oracle() -> str:
     """Unrolled-SQL replay of the deterministic PQ index + ADC + exact
     re-rank; shares the spherical requant CTEs with the IVF oracle."""
-    ds = 64 // PQ_M  # the testdata corpus is 64-wide (oracle scale)
+    ds = E2_DIM // PQ_M  # _pq_index asserts the corpus is E2_DIM-wide
     parts = [
         "nzq AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e FROM embeddings)",
@@ -752,7 +857,10 @@ def _pq_rerank_oracle() -> str:
         f" (generate_subscripts(e, 1) - 1) % {ds} AS jj,"
         f" (CAST(ROUND(CAST(unnest(e) AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)) * {SPH_NQ})"
         f" AS BIGINT) + {SPH_OFF}) * {SPH_CQ} AS xq FROM nzn WHERE n2 > 0)",
-        f"femt AS MATERIALIZED (SELECT * FROM fem WHERE vec_id < {PQ_TRAIN_N})",
+        f"psamp AS MATERIALIZED (SELECT vec_id FROM nzn WHERE n2 > 0"
+        f" ORDER BY {md5_int56_duck('CAST(vec_id AS VARCHAR)')}, vec_id"
+        f" LIMIT {PQ_TRAIN_N})",
+        "femt AS MATERIALIZED (SELECT f.* FROM fem f JOIN psamp s USING (vec_id))",
         f"cbs AS (SELECT DISTINCT vec_id FROM femt ORDER BY vec_id LIMIT {PQ_K})",
         "cb0 AS MATERIALIZED (SELECT DENSE_RANK() OVER (ORDER BY f.vec_id) - 1 AS code,"
         " f.m, f.jj, f.xq AS w FROM femt f JOIN cbs s ON s.vec_id = f.vec_id)",
@@ -838,8 +946,8 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic codebooks measure 0.66 on this corpus).
 
     Round 12: codebooks are the engine's deterministic fixed-point
-    k-means (PQ_K lowest-id train subvectors + PQ_L exact Lloyd steps
-    per subspace), so index build, ADC scoring and re-rank are all
+    k-means (PQ_K lowest-id subvectors of the hash-selected training
+    sample + PQ_L exact Lloyd steps per subspace), so index build, ADC scoring and re-rank are all
     value-oracled as unrolled SQL — the seeded-RNG codebooks were
     rows-only.  Every distance until the final cosine is an exact
     int64, so no float reduce order can flip a code or a shortlist.

@@ -1574,6 +1574,17 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         for i, bdf in enumerate(batches):
+            # the midnight-cut clamping guarantees DISTINCT in-range
+            # cuts, not non-empty slices: a conforming >= 3-day table
+            # with an event gap around a cut would stage an empty
+            # batch and break the three-trigger contract — fail with
+            # the same descriptive error instead (round-12 advice)
+            if bdf.limit(1).count() == 0:
+                raise ValueError(
+                    f"stream_bitmap_overlap needs three non-empty midnight-cut "
+                    f"batches; batch {i} (cuts {c1} / {c2}) is empty for ts in "
+                    f"[{lo}, {hi}]"
+                )
             bdf.coalesce(1).write.parquet(f"{stage}/b{i}")
             for f in os.listdir(f"{stage}/b{i}"):
                 os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)

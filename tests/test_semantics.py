@@ -408,6 +408,75 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.55, recall
 
 
+def test_centroid_assignment_dispatch_parity(spark):
+    """The Arrow centroid-assignment kernel must reproduce the literal
+    expression path exactly (same d2, same nearest-na, same ties ->
+    lowest k) — the k-threshold dispatch may never change values."""
+    from bigdata_assigment3_spark.operators.similarity import (
+        _nearest_lists_arrow,
+        _sph_frame,
+        _sph_lists_expr,
+        _sph_train_cents,
+    )
+
+    cents = _sph_train_cents(spark, SF_ORACLE, 16)
+    frame = _sph_frame(spark, SF_ORACLE)
+    lit = {
+        r.vec_id: [(s.d2, s.k) for s in r.nl]
+        for r in frame.withColumn("nl", F.expr(_sph_lists_expr(cents, 2)))
+        .select("vec_id", "nl").collect()
+    }
+    arr = {
+        r.vec_id: [(s.d2, s.k) for s in r.nl]
+        for r in _nearest_lists_arrow(frame, cents, 2).select("vec_id", "nl").collect()
+    }
+    assert lit == arr
+
+
+def test_centroid_assignment_large_k_plan(spark):
+    """k=256 centroids through the dispatch: takes the Arrow path, the
+    plan stays O(1) in k (no O(k * dim) literal blowup), and the
+    assignment value-matches an independent exact-int64 reference with
+    the literal path's tie-break (stable, lowest k)."""
+    import numpy as np
+
+    from bigdata_assigment3_spark.operators.similarity import (
+        E2_DIM,
+        _sph_frame,
+        _sph_lists_expr,
+        _with_nearest_lists,
+    )
+
+    k = 256
+    cents = [
+        [((i + 1) * 73856093 + j * 19349663) % 2_600_000 for j in range(E2_DIM)]
+        for i in range(k)
+    ]
+    frame = _sph_frame(spark, SF_ORACLE)
+    out = _with_nearest_lists(frame, cents, 2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "mapinarrow" in plan.lower().replace("_", ""), plan[:500]
+    assert len(plan) < 20_000, f"plan is {len(plan)} chars — literal blowup leaked in"
+    # the literal expression for the same k documents the blowup the
+    # dispatch avoids: O(k * dim) literals in ONE expression string
+    assert len(_sph_lists_expr(cents, 2)) > 150_000
+
+    got = {
+        r.vec_id: [(s.d2, s.k) for s in r.nl]
+        for r in out.select("vec_id", "nl").collect()
+    }
+    C = np.asarray(cents, dtype=np.int64)
+    rows = frame.select("vec_id", "xp").collect()
+    X = np.asarray([r.xp for r in rows], dtype=np.int64)
+    d2 = (X * X).sum(1, keepdims=True) - 2 * (X @ C.T) + (C * C).sum(1)[None, :]
+    order = np.argsort(d2, axis=1, kind="stable")[:, :2]
+    expect = {
+        r.vec_id: [(int(d2[i, j]), int(j)) for j in order[i]]
+        for i, r in enumerate(rows)
+    }
+    assert got == expect
+
+
 def test_ann_pq_rerank_recall(spark):
     """PQ codes + exact re-rank must recover most brute-force top-5
     neighbors (numpy prototype: ADC-only recall 0.28, shortlist-50 +
