@@ -143,6 +143,83 @@ HEADLINE = [
 ]
 
 
+PHASE_SPLIT_FLOOR_SEC = 2.5  # queries at least this slow always get attributed
+PHASE_SPLIT_TOP_N = 5
+
+
+def _phase_split(spark, fn, sf_dir: str) -> dict:
+    """One extra profiled run of ``fn``: overhead-vs-data attribution
+    from the AppStatusStore (works with spark.ui.enabled=false — the
+    status listener always runs).  Rounds 11/12 each burned a cycle
+    asking "is this query slow or just fixed overhead?" (pagerank,
+    stream_bitmap_overlap); this folds that attribution into every
+    bench run so the answer ships with the number.
+
+    Split semantics:
+      wall        = end-to-end wall of the profiled run
+      job_wall    = sum of per-job (completion - submission)
+      stage_wall  = sum of per-stage wall over the run's distinct stages
+      task_time   = sum of executorRunTime over those stages (all cores)
+      driver_gap  = wall - job_wall (clamped): planning + driver-side
+                    work BETWEEN jobs — the fixed-overhead share
+      sched_gap   = job_wall - stage_wall (clamped): in-job scheduling
+      util        = task_time / (wall * cores): how data-bound the run is
+    Sums, not a timeline union, so concurrent jobs can push gaps to 0 —
+    gaps are a floor on overhead, never an overstatement of data time.
+    """
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jl = store.jobsList(None)
+        before = {jl.apply(i).jobId() for i in range(jl.size())}
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+
+        def opt_ms(o):
+            return o.get().getTime() if o.isDefined() else None
+
+        jl = store.jobsList(None)
+        jobs = [jl.apply(i) for i in range(jl.size())
+                if jl.apply(i).jobId() not in before]
+        dflt = [getattr(store, f"stageData$default${i}")() for i in (2, 3, 4, 5)]
+        job_wall_ms = 0
+        stage_ids = set()
+        for jd in jobs:
+            sub, comp = opt_ms(jd.submissionTime()), opt_ms(jd.completionTime())
+            if sub is not None and comp is not None:
+                job_wall_ms += comp - sub
+            sids = jd.stageIds()
+            stage_ids.update(sids.apply(i) for i in range(sids.size()))
+        stage_wall_ms = task_ms = n_tasks = n_stages = 0
+        for sid in sorted(stage_ids):
+            sdl = store.stageData(sid, *dflt)
+            for ai in range(sdl.size()):
+                sd = sdl.apply(ai)
+                sub, comp = opt_ms(sd.submissionTime()), opt_ms(sd.completionTime())
+                if sub is None or comp is None:
+                    continue  # skipped stage (AQE-reused exchange)
+                n_stages += 1
+                n_tasks += sd.numTasks()
+                stage_wall_ms += comp - sub
+                task_ms += sd.executorRunTime()
+        cores = sc.defaultParallelism
+        return {
+            "wall": round(wall, 3),
+            "n_jobs": len(jobs),
+            "n_stages": n_stages,
+            "n_tasks": n_tasks,
+            "job_wall": round(job_wall_ms / 1000, 3),
+            "stage_wall": round(stage_wall_ms / 1000, 3),
+            "task_time": round(task_ms / 1000, 3),
+            "driver_gap": round(max(0.0, wall - job_wall_ms / 1000), 3),
+            "sched_gap": round(max(0.0, (job_wall_ms - stage_wall_ms) / 1000), 3),
+            "util": round(task_ms / 1000 / (wall * cores), 3) if wall > 0 else 0.0,
+        }
+    except Exception as ex:  # attribution must never fail the bench
+        return {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -216,6 +293,17 @@ def main() -> None:
             per_query[name] = round(ts[len(ts) // 2], 3)
             per_query_min[name] = round(ts[0], 3)
 
+    # Automatic overhead-vs-data attribution for the expensive tail:
+    # the top-N slowest by noise floor, plus anything above the 2.5s
+    # floor (round-12 directive #6 — the stream_bitmap_overlap /
+    # pagerank treatment, now standing).
+    split_names = sorted(names, key=lambda n: -per_query_min[n])[:PHASE_SPLIT_TOP_N]
+    split_names += [
+        n for n in names
+        if per_query_min[n] >= PHASE_SPLIT_FLOOR_SEC and n not in split_names
+    ]
+    phase_split = {n: _phase_split(spark, fns[n], sf_dir) for n in split_names}
+
     total = round(sum(per_query.values()), 3)
     total_min = round(sum(per_query_min.values()), 3)
     out = {
@@ -238,6 +326,10 @@ def main() -> None:
         "extra_passes": extra_passes,
         "box_loaded": bool(total - total_min > 0.10 * total),
         "queries_min": per_query_min,
+        # overhead-vs-data split for the expensive tail (one profiled
+        # run each; see _phase_split).  driver_gap ~ fixed overhead,
+        # stage_wall ~ data-bound execution, util ~ core saturation.
+        "phase_split": phase_split,
     }
 
     # Round-over-round tracking: compare against the newest BENCH_r{N}.json

@@ -71,6 +71,104 @@ def q_curation_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capstone_oracle_stages() -> tuple[list[str], str]:
+    """The capstone oracle as STAGED DuckDB statements: every heavy
+    intermediate materializes into its own temp TABLE (dropped as soon
+    as its last consumer ran), then the final verdict joins the three
+    constituent tables.
+
+    Why this exists (round-12 directive #5): the registered
+    one-statement oracle nests quality + LM + dedup-canonicalization
+    as CTEs, and at the 100x derived-scale audit (500k docs) that
+    single plan needs >65 GB of DuckDB spill — more than the box.  The
+    dominant term is the dedup constituent (shingles x J_HASH minhash
+    cross join + the shingle self-join), so the staging goes INSIDE
+    it: the df-capped shingle table lands once, the minhash signature
+    builds as J_HASH sequential single-hash passes over it (peak =
+    one pass, not the x{J_HASH} cross join), and bands / candidates /
+    verified Jaccard / connected components each materialize from the
+    previous table (the MATERIALIZED-CTE lesson one step further: a
+    real table, droppable between steps).  The registered single
+    statement stays the driver-facing contract; a test pins that
+    staged == single-statement at the oracle SF so the two forms can
+    never drift.
+
+    Returns (statements to execute in order, final_select).
+    """
+    from .dedup import _DUCK_SHINGLES, J_HASH, JACC_T, P
+
+    stmts = [
+        f"CREATE TEMP TABLE stg_q AS {_DUCK_QUALITY_DOC_SQL}",
+        f"CREATE TEMP TABLE stg_lm AS {_sub('lm_bigram_score')}",
+        # --- dedup constituent, decomposed (same text/constants as
+        # _DUCK_SHINGLES/_DUCK_MINHASH/_DUCK_JACCARD_PAIRS) ---
+        f"CREATE TEMP TABLE stg_shingles AS WITH {_DUCK_SHINGLES.strip().rstrip(',')}"
+        " SELECT doc_id, sh FROM shingles",
+        "CREATE TEMP TABLE stg_doc_sizes AS"
+        " SELECT doc_id, COUNT(*) AS n_sh FROM stg_shingles GROUP BY doc_id",
+        "CREATE TEMP TABLE stg_sig (doc_id BIGINT, j BIGINT, mh BIGINT)",
+        *[
+            f"INSERT INTO stg_sig SELECT doc_id, CAST({j} AS BIGINT),"
+            f" MIN(((2 * {j} + 3) * sh + 7 * {j} + 1) % {P})"
+            f" FROM stg_shingles GROUP BY doc_id"
+            for j in range(J_HASH)
+        ],
+        f"CREATE TEMP TABLE stg_bands AS"
+        f" SELECT doc_id, CAST(FLOOR(j / 2) AS BIGINT) AS band,"
+        f" MIN(CASE WHEN j % 2 = 0 THEN mh END) * {P}"
+        f" + MIN(CASE WHEN j % 2 = 1 THEN mh END) AS band_sig"
+        f" FROM stg_sig GROUP BY 1, 2",
+        "DROP TABLE stg_sig",
+        "CREATE TEMP TABLE stg_cand AS"
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM stg_bands a JOIN stg_bands b"
+        " ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id",
+        "DROP TABLE stg_bands",
+        "CREATE TEMP TABLE stg_jacc AS"
+        " WITH common AS ("
+        "   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common"
+        "   FROM stg_shingles a JOIN stg_shingles b"
+        "   ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT c.doc_a, c.doc_b,"
+        "        CAST(c.n_common AS DOUBLE)"
+        "        / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard"
+        " FROM common c"
+        " JOIN stg_doc_sizes sa ON sa.doc_id = c.doc_a"
+        " JOIN stg_doc_sizes sb ON sb.doc_id = c.doc_b",
+        "DROP TABLE stg_shingles",
+        "DROP TABLE stg_doc_sizes",
+        f"CREATE TEMP TABLE stg_mh AS"
+        f" SELECT c.doc_a, c.doc_b,"
+        f" COALESCE(j.jaccard, 0) >= {JACC_T} AS is_dup"
+        f" FROM stg_cand c LEFT JOIN stg_jacc j"
+        f" ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b",
+        "DROP TABLE stg_cand",
+        "DROP TABLE stg_jacc",
+        "CREATE TEMP TABLE stg_canon AS"
+        " WITH RECURSIVE und AS ("
+        "   SELECT doc_a AS v, doc_b AS u FROM stg_mh WHERE is_dup"
+        "   UNION SELECT doc_b, doc_a FROM stg_mh WHERE is_dup),"
+        " reach(v, lbl) AS ("
+        "   SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und)"
+        "   UNION SELECT u.v, r.lbl FROM und u JOIN reach r ON u.u = r.v)"
+        " SELECT v AS doc_id, CAST(MIN(lbl) = v AS BOOLEAN) AS is_survivor"
+        " FROM reach GROUP BY v",
+        "DROP TABLE stg_mh",
+    ]
+    final = """
+    SELECT q.doc_id,
+           q.verdict,
+           lm.mean_nll,
+           COALESCE(NOT canon.is_survivor, FALSE) AS is_dup_loser,
+           q.verdict = 'keep' AND NOT COALESCE(NOT canon.is_survivor, FALSE)
+               AS final_keep
+    FROM stg_q q
+    LEFT JOIN stg_lm lm ON lm.doc_id = q.doc_id
+    LEFT JOIN stg_canon canon ON canon.doc_id = q.doc_id
+    """
+    return stmts, final
+
+
 def _rag_oracle() -> str:
     from .text import CHUNK_TOKENS, chunk_spans_sql
 

@@ -294,28 +294,74 @@ def _sph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.withColumn("xp", F.expr(_SPH_XP_SPARK))
 
 
+# hash-selected training sample memo per (session, sf_dir): the
+# selection is part of the index build, so repeat queries reuse it
+# (same lifecycle as _PQ_CACHE / dedup's inverted index)
+_SAMP_CACHE: dict = {}
+
+
+def _hash_sample(spark: SparkSession, sf_dir: str, n: int) -> list[tuple[int, list[int]]]:
+    """The ``n`` nonzero vectors with the lowest md5-int56(vec_id), as
+    (vec_id, xp) in HASH order (round-12 advice: a lowest-id PREFIX
+    trains on a biased slice whenever ids correlate with content, e.g.
+    time-ordered ingestion; the salted-hash top-N is equally replayable
+    in DuckDB and unbiased at any scale).
+
+    Cost discipline (caught by the round-13 bench phase_split: the
+    first cut computed xp corpus-wide and put 4s of interpreted-HOF
+    work into every training pass): the id-selection scan keeps only
+    CODEGEN-CHEAP expressions — md5-int56 plus a short-circuit
+    ``exists`` for the n2 > 0 guard (exists(e_i != 0) <=> n2 > 0,
+    exact) — so the corpus pass never pays the interpreted array HOFs
+    that build xp; those run on the n winners only, behind a pushed
+    vec_id membership filter."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SAMP_CACHE.get(key)
+    if hit is None:
+        for k in list(_SAMP_CACHE):
+            if k[0] != key[0]:
+                del _SAMP_CACHE[k]  # dead session
+        emb = load_table(spark, sf_dir, "embeddings")
+        nz = F.expr(
+            "exists(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) != 0)"
+        )
+        ids = [
+            int(r.vec_id)
+            for r in emb.filter(nz)
+            .select(
+                "vec_id",
+                F.expr(md5_int56_spark("CAST(vec_id AS STRING)")).alias("h"),
+            )
+            .orderBy("h", "vec_id")  # TakeOrdered, never a full sort
+            .limit(KM_TRAIN_N)
+            .collect()
+        ]
+        xp = {
+            r.vec_id: list(r.xp)
+            for r in _sph_frame(spark, sf_dir)
+            .filter(F.col("vec_id").isin(ids))
+            .select("vec_id", "xp")
+            .collect()
+        }
+        hit = [(i, xp[i]) for i in ids]
+        _SAMP_CACHE[key] = hit
+    # n (like KM_TRAIN_N / PQ_TRAIN_N) is an upper bound: a corpus
+    # smaller than the bound trains on everything, as before
+    return hit[:n]
+
+
 def _sph_train_cents(spark: SparkSession, sf_dir: str, k: int) -> list[list[int]]:
     """Deterministic spherical k-means on the bounded hash-selected
-    sample (the KM_TRAIN_N lowest md5-int56(vec_id) — round-12 advice:
-    a lowest-id PREFIX trains on a biased slice whenever ids correlate
-    with content, e.g. time-ordered ingestion; the salted-hash top-N is
-    equally replayable in DuckDB and unbiased at any scale).
-    Farthest-point seeding from the lowest vec_id in the sample, then
-    SPH_L exact fixed-point Lloyd steps.  int64 end to end — numpy
-    here is just a fast integer ALU, so the oracle's unrolled SQL
-    replays the identical trajectory (same argmin ties -> lowest
-    cluster, same round-half-up integer means)."""
+    sample (see ``_hash_sample``): farthest-point seeding from the
+    lowest vec_id in the sample, then SPH_L exact fixed-point Lloyd
+    steps.  int64 end to end — numpy here is just a fast integer ALU,
+    so the oracle's unrolled SQL replays the identical trajectory
+    (same argmin ties -> lowest cluster, same round-half-up integer
+    means)."""
     import numpy as np
 
-    rows = sorted(
-        _sph_frame(spark, sf_dir)
-        .select("vec_id", "xp", F.expr(md5_int56_spark("CAST(vec_id AS STRING)")).alias("h"))
-        .orderBy("h", "vec_id")  # top-N by hash: a TakeOrdered, never a full sort
-        .limit(KM_TRAIN_N)
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    X = np.array([r.xp for r in rows], dtype=np.int64)
+    rows = sorted(_hash_sample(spark, sf_dir, KM_TRAIN_N), key=lambda t: t[0])
+    X = np.array([xp for _, xp in rows], dtype=np.int64)
     if len(X) < k:
         raise ValueError(
             f"quantizer training needs >= {k} nonzero vectors in the"
@@ -422,10 +468,35 @@ def _with_nearest_lists(frame: DataFrame, cents: list[list[int]], na: int) -> Da
     the zero-shuffle literal-expression argmin; above it the identical
     assignment runs as the Arrow kernel so the plan stays O(1) in k.
     Both paths are deterministic and value-identical (pinned by
-    tests), so the unrolled-SQL oracles never change."""
+    tests), so the unrolled-SQL oracles never change.
+
+    CAVEAT (measured, round 13): do NOT follow this with
+    ``F.explode("nl")`` on the literal path — Catalyst's generator
+    nested-column aliasing rewrites explode-of-projected-column into a
+    shape that re-evaluates the interpreted HOF tree ~25x slower (64s
+    vs 2.5s on the sf0.1 candidate subtree).  Exploding call sites use
+    ``_explode_nearest`` below, which keeps the expression INLINE in
+    the Generate."""
     if len(cents) <= K_LITERAL_MAX:
         return frame.withColumn("nl", F.expr(_sph_lists_expr(cents, na)))
     return _nearest_lists_arrow(frame, cents, na)
+
+
+def _explode_nearest(frame: DataFrame, cents: list[list[int]], na: int) -> DataFrame:
+    """(vec_id, e, n2, s struct<d2, k>) with one row per (vector,
+    nearest-centroid) pair — the exploding twin of
+    ``_with_nearest_lists`` with the same k-threshold dispatch.  The
+    literal path inlines the expression in the Generate (see caveat
+    above); the arrow path explodes the kernel's materialized nl
+    column, which has no such rewrite hazard."""
+    if len(cents) <= K_LITERAL_MAX:
+        return frame.select(
+            "vec_id", "e", "n2",
+            F.explode(F.expr(_sph_lists_expr(cents, na))).alias("s"),
+        )
+    return _nearest_lists_arrow(frame, cents, na).select(
+        "vec_id", "e", "n2", F.explode("nl").alias("s")
+    )
 
 
 def _sph_duck_ctes(k: int) -> str:
@@ -539,9 +610,16 @@ def q_embedding_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"purity report expects {K_PURITY} labels, corpus has {n_labels}")
     frame = _sph_frame(spark, sf_dir)
     cents = _sph_train_cents(spark, sf_dir, K_PURITY)
-    pred = _with_nearest_lists(frame, cents, 1).select(
-        "vec_id", F.expr("element_at(nl, 1).k").alias("prediction")
-    ).join(
+    if len(cents) <= K_LITERAL_MAX:
+        pred_src = frame.select(
+            "vec_id",
+            F.expr(f"element_at({_sph_lists_expr(cents, 1)}, 1).k").alias("prediction"),
+        )
+    else:
+        pred_src = _nearest_lists_arrow(frame, cents, 1).select(
+            "vec_id", F.expr("element_at(nl, 1).k").alias("prediction")
+        )
+    pred = pred_src.join(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
     )
     per = pred.groupBy("prediction", "label").agg(F.count(F.lit(1)).alias("n"))
@@ -629,9 +707,9 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k, both proportional to the scanned fraction."""
     frame = _sph_frame(spark, sf_dir)
     cents = _sph_train_cents(spark, sf_dir, N_LISTS)
-    memb = _with_nearest_lists(frame, cents, IVF_MULTI).select(
-        "vec_id", "e", "n2", F.explode("nl").alias("s")
-    ).select("vec_id", "e", "n2", F.col("s.k").alias("list_id"))
+    memb = _explode_nearest(frame, cents, IVF_MULTI).select(
+        "vec_id", "e", "n2", F.col("s.k").alias("list_id")
+    )
     qpr = memb.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)
     ).select(F.col("vec_id").alias("query_id"), "list_id")
@@ -786,22 +864,16 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     ds = dim // PQ_M
 
     # hash-selected training sample (round-12 advice: no lowest-id
-    # prefix bias); seeds below are the PQ_K lowest vec_ids WITHIN it
-    rows = sorted(
-        frame.select(
-            "vec_id", "xp", F.expr(md5_int56_spark("CAST(vec_id AS STRING)")).alias("h")
-        )
-        .orderBy("h", "vec_id")
-        .limit(PQ_TRAIN_N)
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    # prefix bias; the PQ sample is the first PQ_TRAIN_N of the shared
+    # hash order, so the memoized selection pass is paid once per
+    # session); seeds below are the PQ_K lowest vec_ids WITHIN it
+    rows = sorted(_hash_sample(spark, sf_dir, PQ_TRAIN_N), key=lambda t: t[0])
     if len(rows) < PQ_K:
         raise ValueError(
             f"PQ training needs >= {PQ_K} nonzero vectors in the"
             f" {PQ_TRAIN_N}-row hash sample; got {len(rows)}"
         )
-    X = np.array([r.xp for r in rows], dtype=np.int64)
+    X = np.array([xp for _, xp in rows], dtype=np.int64)
     books = []
     for m in range(PQ_M):
         sub = X[:, m * ds:(m + 1) * ds]

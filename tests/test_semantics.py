@@ -746,6 +746,27 @@ def test_stream_upsert_incremental(spark):
     assert int(spark.conf.get("bd3.upsert.n_batches")) == 3
 
 
+def test_capstone_staged_oracle_equals_single_statement(duck):
+    """The staged capstone oracle (constituents as temp TABLES — the
+    100x-audit spill-bounding path, tests/scale_audit.py) must return
+    exactly the single-statement registered oracle's rows, so the two
+    forms can never drift."""
+    from bigdata_assigment3_spark.operators.pipeline import capstone_oracle_stages
+
+    single = duck.sql(REGISTRY["curation_pipeline_verdict"].oracle).fetchall()
+    stmts, final = capstone_oracle_stages()
+    try:
+        for stmt in stmts:
+            duck.execute(stmt)
+        staged = duck.sql(final).fetchall()
+    finally:
+        for t in ("stg_q", "stg_lm", "stg_shingles", "stg_doc_sizes",
+                  "stg_sig", "stg_bands", "stg_cand", "stg_jacc",
+                  "stg_mh", "stg_canon"):
+            duck.execute(f"DROP TABLE IF EXISTS {t}")
+    assert sorted(map(str, staged)) == sorted(map(str, single))
+
+
 def test_pipeline_verdict_composes_consistently(spark):
     """The composed verdict must agree with its constituents: every
     dup-cluster loser is dropped regardless of quality, every kept doc
