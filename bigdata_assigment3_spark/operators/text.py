@@ -1246,8 +1246,19 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term (the term -> query join is a broadcast); the final
     top-{BM25_TOPN} is a per-query WindowGroupLimit on score-sized
     rows.
+
+    Round 13 (the 100x phase attribution): the audit fixture's
+    documents file is one giant row group, which serialized the
+    tokenize pass into a single task (40s of a 64s cold wall at 500k
+    docs; the r12 "365s" was mostly concurrent-audit box load on top
+    of that).  The scan now goes through the same small-file guard
+    the dedup family uses (repartition up to the cluster width ONLY
+    when the scan has fewer splits than cores — a no-op on a real
+    multi-split corpus).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id",
         F.split("text", " ").alias("ws"),
         F.size(F.split("text", " ")).alias("dl"),

@@ -448,12 +448,15 @@ def test_shuffle_exchange_budgets(spark):
         # shuffle, unlike the word model's 15); the corpus-sized
         # explode+md5 pass runs once at lineage-checkpoint time
         "langid_char_ngram": 10,
-        # 4 = dft term agg over the checkpointed postings + stats
+        # 5 = dft term agg over the checkpointed postings + stats
         # SinglePartition agg + (query_id, doc_id) score agg + per-query
-        # WindowGroupLimit exchange; the vocab-pruned postings build
-        # (one more exchange) runs once at lineage-checkpoint time and
-        # is shared by the dft and contrib consumers
-        "bm25_topk_docs": 4,
+        # WindowGroupLimit exchange + the small-file-guard round-robin
+        # repartition (round 13: fires ONLY when the docs scan has
+        # fewer splits than cores — a single giant row group serialized
+        # the 100x tokenize into one task; a real corpus skips it);
+        # the vocab-pruned postings build (one more exchange) runs once
+        # at lineage-checkpoint time and is shared by dft and contrib
+        "bm25_topk_docs": 5,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
