@@ -74,6 +74,11 @@ def main() -> int:
     sp = sdf.toPandas()
     out["spark_sec"] = round(time.perf_counter() - t0, 1)
     out["rows"] = len(sp)
+    # The Spark result is fully collected; release the JVM heap before
+    # the DuckDB phase (first 100x capstone attempt: DuckDB's default
+    # 80%-of-RAM memory_limit plus a live 48g JVM = kernel OOM kill at
+    # 108 GB RSS — bound BOTH sides instead of racing the box).
+    spark.stop()
 
     spill_dir = tempfile.mkdtemp(prefix=f"bd3_audit_{name}_")
     peak = {"mb": 0.0}
@@ -90,6 +95,12 @@ def main() -> int:
         con = duckdb.connect()
         con.execute(f"SET temp_directory = '{spill_dir}'")
         con.execute(f"SET max_temp_directory_size = '{cap_gb}GB'")
+        # Cap RAM too: DuckDB defaults to 80% of the box, which on a
+        # 128 GB machine is an OOM-kill sentence for the quadratic
+        # oracle shapes; a hard limit makes it SPILL into the metered
+        # temp dir instead — the spill number is the audit's point.
+        mem_gb = float(os.environ.get("BD3_AUDIT_DUCK_MEM_GB", "40"))
+        con.execute(f"SET memory_limit = '{mem_gb}GB'")
         for t in TABLES:
             p = os.path.join(scaled_dir, f"{t}.parquet")
             if os.path.exists(p):
