@@ -1572,19 +1572,31 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("ts") >= F.lit(replay_from)) & (F.col("ts") < F.lit(c2))),
         ev.filter(F.col("ts") >= F.lit(c2)),
     )
+    # the midnight-cut clamping guarantees DISTINCT in-range cuts, not
+    # non-empty slices: a conforming >= 3-day table with an event gap
+    # around a cut would stage an empty batch and break the
+    # three-trigger contract — fail with a descriptive error instead
+    # (round-12 advice).  One conditional-count job over the three cut
+    # ranges, not three limit(1) probes (the per-job fixed cost of
+    # three extra scans measurably regressed the bench wall).
+    n0, n1, n2 = ev.select(
+        F.count(F.when(F.col("ts") < F.lit(c1), 1)),
+        F.count(
+            F.when(
+                (F.col("ts") >= F.lit(replay_from)) & (F.col("ts") < F.lit(c2)), 1
+            )
+        ),
+        F.count(F.when(F.col("ts") >= F.lit(c2), 1)),
+    ).collect()[0]
+    for i, n in enumerate((n0, n1, n2)):
+        if n == 0:
+            raise ValueError(
+                f"stream_bitmap_overlap needs three non-empty midnight-cut "
+                f"batches; batch {i} (cuts {c1} / {c2}) is empty for ts in "
+                f"[{lo}, {hi}]"
+            )
     try:
         for i, bdf in enumerate(batches):
-            # the midnight-cut clamping guarantees DISTINCT in-range
-            # cuts, not non-empty slices: a conforming >= 3-day table
-            # with an event gap around a cut would stage an empty
-            # batch and break the three-trigger contract — fail with
-            # the same descriptive error instead (round-12 advice)
-            if bdf.limit(1).count() == 0:
-                raise ValueError(
-                    f"stream_bitmap_overlap needs three non-empty midnight-cut "
-                    f"batches; batch {i} (cuts {c1} / {c2}) is empty for ts in "
-                    f"[{lo}, {hi}]"
-                )
             bdf.coalesce(1).write.parquet(f"{stage}/b{i}")
             for f in os.listdir(f"{stage}/b{i}"):
                 os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)

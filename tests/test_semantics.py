@@ -7,6 +7,7 @@ recovered).  These tests assert the same invariants on our fixtures.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_assigment3_spark.registry import REGISTRY, _load_all
@@ -1741,6 +1742,43 @@ def test_power_iteration_kernel_gram_equals_relational(spark):
         )
     )
     assert a == b
+
+
+def test_stream_bitmap_overlap_empty_batch_raises(spark, tmp_path):
+    """The three-non-empty-batch contract (round-12 advice): a
+    conforming >= 3-day events table with an event GAP around the cut
+    range must fail with the descriptive span error, not stage an
+    empty middle batch.  Events land on day 0 and day 10 only, so the
+    derived cuts (day 4 / day 7) leave the middle slice empty."""
+    import datetime
+    import shutil
+
+    from bigdata_assigment3_spark.registry import REGISTRY
+    from bigdata_assigment3_spark.sources import load_table
+
+    src = load_table(spark, SF_SMOKE, "events")
+    assert set(src.schema.fieldNames()) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }, src.schema.fieldNames()
+    day0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": i, "ts": day0 + datetime.timedelta(minutes=i),
+         "user_id": i % 7, "event_type": "click", "value": 200.0,
+         "props": "{}"}
+        for i in range(20)
+    ] + [
+        {"event_id": 99, "ts": day0 + datetime.timedelta(days=10),
+         "user_id": 3, "event_type": "view", "value": 200.0, "props": "{}"}
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, schema=src.schema).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    with pytest.raises(ValueError, match="non-empty midnight-cut"):
+        REGISTRY["stream_bitmap_overlap"].fn(spark, sf_dir)
 
 
 def test_stream_bitmap_overlap_really_updates(spark):
