@@ -40,6 +40,36 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+def scratch_dir() -> str:
+    """Fastest writable local scratch for ephemeral engine files
+    (streaming state/checkpoints, staged micro-batch inputs, shuffle
+    dirs): a tmpfs mount when one exists, else the process tempdir.
+
+    Why this matters (measured, round 14): streaming state-store
+    commits are one fsync'd delta file per state partition per
+    micro-batch, and on this sandbox's virtio disk those small-file
+    fsyncs intermittently stall seconds each — stream_bitmap_overlap's
+    recentProgress showed cumulative commitTimeMs of 41-84 SECONDS for
+    ~800 state rows while the box sat "idle" (D-state load spikes with
+    0% CPU).  The cluster translation is standard ops guidance, not a
+    sandbox hack: put spark.local.dir and state checkpoints on the
+    fastest local volume (NVMe/instance storage), never a shared or
+    latency-spiky device; durable checkpoints for RESTARTABLE
+    production streams belong on HDFS/S3 (those queries pass explicit
+    checkpointLocation — see stream_restart_resume)."""
+    override = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "bd3_scratch")
+        os.makedirs(d, exist_ok=True)
+        return d
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """Apply dynamic confs to an existing session (driver-owned or ours)."""
     for k, v in _SQL_CONF.items():
@@ -100,6 +130,17 @@ def get_spark(app_name: str = "bigdata_assigment3_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # shuffle/spill blocks and implicit streaming temp checkpoints
+        # on the fastest local volume (see scratch_dir): spark.local.dir
+        # covers the block manager; java.io.tmpdir covers the temp
+        # checkpoint dirs StreamingQueryManager creates for memory-sink
+        # streams, whose per-partition fsync'd state commits are the
+        # latency-sensitive path
+        .config("spark.local.dir", scratch_dir())
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Djava.io.tmpdir={scratch_dir()}",
+        )
     )
     for k, v in _SQL_CONF.items():
         builder = builder.config(k, v)

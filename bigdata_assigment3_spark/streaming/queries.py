@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from ..operators.relational import SCD2_HIST_CTES
 from ..plans.hints import bounded_broadcast
 from ..registry import query
-from ..session import ensure_session_conf
+from ..session import ensure_session_conf, scratch_dir
 from ..sources import load_table
 from ..sources.tables import normalize_events_ts
 
@@ -411,7 +411,7 @@ def q_stream_etl_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"bd3_stream_etl_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
@@ -649,7 +649,7 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     stage = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         # keyed by app id: concurrent sessions must not share staging
         f"bd3_late_drop_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
@@ -737,7 +737,7 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"bd3_upsert_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
@@ -1123,7 +1123,7 @@ def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     stage = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"bd3_outer_join_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
@@ -1219,7 +1219,7 @@ def q_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"bd3_restart_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
@@ -1396,7 +1396,7 @@ def q_stream_corpus_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _gz_corpus_stage(spark, sf_dir)
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"bd3_stream_backfill_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
@@ -1528,7 +1528,7 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     stage = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"bd3_bitmap_overlap_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{spark.sparkContext.applicationId}",
     )
@@ -1576,28 +1576,27 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-empty slices: a conforming >= 3-day table with an event gap
     # around a cut would stage an empty batch and break the
     # three-trigger contract — fail with a descriptive error instead
-    # (round-12 advice).  One conditional-count job over the three cut
-    # ranges, not three limit(1) probes (the per-job fixed cost of
-    # three extra scans measurably regressed the bench wall).
-    n0, n1, n2 = ev.select(
-        F.count(F.when(F.col("ts") < F.lit(c1), 1)),
-        F.count(
-            F.when(
-                (F.col("ts") >= F.lit(replay_from)) & (F.col("ts") < F.lit(c2)), 1
-            )
-        ),
-        F.count(F.when(F.col("ts") >= F.lit(c2), 1)),
-    ).collect()[0]
-    for i, n in enumerate((n0, n1, n2)):
-        if n == 0:
-            raise ValueError(
-                f"stream_bitmap_overlap needs three non-empty midnight-cut "
-                f"batches; batch {i} (cuts {c1} / {c2}) is empty for ts in "
-                f"[{lo}, {hi}]"
-            )
+    # (round-12 advice).  The guard is FREE (round-13 verdict: its
+    # predecessor, one conditional-count job, was still a full extra
+    # events scan per invocation — a whole corpus pass at 100 TB just
+    # for a precondition message): ``df.observe`` counters ride the
+    # three staged writes the query already performs (the
+    # stream_dedup_exactly_once pattern) and are validated after
+    # materialization, with the same error contract.
+    from pyspark.sql import Observation
+
+    stage_obs = [Observation(f"bitmap_stage_{i}") for i in range(3)]
     try:
         for i, bdf in enumerate(batches):
-            bdf.coalesce(1).write.parquet(f"{stage}/b{i}")
+            bdf.observe(
+                stage_obs[i], F.count(F.lit(1)).alias("n")
+            ).coalesce(1).write.parquet(f"{stage}/b{i}")
+            if stage_obs[i].get["n"] == 0:
+                raise ValueError(
+                    f"stream_bitmap_overlap needs three non-empty "
+                    f"midnight-cut batches; batch {i} (cuts {c1} / {c2}) "
+                    f"is empty for ts in [{lo}, {hi}]"
+                )
             for f in os.listdir(f"{stage}/b{i}"):
                 os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
         stream = normalize_events_ts(

@@ -58,6 +58,13 @@ def main() -> int:
     scaled_dir = sys.argv[2]
     cap_gb = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
 
+    # scaled-run shuffles/spills can reach tens of GB — keep them on
+    # DISK, not the tmpfs scratch the engine prefers for its
+    # latency-sensitive streaming state (tmpfs pages are RAM, and this
+    # box has already OOM-killed one audit; sequential spill is what
+    # the disk is good at)
+    os.environ.setdefault("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+
     import duckdb
 
     from bigdata_assigment3_spark import get_spark
@@ -132,7 +139,6 @@ def main() -> int:
     if problems:
         out["problems"] = problems[:3]
     print(json.dumps(out))
-    spark.stop()
     return 0 if not problems else 1
 
 

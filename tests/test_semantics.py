@@ -1749,7 +1749,9 @@ def test_stream_bitmap_overlap_empty_batch_raises(spark, tmp_path):
     conforming >= 3-day events table with an event GAP around the cut
     range must fail with the descriptive span error, not stage an
     empty middle batch.  Events land on day 0 and day 10 only, so the
-    derived cuts (day 4 / day 7) leave the middle slice empty."""
+    derived cuts (day 4 / day 8 — clamped midnights Jan 5 / Jan 9 for
+    lo=Jan 1 12:00, hi=Jan 11 12:00) leave the middle slice
+    [Jan 4, Jan 9) empty."""
     import datetime
     import shutil
 
