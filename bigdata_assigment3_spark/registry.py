@@ -135,11 +135,16 @@ PRIORITY: tuple[str, ...] = (
     "pagerank",
     # similarity search + embedding PCA (round-10 flagship: the
     # mapInArrow partial-Gram kernel plan, oracle-backed by its
-    # relational twin's SQL) + the round-11 recall×cost fusion audit
-    # (rotated in round 12)
-    "ann_cosine_topk",
+    # relational twin's SQL).  Round-14 rotation per the round-13
+    # verdict: ann_cosine_topk (driver-green since r10, brute-force
+    # family also exercised inside ann_band_recall_tradeoff's truth
+    # side) and ann_band_recall_tradeoff (driver-green r12+r13) move
+    # out — both still locally oracle-tested — for bm25_topk_docs (the
+    # 100x-fixed text-retrieval flagship, verdict #6) and ann_ivf_wide
+    # (the large-k mapInArrow assignment path, verdict #3)
+    "bm25_topk_docs",
     "embedding_power_iteration",
-    "ann_band_recall_tradeoff",
+    "ann_ivf_wide",
     # deterministic IVF with multi-assignment (round-12 flagship,
     # rotated in round 13)
     "ann_ivf_probe",

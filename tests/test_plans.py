@@ -457,10 +457,35 @@ def test_shuffle_exchange_budgets(spark):
         # the vocab-pruned postings build (one more exchange) runs once
         # at lineage-checkpoint time and is shared by dft and contrib
         "bm25_topk_docs": 5,
+        # wide assignment: the mapInArrow kernel is map-side; the only
+        # exchange is the final 64-group aggregate
+        "ann_ivf_wide": 1,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
         assert got <= budget, (name, got, budget)
+
+
+def test_ann_ivf_wide_takes_arrow_kernel(spark):
+    """The large-k assignment path must actually RUN in production
+    (round-13 verdict #3: the mapInArrow kernel existed but only tests
+    took the branch): ann_ivf_wide's k = 64 sits above K_LITERAL_MAX,
+    so its executed plan must contain the Arrow kernel and must NOT
+    contain the O(k * dim) literal expression tree — the plan stays
+    O(1) in k at a realistic IVF nlist."""
+    from bigdata_assigment3_spark.operators.similarity import (
+        K_LITERAL_MAX,
+        WIDE_K,
+    )
+
+    assert WIDE_K > K_LITERAL_MAX
+    df = _plan(spark, "ann_ivf_wide")
+    plan = formatted_plan(df)
+    assert "MapInArrow" in plan, plan[:2000]
+    # the literal path inlines ~k*dim integer literals into one
+    # zip_with chain per centroid; its formatted plan at k=64 would be
+    # hundreds of KB — bound the whole plan text well below that
+    assert len(plan) < 50_000, len(plan)
 
 
 def test_cbo_stats_flip_join_strategy(spark):
