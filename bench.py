@@ -140,7 +140,22 @@ HEADLINE = [
     # multi-assign IVF scale paths
     "ann_lsh_bucketed",
     "ann_ivf_probe",
+    # round-14: the large-k (mapInArrow) assignment path in production
+    "ann_ivf_wide",
 ]
+
+# Environment-shift sentinels (round-13 verdict #2): never-touched
+# queries whose code has been frozen for many rounds — the median of
+# their min-of-N deltas vs the previous round estimates the BOX floor
+# shift, so a noisy round subtracts the floor instead of arguing it.
+# Keep this list to queries nobody optimizes.
+ENV_SENTINELS = (
+    "pricing_summary",
+    "json_extract",
+    "window_topk_orders",
+    "region_revenue",
+    "segment_derive",
+)
 
 
 PHASE_SPLIT_FLOOR_SEC = 2.5  # queries at least this slow always get attributed
@@ -231,6 +246,13 @@ def main() -> None:
     # Warm the JVM/codegen once on the cheapest query so per-query times
     # measure the plan, not first-run JIT.
     fns["features_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the STREAMING machinery too (round 14): the first streaming
+    # query in a session pays a separate, much larger JIT curve — a
+    # fresh-session sbo loop measured 71s -> 23s -> ... -> 6s over nine
+    # runs with zero code change — so without this, whichever streaming
+    # query runs first ships a warmup artifact as its median.  A
+    # long-lived deployment amortizes this identically.
+    fns["stream_type_totals"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Eagerly build the session-scoped shared artifacts (the dedup
     # inverted index and the verified MinHash pair table) so their
@@ -268,18 +290,24 @@ def main() -> None:
     # the suite-level median-vs-min spread exceeds 10%, re-time the
     # widest queries (their medians are the suspect numbers) up to two
     # extra passes, folding new samples into the same min/median.
+    # Budget raised 2 -> 4 passes and the per-pass set widened to half
+    # the suite (round 14): the residual spread on this box is a
+    # UNIFORM ~0.2s median-vs-min gap across ~90 queries (sampling
+    # noise at n=3), not a few wide outliers — narrowing it needs more
+    # samples on many queries, and four bounded passes keep the whole
+    # re-time under ~4 min.
     extra_passes = 0
     while (
         sum(per_query.values()) - sum(per_query_min.values())
         > 0.10 * sum(per_query.values())
-        and extra_passes < 2
+        and extra_passes < 4
     ):
         extra_passes += 1
         worst = sorted(
             names,
             key=lambda n: per_query[n] - per_query_min[n],
             reverse=True,
-        )[: max(5, len(names) // 4)]
+        )[: max(5, len(names) // 2)]
         for name in worst:
             # two extra samples per pass so the count stays ODD: with an
             # even count, ts[len//2] is the upper-middle element — a
@@ -302,7 +330,16 @@ def main() -> None:
         n for n in names
         if per_query_min[n] >= PHASE_SPLIT_FLOOR_SEC and n not in split_names
     ]
-    phase_split = {n: _phase_split(spark, fns[n], sf_dir) for n in split_names}
+    # Each entry's "wall" is the profiled pass's OWN wall — an EXTRA
+    # execution that can diverge wildly from the timed min (streaming
+    # staging re-runs cold, caches differ).  timed_min rides along per
+    # entry so the split is never read against the wrong denominator
+    # (round-13 verdict #5).
+    phase_split = {}
+    for n in split_names:
+        ps = _phase_split(spark, fns[n], sf_dir)
+        ps["timed_min"] = per_query_min[n]
+        phase_split[n] = ps
 
     total = round(sum(per_query.values()), 3)
     total_min = round(sum(per_query_min.values()), 3)
@@ -384,6 +421,22 @@ def main() -> None:
                 for n, t in per_query_min.items()
                 if n in prev_qmin
             }
+            # environment-shift estimator (round-13 verdict #2): the
+            # median sentinel min-delta is the box's floor shift this
+            # round — subtract it before reading any other delta as a
+            # code regression.  Sentinels are never-touched queries.
+            sent = sorted(
+                out["delta_min_vs_prev"][n]
+                for n in ENV_SENTINELS
+                if n in out["delta_min_vs_prev"]
+            )
+            if sent:
+                out["env_shift_sec"] = sent[len(sent) // 2]
+                out["env_sentinel_deltas"] = {
+                    n: out["delta_min_vs_prev"][n]
+                    for n in ENV_SENTINELS
+                    if n in out["delta_min_vs_prev"]
+                }
         except (OSError, ValueError):
             pass  # unreadable previous record: skip the comparison
 
@@ -425,6 +478,8 @@ def main() -> None:
             worst = max(deltas, key=lambda n: deltas[n])
             best = min(deltas, key=lambda n: deltas[n])
             compact["prev_round"] = out["prev_round"]
+            if "env_shift_sec" in out:
+                compact["env_shift_sec"] = out["env_shift_sec"]
             # min-to-min over queries benched in BOTH rounds — the
             # drift signal medians can't provide on a shared box
             sfx = delta_source  # "min", or "median" on the fallback path
