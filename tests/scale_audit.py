@@ -138,7 +138,16 @@ def main() -> int:
     out["match"] = not problems
     if problems:
         out["problems"] = problems[:3]
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # sidecar record: a 2h audit's one-line result must survive any
+    # stdout-capture accident (round 14 lost the 75x metrics line to
+    # exactly that; exit code 0 still proved the match, but the
+    # spill/timing numbers had to be reconstructed from polling)
+    with open(
+        os.path.join(tempfile.gettempdir(), f"bd3_audit_result_{name}.json"), "w"
+    ) as fh:
+        fh.write(line + "\n")
     return 0 if not problems else 1
 
 
