@@ -1622,9 +1622,16 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        # observability for tests: real multi-batch run, real re-updates
+        # observability for tests: real multi-batch run, real re-updates.
+        # n_updates comes from the sink's own progress metrics (sum of
+        # per-batch numOutputRows == rows in the memory table), not a
+        # count() job over the sink — the metric is already measured,
+        # so measuring it again was one more fixed-cost job per
+        # invocation (same reasoning as the observe()-backed guard)
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        n_updates = sum(p["sink"]["numOutputRows"] for p in q.recentProgress)
         spark.conf.set("bd3.stream_bitmap_overlap.n_batches", str(n_batches))
+        spark.conf.set("bd3.stream_bitmap_overlap.n_updates", str(n_updates))
     finally:
         # the memory sink holds the drained updates — the staged parquet
         # is dead weight once the stream terminates, and the appId-keyed
@@ -1636,9 +1643,6 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "word",
         "bits",
-    )
-    spark.conf.set(
-        "bd3.stream_bitmap_overlap.n_updates", str(upd.count())
     )
     # bit_or-fold of the update log == final state (monotone updates);
     # materialized once — it self-joins below, and the memory-sink
