@@ -157,9 +157,62 @@ ENV_SENTINELS = (
     "segment_derive",
 )
 
+# A sentinel whose own min-delta sits this far from the sentinel median
+# is flagged: either its code was touched (invariant broken — rotate it
+# out or re-pin tests/test_bench_contract.py) or the box shifted it
+# alone, and either way it should not silently bias env_shift_sec
+# (round-14 advice).  tests pin the sentinels' source hashes too.
+SENTINEL_OUTLIER_SEC = 0.5
 
 PHASE_SPLIT_FLOOR_SEC = 2.5  # queries at least this slow always get attributed
 PHASE_SPLIT_TOP_N = 5
+
+# Automatic regression adjudication (round-14 verdict #2): a query whose
+# min-delta minus the environment shift exceeds BOTH bounds gets one
+# fresh-session re-time (a subprocess, so JIT/cache state can't carry
+# over) before the round record commits — r13/r14 each spent a manual
+# cycle proving a committed "regression" was a steal-episode artifact
+# (systematic_weighted_sample: committed 1.63s, fresh-session 0.51s).
+REGRESSION_FLAG_ABS_SEC = 0.5
+REGRESSION_FLAG_REL = 0.25
+REGRESSION_FLAG_MAX_RETIMES = 5  # bound the extra wall per bench run
+
+
+def compute_regression_flags(
+    delta_min: dict[str, float],
+    prev_qmin: dict[str, float],
+    env_shift: float,
+    abs_sec: float = REGRESSION_FLAG_ABS_SEC,
+    rel: float = REGRESSION_FLAG_REL,
+) -> dict[str, float]:
+    """Queries whose env-adjusted min-delta exceeds both the absolute
+    and relative thresholds -> {name: adjusted_delta}.  Pure so the
+    trip condition is unit-testable without a bench run."""
+    flags: dict[str, float] = {}
+    for name, d in delta_min.items():
+        adj = d - env_shift
+        base = prev_qmin.get(name, 0.0)
+        if adj > abs_sec and adj > rel * max(base, 1e-9):
+            flags[name] = round(adj, 3)
+    return flags
+
+
+def retime_query(name: str, sf_dir: str, n: int = 3) -> dict:
+    """Fresh-session floor for ONE query: new JVM, same warmups as the
+    main bench (JIT + streaming), min-of-n.  Invoked as a subprocess
+    (`bench.py --retime NAME`) so the measurement is genuinely
+    fresh-session — nothing from the suite's GC/JIT/cache state leaks."""
+    spark = get_spark("bench-retime")
+    fns = query_fns()
+    fns["features_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    fns["stream_type_totals"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return {"query": name, "n": n, "min": round(min(times), 3),
+            "times": [round(t, 3) for t in times]}
 
 
 def _phase_split(spark, fn, sf_dir: str) -> dict:
@@ -437,6 +490,63 @@ def main() -> None:
                     for n in ENV_SENTINELS
                     if n in out["delta_min_vs_prev"]
                 }
+                # a sentinel that moved away from its peers is either a
+                # broken never-touched invariant or a box artifact on
+                # that one query — surface it instead of letting it
+                # bias the median silently (round-14 advice)
+                outliers = {
+                    n: d
+                    for n, d in out["env_sentinel_deltas"].items()
+                    if abs(d - out["env_shift_sec"]) > SENTINEL_OUTLIER_SEC
+                }
+                if outliers:
+                    out["env_sentinel_outliers"] = outliers
+
+            # Automatic regression adjudication: each flagged query gets
+            # ONE fresh-session re-time (subprocess) and the record
+            # carries BOTH numbers — `confirmed` means the fresh floor
+            # still exceeds the thresholds, i.e. a real plan regression,
+            # not a steal episode that covered the suite's samples.
+            flagged = compute_regression_flags(
+                out.get("delta_min_vs_prev", {}),
+                prev_qmin,
+                out.get("env_shift_sec", 0.0),
+            )
+            if flagged:
+                import subprocess
+
+                env_shift = out.get("env_shift_sec", 0.0)
+                rf: dict[str, dict] = {}
+                for name in sorted(flagged, key=flagged.get, reverse=True)[
+                    :REGRESSION_FLAG_MAX_RETIMES
+                ]:
+                    entry = {
+                        "committed_min": per_query_min[name],
+                        "prev_min": prev_qmin.get(name),
+                        "delta_adj": flagged[name],
+                        "retimed_min": None,
+                        "confirmed": None,
+                    }
+                    try:
+                        r = subprocess.run(
+                            [sys.executable, os.path.abspath(__file__),
+                             "--retime", name, "3"],
+                            capture_output=True, text=True, timeout=900,
+                            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                        )
+                        retimed = json.loads(
+                            r.stdout.strip().splitlines()[-1]
+                        )["min"]
+                        adj = retimed - prev_qmin[name] - env_shift
+                        entry["retimed_min"] = retimed
+                        entry["confirmed"] = bool(
+                            adj > REGRESSION_FLAG_ABS_SEC
+                            and adj > REGRESSION_FLAG_REL * prev_qmin[name]
+                        )
+                    except Exception as ex:  # re-time is best-effort
+                        entry["error"] = f"{type(ex).__name__}: {ex}"[:200]
+                    rf[name] = entry
+                out["regression_flags"] = rf
         except (OSError, ValueError):
             pass  # unreadable previous record: skip the comparison
 
@@ -486,6 +596,15 @@ def main() -> None:
             compact[f"delta_total_{sfx}_shared"] = round(sum(deltas.values()), 3)
             compact[f"max_regression_{sfx}"] = {worst: deltas[worst]}
             compact[f"max_improvement_{sfx}"] = {best: deltas[best]}
+            # adjudicated regressions ride the compact line: {} means
+            # nothing tripped the flag thresholds this round
+            compact["regression_flags"] = {
+                n: {"adj": e["delta_adj"], "retimed_min": e["retimed_min"],
+                    "confirmed": e["confirmed"]}
+                for n, e in out.get("regression_flags", {}).items()
+            }
+            if "env_sentinel_outliers" in out:
+                compact["env_sentinel_outliers"] = out["env_sentinel_outliers"]
         line = json.dumps(compact)
         if len(line) < 1500:
             break
@@ -493,4 +612,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--retime":
+        _name = sys.argv[2]
+        _n = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        _sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        print(json.dumps(retime_query(_name, _sf_dir, _n)))
+    else:
+        main()

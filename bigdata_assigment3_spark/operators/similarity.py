@@ -765,11 +765,14 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIDE_K = 64       # realistic IVF nlist slice — deliberately > K_LITERAL_MAX
 WIDE_ASSIGN = 2   # multi-assignment, same recall lever as IVF_MULTI
 # fixed-grid centroid coordinate: spatial-hash primes spread (k, j)
-# over the xp domain [(0 + 6384) * 100, (20000 + 6384) * 100] — the
-# exact range _SPH_XP_SPARK produces (u in [-SPH_NQ, SPH_NQ] shifted
-# by SPH_OFF, scaled by SPH_CQ) — so centroid-to-vector distances are
-# the same magnitude a trained quantizer would see
+# over the xp domain [_WIDE_BASE * SPH_CQ, (2*SPH_NQ + _WIDE_BASE) *
+# SPH_CQ] — the exact range _SPH_XP_SPARK produces (u in [-SPH_NQ,
+# SPH_NQ] shifted by SPH_OFF, scaled by SPH_CQ) — so centroid-to-
+# vector distances are the same magnitude a trained quantizer would
+# see.  _WIDE_BASE is derived, not a literal, so engine/oracle parity
+# survives any change to the quantization constants (round-14 advice).
 _WIDE_A, _WIDE_B, _WIDE_C = 73856093, 19349663, 83492791
+_WIDE_BASE = SPH_OFF - SPH_NQ
 
 
 def _wide_grid_cents() -> list[list[int]]:
@@ -779,7 +782,8 @@ def _wide_grid_cents() -> list[list[int]]:
     chain, and the query isolates the ASSIGNMENT path at realistic k."""
     return [
         [
-            ((k * _WIDE_A + j * _WIDE_B + _WIDE_C) % (2 * SPH_NQ + 1) + 6384) * SPH_CQ
+            ((k * _WIDE_A + j * _WIDE_B + _WIDE_C) % (2 * SPH_NQ + 1) + _WIDE_BASE)
+            * SPH_CQ
             for j in range(E2_DIM)
         ]
         for k in range(WIDE_K)
@@ -791,7 +795,7 @@ def _wide_oracle() -> str:
     WITH {",".join(_frame_duck_parts())},
     cents AS MATERIALIZED (
       SELECT k, j,
-             ((k * {_WIDE_A} + j * {_WIDE_B} + {_WIDE_C}) % {2 * SPH_NQ + 1} + 6384)
+             ((k * {_WIDE_A} + j * {_WIDE_B} + {_WIDE_C}) % {2 * SPH_NQ + 1} + {_WIDE_BASE})
                * {SPH_CQ} AS w
       FROM range({WIDE_K}) t(k) CROSS JOIN range({E2_DIM}) u(j)
     ),

@@ -62,9 +62,21 @@ def scratch_dir() -> str:
         return override
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "bd3_scratch")
-        os.makedirs(d, exist_ok=True)
-        return d
+        # tmpfs is RAM-backed and often tiny (Docker defaults /dev/shm
+        # to 64 MB; many hosts cap it at 50% RAM) — a sizable shuffle
+        # through an undersized tmpfs fails with ENOSPC or converts
+        # spill into memory pressure.  Only prefer it when it has real
+        # headroom (round-14 advice); scaled runs pin SPARK_GRAFT_SCRATCH
+        # to disk regardless (tests/scale_audit.py).
+        try:
+            st = os.statvfs(shm)
+            shm_free_gb = st.f_bavail * st.f_frsize / 2**30
+        except OSError:
+            shm_free_gb = 0.0
+        if shm_free_gb >= 16.0:
+            d = os.path.join(shm, "bd3_scratch")
+            os.makedirs(d, exist_ok=True)
+            return d
     import tempfile
 
     return tempfile.gettempdir()

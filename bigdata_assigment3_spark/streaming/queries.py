@@ -1629,7 +1629,12 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so measuring it again was one more fixed-cost job per
         # invocation (same reasoning as the observe()-backed guard)
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        n_updates = sum(p["sink"]["numOutputRows"] for p in q.recentProgress)
+        # Spark reports -1 for sink metrics it cannot measure (no-data /
+        # flush micro-batches) — clamp so one unmeasured batch can't
+        # silently corrupt the sum (round-14 advice)
+        n_updates = sum(
+            max(0, p["sink"]["numOutputRows"]) for p in q.recentProgress
+        )
         spark.conf.set("bd3.stream_bitmap_overlap.n_batches", str(n_batches))
         spark.conf.set("bd3.stream_bitmap_overlap.n_updates", str(n_updates))
     finally:
