@@ -547,11 +547,29 @@ def q_span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr(md5_int56_spark("g")).alias("span_h"))
     )
-    df_counts = spans.groupBy("span_h").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # Document frequency via posting lists, not a groupBy + self-join
+    # (round 15): the former plan computed the span table — the
+    # expensive tokenize + {SPAN_N}-gram + md5 expression pass over
+    # every document — TWICE (once under the DF aggregation, once
+    # under the join probe; the two exchanges differ below the partial
+    # agg, so Spark cannot reuse them), then paid a third exchange
+    # plus a sort-merge join to mark spans back.  Grouping each span's
+    # documents into one list and exploding them back attaches the
+    # global document frequency in a single span-table pass with two
+    # hash-agg exchanges and NO join — each (doc_id, span_h) row is
+    # unique (array_distinct upstream, the same no-collision premise
+    # the count_distinct form relied on), so the list size IS the
+    # distinct-document frequency.  (A COUNT(*) OVER (PARTITION BY
+    # span_h) window was tried first and measured SLOWER than the
+    # join: WindowExec pays a sort plus per-group buffering over
+    # ~|corpus| one-row groups; hash aggregation has no such cost.)
+    marked = (
+        spans.groupBy("span_h")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .select(F.size("docs").alias("n_docs"), F.explode("docs").alias("doc_id"))
     )
     return (
-        spans.join(df_counts, "span_h")
+        marked
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),

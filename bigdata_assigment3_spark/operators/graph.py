@@ -113,8 +113,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(deg, "src").select(
         F.col("src").alias("v"), "dst", "deg"
     )
+    # Materialize the LOOP-INVARIANT relations once (round 15): the
+    # iterations only ever checkpointed `rank`, so every one of the
+    # {PR_ITERS} iterations re-derived edges (generator cross join +
+    # DISTINCT), deg (hash agg), the edges x deg join, and the verts
+    # DISTINCT from scratch — at 100 TB that is {PR_ITERS} extra
+    # corpus-sized passes and ~4 extra exchanges per iteration doing
+    # work whose result never changes.  Both sides are explicitly
+    # hash-partitioned on the join key with the SAME partition count
+    # before the checkpoint (LogicalRDD preserves outputPartitioning,
+    # and an explicit repartition N is not AQE-coalesced), so each
+    # iteration's edges x rank join and the verts re-anchor join need
+    # NO exchange at all: the per-iteration plan is one shuffle (the
+    # inflow hash agg) — the textbook bulk-synchronous minimum.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_deg = lineage_checkpoint(edges_deg.repartition(n_part, "v"), big=True)
+    verts = lineage_checkpoint(verts.repartition(n_part, "v"), big=True)
     rank = verts.select("v", F.lit(PR_SCALE).cast("bigint").alias("rank_i"))
-    rank = lineage_checkpoint(rank)
     for _ in range(PR_ITERS):
         inflow = (
             edges_deg.join(rank, "v")
@@ -122,7 +137,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.sum("c").alias("inflow"))
         )
-        rank = verts.join(inflow, "v", "left").select(
+        rank = verts.join(
+            inflow.repartition(n_part, "v"), "v", "left"
+        ).select(
             "v",
             F.expr(
                 f"CAST(({15 * PR_SCALE} + 85 * COALESCE(inflow, 0)) div 100 AS BIGINT)"

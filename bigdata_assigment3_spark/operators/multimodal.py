@@ -499,6 +499,17 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["img_id", "b0", "b1", "b2", "b3"])
 
     bw = docs.mapInPandas(phash_batches, schema)
+    # Materialize the decode+hash pass ONCE (round 15): `bw` feeds the
+    # band explode twice (join build/probe) and the verify step twice
+    # (x and y), and the verify-side exchanges (img keys) can never
+    # reuse the band-side exchanges — so without the checkpoint the
+    # opaque Python pass over every payload ran up to 4x.  This is the
+    # §8 "decode once, move decisions on small rows" rule: at a
+    # billion images the decode is the dominant cost and must be a
+    # single pass; the checkpoint is 5 BIGINTs per image.
+    from ..session import lineage_checkpoint
+
+    bw = lineage_checkpoint(bw, big=True)
     bands_long = bw.select(
         "img_id",
         F.explode(

@@ -76,15 +76,38 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the counter matrix is {CMS_D}x{CMS_W} integers per
     executor merged by one tiny shuffle — constant state for unbounded
     input, the sketch trade."""
+    from ..session import lineage_checkpoint
+
     ev = load_table(spark, sf_dir, "events")
     depths = spark.range(CMS_D).select(F.col("id").cast("int").alias("depth"))
-    counters = (
-        ev.crossJoin(F.broadcast(depths))
-        .select("depth", F.expr(_cms_hash_spark("depth", "event_type")).alias("bucket"))
-        .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Build the counter matrix from the per-key partial counts, not
+    # from raw rows (round 15): the bucket hash depends only on
+    # (depth, key), and CMS counters are ADDITIVE, so summing the
+    # already-aggregated per-type counts into buckets yields the
+    # bit-identical sketch while hashing |keys| x {CMS_D} values
+    # instead of |events| x {CMS_D}.  This is the map-side-combine
+    # shape stated in the docstring taken to its limit:
+    # partial-aggregate per key first, then sketch the (key, count)
+    # pairs — at 100 TB one corpus pass and a per-key hash, never a
+    # per-row hash.  The exact table is KEYSPACE-sized (one row per
+    # event type), and its three consumers (counter build, probe set,
+    # final join) are distinct subtrees Spark cannot reuse — so
+    # materialize it once: the whole query is then ONE corpus scan +
+    # one corpus exchange (inside the checkpoint) + two keyspace-sized
+    # exchanges, down from three corpus scans / four exchanges.
+    exact = lineage_checkpoint(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     )
-    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    counters = (
+        exact.crossJoin(F.broadcast(depths))
+        .select(
+            "depth",
+            F.expr(_cms_hash_spark("depth", "event_type")).alias("bucket"),
+            "n",
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.sum("n").alias("c"))
+    )
     keys = exact.select("event_type").crossJoin(F.broadcast(depths))
     probes = keys.select(
         "event_type",

@@ -20,6 +20,9 @@ horizon exactly like the reference's TTL bounds its bucket dict.
 
 from __future__ import annotations
 
+import contextlib
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -57,15 +60,67 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(stream)
 
 
-def _run_to_memory(agg: DataFrame, name: str) -> None:
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+# Default state-store partition count for KEYSPACE-BOUNDED stateful
+# streams (see _state_partitions).  Production sizing is state bytes /
+# a 64-128 MB per-partition target with this as the floor; the env
+# override is the deployment knob.
+_STATE_PARTS_DEFAULT = 4
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int = _STATE_PARTS_DEFAULT):
+    """Pin ``spark.sql.shuffle.partitions`` around a stateful stream
+    start, restoring the caller's value afterwards.
+
+    A stateful streaming aggregation runs one state-store partition
+    per shuffle partition, fixed at first start (AQE never coalesces
+    stateful streams), and EVERY partition pays a fixed per-micro-batch
+    cost — provider init, delta file write, fsync, maintenance —
+    regardless of how many rows it holds.  With the session default
+    sized for batch parallelism (cores, 32 here), a 3-trigger stream
+    whose whole state is a few hundred keyspace-bounded rows commits
+    ~100 near-empty state files per run (measured round 15:
+    stream_bitmap_overlap spent most of its fixed cost there).
+
+    Callers opt in ONLY where state is bounded by a small KEYSPACE
+    (|event types|, |windows in horizon| x |types|, |audience|/63
+    bitmap words ...), never by input or user count — so the same
+    small number stays right at 100 TB, where these states are still
+    keyspace-sized.  User/id-scaled state (per-user sessions, dedup
+    ids, stream-stream join buffers) keeps the session default, which
+    scales with the cluster.  ``SPARK_GRAFT_STREAM_STATE_PARTS``
+    overrides for deployments whose keyspace-bounded state outgrows
+    the floor (e.g. billion-user audiences: size to state bytes /
+    ~64 MB per partition)."""
+    n = int(_os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", n))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _run_to_memory(
+    agg: DataFrame, name: str, state_partitions: int | None = None
+):
+    """Drain ``agg`` into a complete-mode memory sink.  Returns the
+    (terminated) StreamingQuery so tests can assert progress metrics
+    (e.g. stateOperators.numShufflePartitions)."""
+    with contextlib.ExitStack() as stack:
+        if state_partitions is not None:
+            stack.enter_context(
+                _state_partitions(agg.sparkSession, state_partitions)
+            )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return q
 
 
 @query(
@@ -112,7 +167,7 @@ def q_stream_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    _run_to_memory(agg, "stream_type_totals_sink")
+    _run_to_memory(agg, "stream_type_totals_sink", state_partitions=_STATE_PARTS_DEFAULT)
     return spark.table("stream_type_totals_sink")
 
 
@@ -668,13 +723,18 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.filter(F.to_date("ts") >= bridge_cut),
         late.filter(F.to_date("ts") < bridge_cut),
     )
+    # stage only the columns the stream consumes (round 15, guide §2.3
+    # — the event_id split keys are consumed by the batch-side filters
+    # above, BEFORE staging): the windowed count needs (ts, event_type)
+    # and the late-drop metric counts rows, not columns
+    stage_cols = ("ts", "event_type")
     for i, df in enumerate(batches, 1):
-        df.coalesce(1).write.parquet(f"{stage}/b{i}")
+        df.select(*stage_cols).coalesce(1).write.parquet(f"{stage}/b{i}")
         for f in os.listdir(f"{stage}/b{i}"):
             # deterministic arrival order for the file source
             os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
     stream = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(ev.select(*stage_cols).schema)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", "1")
@@ -685,14 +745,17 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_late_drop_sink")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # (window x type) state is keyspace-bounded: right-size the state
+    # store partitions (see _state_partitions)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_late_drop_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # expose the drop metric for tests without changing the schema
     dropped = sum(
         p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in q.recentProgress
@@ -827,7 +890,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(F.window("ts", "4 days", "2 days"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    _run_to_memory(agg, "stream_sliding_window_sink")
+    _run_to_memory(agg, "stream_sliding_window_sink", state_partitions=_STATE_PARTS_DEFAULT)
     out = spark.table("stream_sliding_window_sink")
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
@@ -944,7 +1007,7 @@ def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.collect_set("user_id").alias("users"),
     )
-    _run_to_memory(agg, "stream_union_sources_sink")
+    _run_to_memory(agg, "stream_union_sources_sink", state_partitions=_STATE_PARTS_DEFAULT)
     out = spark.table("stream_union_sources_sink")
     return out.select(
         "event_type", "n", F.size("users").cast("bigint").alias("n_users")
@@ -986,7 +1049,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    _run_to_memory(agg, "stream_static_join_sink")
+    _run_to_memory(agg, "stream_static_join_sink", state_partitions=_STATE_PARTS_DEFAULT)
     return spark.table("stream_static_join_sink")
 
 
@@ -1065,7 +1128,7 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    _run_to_memory(agg, "stream_topk_window_sink")
+    _run_to_memory(agg, "stream_topk_window_sink", state_partitions=_STATE_PARTS_DEFAULT)
     sink = spark.table("stream_topk_window_sink")
     w = Window.partitionBy("window").orderBy(F.col("n").desc(), F.col("event_type"))
     return (
@@ -1357,7 +1420,7 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
-    _run_to_memory(agg, "stream_pit_enrich_sink")
+    _run_to_memory(agg, "stream_pit_enrich_sink", state_partitions=_STATE_PARTS_DEFAULT)
     return spark.table("stream_pit_enrich_sink")
 
 
@@ -1458,7 +1521,7 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     word, mask = bitmap_word_mask("user_id")
     words = ev.select("event_type", word.alias("word"), mask.alias("mask"))
     agg = words.groupBy("event_type", "word").agg(F.bit_or("mask").alias("bits"))
-    _run_to_memory(agg, "stream_bitmap_distinct_sink")
+    _run_to_memory(agg, "stream_bitmap_distinct_sink", state_partitions=_STATE_PARTS_DEFAULT)
     out = spark.table("stream_bitmap_distinct_sink")
     return out.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"),
@@ -1586,9 +1649,19 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     stage_obs = [Observation(f"bitmap_stage_{i}") for i in range(3)]
+    # Stage only the columns the stream consumes (round 15, guide
+    # §2.3 "project before the exchange"): the staged micro-batches
+    # previously carried the full events row — including `props`, the
+    # widest column — through three parquet writes and the streaming
+    # re-read, none of which the windowed bitmap aggregation ever
+    # touches.  At 100 TB the staging write is the dominant I/O of
+    # this query; shipping 4 narrow columns instead of 6 is a
+    # multiple-x cut in staged bytes.  (Batch emptiness semantics are
+    # unchanged: the observe counter counts rows, not columns.)
+    stage_cols = ("ts", "user_id", "event_type", "value")
     try:
         for i, bdf in enumerate(batches):
-            bdf.observe(
+            bdf.select(*stage_cols).observe(
                 stage_obs[i], F.count(F.lit(1)).alias("n")
             ).coalesce(1).write.parquet(f"{stage}/b{i}")
             if stage_obs[i].get["n"] == 0:
@@ -1599,8 +1672,9 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             for f in os.listdir(f"{stage}/b{i}"):
                 os.utime(f"{stage}/b{i}/{f}", (1_000_000 + i * 100,) * 2)
+        staged_schema = ev.select(*stage_cols).schema
         stream = normalize_events_ts(
-            spark.readStream.schema(ev.schema)
+            spark.readStream.schema(staged_schema)
             .option("pathGlobFilter", "*.parquet")
             .option("recursiveFileLookup", "true")
             .option("maxFilesPerTrigger", "1")
@@ -1614,14 +1688,22 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.bit_or(mask).alias("bits"))
         )
         sink = "stream_bitmap_overlap_sink"
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # State is |windows in horizon| x |types| x |audience|/63 words
+        # — keyspace-bounded, a few hundred rows here — while the
+        # session default (32) runs 32 state-store partitions, i.e.
+        # ~96 fixed-cost provider-init + delta-write + fsync commits
+        # across the three triggers for near-empty stores.  Right-size
+        # to the keyspace (round-14 verdict finding #2: this is the
+        # named mechanism behind the residual fixed per-batch cost).
+        with _state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # observability for tests: real multi-batch run, real re-updates.
         # n_updates comes from the sink's own progress metrics (sum of
         # per-batch numOutputRows == rows in the memory table), not a

@@ -245,7 +245,9 @@ def test_shuffle_exchange_budgets(spark):
         "block_match_full": 2,
         "custom_source_scan": 2,
         "frequent_pairs": 3,
-        "span_dedup_ratio": 5,
+        # round-15: posting-list DF rewrite — one span-table pass, join
+        # gone (was 5)
+        "span_dedup_ratio": 3,
         "hough_peak": 6,
         "temperature_sample": 7,
         "lm_bigram_score": 9,
@@ -279,7 +281,9 @@ def test_shuffle_exchange_budgets(spark):
         "protobuf_stream_ingest": 1,
         "webdataset_tar_ingest": 1,
         "bloom_filter_audit": 1,  # ship-the-filter: zero probe-side joins
-        "cms_heavy_hitters": 3,
+        # round-15: sketch built from checkpointed per-key counts — one
+        # corpus scan, keyspace-sized exchanges only (was 3)
+        "cms_heavy_hitters": 2,
         "hll_registers_portable": 4,
         "large_quantity_orders": 1,
         "langid_pr_curve": 1,

@@ -2061,3 +2061,36 @@ def test_bm25_tf_numerator_parenthesization_ulp():
     # parenthesized branch for every small tf
     for tf in range(1, 50):
         assert tf * (k1 + 1.0) == tf * ((BM25_K1_E2 + 100) / 100.0)
+
+
+def test_stream_state_partitions_right_sized(spark):
+    """Round-15 optimization pin: keyspace-bounded stateful streams run
+    with right-sized state-store partitions (every partition costs a
+    provider init + delta write + fsync per micro-batch regardless of
+    rows), the session conf is restored afterwards, and user/id-scaled
+    streams keep the session default so their state parallelism still
+    scales with the cluster."""
+    from bigdata_assigment3_spark.streaming.queries import (
+        _STATE_PARTS_DEFAULT,
+        _run_to_memory,
+        _stream_events,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ev = _stream_events(spark, SF_SMOKE)
+    q = _run_to_memory(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "state_parts_probe_sink",
+        state_partitions=_STATE_PARTS_DEFAULT,
+    )
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["numShufflePartitions"] == _STATE_PARTS_DEFAULT, ops
+    # the pin must not leak into the session
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # default (user-scaled) path: session-sized state partitions
+    q2 = _run_to_memory(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+        "state_parts_probe2_sink",
+    )
+    ops2 = q2.lastProgress["stateOperators"]
+    assert ops2 and ops2[0]["numShufflePartitions"] == int(before), ops2
