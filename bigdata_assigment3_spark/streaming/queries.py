@@ -1660,10 +1660,26 @@ def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged: the observe counter counts rows, not columns.)
     stage_cols = ("ts", "user_id", "event_type", "value")
     try:
-        for i, bdf in enumerate(batches):
+        # The three staged writes are independent jobs — submit them
+        # from a small thread pool (guide §2.6 "overlap independent
+        # jobs") so the second and third writes back-fill executors
+        # freed by the first's tail instead of paying three sequential
+        # job latencies.  Ordering is re-established afterwards: the
+        # guard check and the arrival-order mtimes run sequentially
+        # once every write has committed.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage_one(i: int, bdf) -> None:
             bdf.select(*stage_cols).observe(
                 stage_obs[i], F.count(F.lit(1)).alias("n")
             ).coalesce(1).write.parquet(f"{stage}/b{i}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(_stage_one, i, bdf)
+                    for i, bdf in enumerate(batches)]
+            for f_ in futs:
+                f_.result()
+        for i in range(3):
             if stage_obs[i].get["n"] == 0:
                 raise ValueError(
                     f"stream_bitmap_overlap needs three non-empty "
