@@ -177,6 +177,45 @@ REGRESSION_FLAG_ABS_SEC = 0.5
 REGRESSION_FLAG_REL = 0.25
 REGRESSION_FLAG_MAX_RETIMES = 5  # bound the extra wall per bench run
 
+# CPU-heavy environment sentinel (round-15 verdict #1a): the env-shift
+# sentinels are light scheduling-bound queries, so they measure the
+# scheduling floor and are BLIND to the box's CPU-steal mode — the
+# round-15 record "confirmed" three regressions on untouched queries
+# because the auto-retime subprocess shared a degraded box.  This is a
+# fixed, data-independent compute job (xxhash64 over a literal range —
+# no input tables, no shuffle, one task per core) whose wall time
+# tracks available CPU directly.  It runs at suite start/end and inside
+# every --retime subprocess; a retime whose CPU sentinel sits far above
+# the calm-floor reference is labeled suspect_load instead of letting
+# its "confirmed" verdict stand unqualified.
+CPU_SENTINEL_ROWS = 1 << 24  # ~16.7M sha2 rows: ~0.6s calm on 32 cores
+# Calm-floor reference, calibrated on this box (min of repeated samples
+# on a quiet window: 0.56-0.72s calm; 1.0-1.4s in the documented
+# degraded/steal mode — re-calibrate when hardware changes).
+CPU_SENTINEL_REF_SEC = 0.6
+CPU_SENTINEL_DEGRADED_FACTOR = 1.25
+
+
+def cpu_sentinel_sec(spark, runs: int = 3) -> float:
+    """Median wall of `runs` fixed-size CPU-bound jobs (xxhash64 sum
+    over a literal range, one task per core).  Data- and sf-independent;
+    inflates proportionally under CPU steal where the scheduling-bound
+    env sentinels stay flat."""
+    par = spark.sparkContext.defaultParallelism
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        # sha2 per row so the job is genuinely compute-bound: a bare
+        # xxhash64-over-range loop is ~1 ns/row and measures the
+        # scheduler, not the CPU (calibrated: 2^31 xxhash rows timed
+        # the same as 2^27).  bit_xor, not sum — the session runs ANSI
+        # mode and a sum of full-range hashes overflows BIGINT.
+        (spark.range(0, CPU_SENTINEL_ROWS, 1, par)
+         .selectExpr("bit_xor(xxhash64(sha2(cast(id AS string), 256))) AS h")
+         .collect())
+        times.append(time.perf_counter() - t0)
+    return round(sorted(times)[len(times) // 2], 3)
+
 
 def compute_regression_flags(
     delta_min: dict[str, float],
@@ -197,6 +236,30 @@ def compute_regression_flags(
     return flags
 
 
+def adjudicate_retime(
+    retimed_min: float,
+    prev_min: float,
+    env_shift: float,
+    retime_cpu: float | None = None,
+) -> tuple[bool, bool | None]:
+    """(confirmed, suspect_load) for one fresh-session re-time.
+    confirmed: the fresh floor still exceeds both regression bounds.
+    suspect_load: the re-time's own CPU sentinel sat above the degraded
+    threshold, so a confirmation is box-mode evidence, not code
+    evidence (None when the sentinel is unavailable).  Pure so the
+    round-15 false-confirmation scenario is unit-testable."""
+    adj = retimed_min - prev_min - env_shift
+    confirmed = bool(
+        adj > REGRESSION_FLAG_ABS_SEC and adj > REGRESSION_FLAG_REL * prev_min
+    )
+    suspect = (
+        None
+        if retime_cpu is None
+        else bool(retime_cpu > CPU_SENTINEL_DEGRADED_FACTOR * CPU_SENTINEL_REF_SEC)
+    )
+    return confirmed, suspect
+
+
 def retime_query(name: str, sf_dir: str, n: int = 3) -> dict:
     """Fresh-session floor for ONE query: new JVM, same warmups as the
     main bench (JIT + streaming), min-of-n.  Invoked as a subprocess
@@ -212,7 +275,46 @@ def retime_query(name: str, sf_dir: str, n: int = 3) -> dict:
         fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     return {"query": name, "n": n, "min": round(min(times), 3),
-            "times": [round(t, 3) for t in times]}
+            "times": [round(t, 3) for t in times],
+            # the retime's own box mode: a confirmed regression measured
+            # on a degraded box is a suspect confirmation (verdict r15)
+            "cpu_sentinel": cpu_sentinel_sec(spark)}
+
+
+def floors_pass(dir_path: str, names: list[str], n: int = 3) -> dict:
+    """Scaled-fixture floor pass (round-15 verdict #1b): time the given
+    queries at `dir_path` (a derived sf1/10x audit tree), min-of-n with
+    the noop sink, same warmups as the main bench.  The sf0.1 contract
+    bench is fixed-overhead-saturated (7/8 scaling ratios ~1 at r15);
+    this pass is where optimization deltas are falsifiable.  Separate
+    invocation (`bench.py --floors DIR [q ...]`) — the driver's default
+    contract line is untouched."""
+    spark = get_spark("bench-floors")
+    fns = query_fns()
+    fns["features_topk"](spark, dir_path).write.format("noop").mode("overwrite").save()
+    fns["stream_type_totals"](spark, dir_path).write.format("noop").mode("overwrite").save()
+    cpu0 = cpu_sentinel_sec(spark)
+    qmin: dict[str, float] = {}
+    qtimes: dict[str, list[float]] = {}
+    for name in names:
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fns[name](spark, dir_path).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        qtimes[name] = [round(t, 3) for t in times]
+        qmin[name] = round(min(times), 3)
+    return {
+        "metric": "floors_wall_seconds",
+        "dir": dir_path,
+        "unit": "sec",
+        "n_runs": n,
+        "value_min": round(sum(qmin.values()), 3),
+        "queries_min": qmin,
+        "queries_times": qtimes,
+        "cpu_sentinel_start": cpu0,
+        "cpu_sentinel_end": cpu_sentinel_sec(spark),
+    }
 
 
 def _phase_split(spark, fn, sf_dir: str) -> dict:
@@ -320,6 +422,10 @@ def main() -> None:
     fns["dedup_minhash_lsh"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     shared_setup = round(time.perf_counter() - t0, 3)
 
+    # CPU-mode reading at suite start (and again at the end): tracks
+    # steal/contention the scheduling-bound env sentinels can't see.
+    cpu_start = cpu_sentinel_sec(spark)
+
     # Median of 3 runs per query: single-run numbers swing 2-3x on a
     # shared box, which would read as phantom regressions round-over-round.
     per_query: dict[str, float] = {}
@@ -394,6 +500,7 @@ def main() -> None:
         ps["timed_min"] = per_query_min[n]
         phase_split[n] = ps
 
+    cpu_end = cpu_sentinel_sec(spark)
     total = round(sum(per_query.values()), 3)
     total_min = round(sum(per_query_min.values()), 3)
     out = {
@@ -415,6 +522,17 @@ def main() -> None:
         # target; box_loaded flags a snapshot that stayed wide anyway
         "extra_passes": extra_passes,
         "box_loaded": bool(total - total_min > 0.10 * total),
+        # CPU-mode sentinel (fixed data-independent compute job): the
+        # box's compute floor at suite start/end vs the calibrated calm
+        # reference.  cpu_degraded means every number in this record was
+        # taken in a degraded-CPU window — treat regressions as suspect.
+        "cpu_sentinel_start": cpu_start,
+        "cpu_sentinel_end": cpu_end,
+        "cpu_sentinel_ref": CPU_SENTINEL_REF_SEC,
+        "cpu_degraded": bool(
+            min(cpu_start, cpu_end)
+            > CPU_SENTINEL_DEGRADED_FACTOR * CPU_SENTINEL_REF_SEC
+        ),
         "queries_min": per_query_min,
         # overhead-vs-data split for the expensive tail (one profiled
         # run each; see _phase_split).  driver_gap ~ fixed overhead,
@@ -534,15 +652,23 @@ def main() -> None:
                             capture_output=True, text=True, timeout=900,
                             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
                         )
-                        retimed = json.loads(
-                            r.stdout.strip().splitlines()[-1]
-                        )["min"]
-                        adj = retimed - prev_qmin[name] - env_shift
+                        rt = json.loads(r.stdout.strip().splitlines()[-1])
+                        retimed = rt["min"]
                         entry["retimed_min"] = retimed
-                        entry["confirmed"] = bool(
-                            adj > REGRESSION_FLAG_ABS_SEC
-                            and adj > REGRESSION_FLAG_REL * prev_qmin[name]
+                        # the retime shares the box: a "confirmed"
+                        # verdict measured in a degraded-CPU window is
+                        # not evidence of a code regression (round-15
+                        # verdict #1a — three phantoms were confirmed
+                        # exactly this way), so it ships labeled
+                        # suspect_load
+                        rt_cpu = rt.get("cpu_sentinel")
+                        confirmed, suspect = adjudicate_retime(
+                            retimed, prev_qmin[name], env_shift, rt_cpu
                         )
+                        entry["confirmed"] = confirmed
+                        if rt_cpu is not None:
+                            entry["retime_cpu_sentinel"] = rt_cpu
+                            entry["suspect_load"] = suspect
                     except Exception as ex:  # re-time is best-effort
                         entry["error"] = f"{type(ex).__name__}: {ex}"[:200]
                     rf[name] = entry
@@ -580,6 +706,8 @@ def main() -> None:
             "spread_sec": round(total - total_min, 3),
             "extra_passes": extra_passes,
             "box_loaded": bool(total - total_min > 0.10 * total),
+            "cpu_sent": [cpu_start, cpu_end],
+            "cpu_degraded": out["cpu_degraded"],
             "shared_setup_sec": shared_setup,
             "queries": dict(ranked[:top_n]),  # slowest N; full map in BENCH_LOCAL.json
             "full_results": "BENCH_LOCAL.json",
@@ -600,7 +728,8 @@ def main() -> None:
             # nothing tripped the flag thresholds this round
             compact["regression_flags"] = {
                 n: {"adj": e["delta_adj"], "retimed_min": e["retimed_min"],
-                    "confirmed": e["confirmed"]}
+                    "confirmed": e["confirmed"],
+                    **({"suspect_load": True} if e.get("suspect_load") else {})}
                 for n, e in out.get("regression_flags", {}).items()
             }
             if "env_sentinel_outliers" in out:
@@ -617,5 +746,8 @@ if __name__ == "__main__":
         _n = int(sys.argv[3]) if len(sys.argv) > 3 else 3
         _sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         print(json.dumps(retime_query(_name, _sf_dir, _n)))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--floors":
+        # scaled-fixture floor pass: bench.py --floors DIR q1 q2 ...
+        print(json.dumps(floors_pass(sys.argv[2], sys.argv[3:])))
     else:
         main()

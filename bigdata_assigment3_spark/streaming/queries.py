@@ -91,8 +91,24 @@ def _state_partitions(spark: SparkSession, n: int = _STATE_PARTS_DEFAULT):
     scales with the cluster.  ``SPARK_GRAFT_STREAM_STATE_PARTS``
     overrides for deployments whose keyspace-bounded state outgrows
     the floor (e.g. billion-user audiences: size to state bytes /
-    ~64 MB per partition)."""
-    n = int(_os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", n))
+    ~64 MB per partition).
+
+    INVARIANT (round-15 advice): the conf mutation is session-global —
+    no OTHER batch query may be planned on this session while the pin
+    is active, or it silently plans with ``n`` shuffle partitions.
+    Today every caller is sequential (the bench, the oracle sweep, and
+    the bitmap_overlap thread-pool staging all finish their concurrent
+    jobs BEFORE entering the pin); any future concurrent-planning
+    caller must scope the conf per-stream instead."""
+    raw = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if raw is not None:
+        try:
+            n = int(raw)
+        except ValueError as ex:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTS must be an integer "
+                f"(state-store partition count), got {raw!r}"
+            ) from ex
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -120,6 +120,51 @@ def test_regression_flag_new_query_uses_abs_bound():
     assert flags == {"fresh": 0.8}
 
 
+# ------------------------------------------------- CPU-sentinel adjudication
+
+
+def test_adjudicate_retime_confirms_real_regression_on_calm_box():
+    # fresh floor still 1.1s over prev, retime CPU sentinel at the calm
+    # reference: a real, trustworthy confirmation
+    confirmed, suspect = bench.adjudicate_retime(
+        retimed_min=1.6, prev_min=0.5, env_shift=0.0,
+        retime_cpu=bench.CPU_SENTINEL_REF_SEC,
+    )
+    assert confirmed is True and suspect is False
+
+
+def test_adjudicate_retime_labels_loaded_box_confirmation_suspect():
+    # the round-15 false-confirmation scenario: the fresh-session floor
+    # "confirms" the regression, but the retime's own CPU sentinel sat
+    # 2x the calm reference — the confirmation is box-mode evidence
+    confirmed, suspect = bench.adjudicate_retime(
+        retimed_min=1.6, prev_min=0.5, env_shift=0.0,
+        retime_cpu=2.0 * bench.CPU_SENTINEL_REF_SEC,
+    )
+    assert confirmed is True and suspect is True
+
+
+def test_adjudicate_retime_refutes_when_fresh_floor_recovers():
+    confirmed, suspect = bench.adjudicate_retime(
+        retimed_min=0.55, prev_min=0.5, env_shift=0.0,
+        retime_cpu=bench.CPU_SENTINEL_REF_SEC,
+    )
+    assert confirmed is False and suspect is False
+
+
+def test_adjudicate_retime_no_sentinel_means_unknown_load():
+    confirmed, suspect = bench.adjudicate_retime(
+        retimed_min=1.6, prev_min=0.5, env_shift=0.0, retime_cpu=None
+    )
+    assert confirmed is True and suspect is None
+
+
+def test_cpu_sentinel_constants_sane():
+    assert bench.CPU_SENTINEL_ROWS > 0
+    assert bench.CPU_SENTINEL_REF_SEC > 0
+    assert bench.CPU_SENTINEL_DEGRADED_FACTOR > 1.0
+
+
 # ------------------------------------------------------------- scratch_dir
 
 

@@ -31,14 +31,6 @@ def formatted_plan(df):
     return jdf.queryExecution().explainString(mode)
 
 
-def stream_metrics(spark):
-    """Progress metrics of all streams that ran (state partitions etc.)."""
-    out = []
-    for q in spark.streams.active:
-        pass
-    return out
-
-
 def main():
     spark = get_spark(f"r15-capture-{TAG}")
     fns = query_fns()
