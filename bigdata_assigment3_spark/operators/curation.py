@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import query
+from ..session import lineage_checkpoint
 from ..sources import load_table
 from .dedup import _docs_parallel
 
@@ -547,36 +548,62 @@ def q_span_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr(md5_int56_spark("g")).alias("span_h"))
     )
-    # Document frequency via posting lists, not a groupBy + self-join
-    # (round 15): the former plan computed the span table — the
-    # expensive tokenize + {SPAN_N}-gram + md5 expression pass over
-    # every document — TWICE (once under the DF aggregation, once
-    # under the join probe; the two exchanges differ below the partial
-    # agg, so Spark cannot reuse them), then paid a third exchange
-    # plus a sort-merge join to mark spans back.  Grouping each span's
-    # documents into one list and exploding them back attaches the
-    # global document frequency in a single span-table pass with two
-    # hash-agg exchanges and NO join — each (doc_id, span_h) row is
-    # unique (array_distinct upstream, the same no-collision premise
-    # the count_distinct form relied on), so the list size IS the
-    # distinct-document frequency.  (A COUNT(*) OVER (PARTITION BY
-    # span_h) window was tried first and measured SLOWER than the
-    # join: WindowExec pays a sort plus per-group buffering over
-    # ~|corpus| one-row groups; hash aggregation has no such cost.)
-    marked = (
-        spans.groupBy("span_h")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .select(F.size("docs").alias("n_docs"), F.explode("docs").alias("doc_id"))
+    # Document frequency WITHOUT posting lists and WITHOUT a join-back
+    # (round 16; round-15 verdict #1).  The round-15 posting-list form
+    # (collect_list(doc_id) per span_h, size + explode back) kept one
+    # span-table pass but buffered one span's ENTIRE posting list in a
+    # single aggregation buffer — a boilerplate span present in a large
+    # fraction of documents makes that one group ~|corpus|-sized
+    # (straggler/OOM at the 100 TB design point, and collect_list gets
+    # no map-side reduction on the hot key).  This form decomposes the
+    # per-doc shared-span count instead:
+    #
+    #     n_shared(doc) = n_spans(doc) - |{spans of doc with df == 1}|
+    #
+    # and a df==1 span knows its one owning document (min(doc_id) over
+    # a 1-row group), so NOTHING corpus-sized is ever re-attached:
+    #   pass 1 (one hash agg, constant-width buffers, map-side
+    #     combined even on the hottest span): per span_h, count(*)
+    #     [== distinct-doc frequency: each (doc_id, span_h) row is
+    #     unique, array_distinct upstream — the same premise the
+    #     posting-list and count_distinct forms relied on] + min(doc_id);
+    #   pass 2 (one hash agg keyed by doc_id): union of the raw span
+    #     rows (+1 span each) with the df==1 rows routed back to their
+    #     owner doc (+1 unique each).
+    # The span table is lineage-checkpointed so the tokenize +
+    # {SPAN_N}-gram + md5 expression pass still runs ONCE (the
+    # round-15 invariant); the checkpoint is the (doc_id, span_h)
+    # postings materialization an exact-substring pipeline builds
+    # anyway.  Both aggregation states are fixed-size counters, so a
+    # 100x-hot span costs one counter per map partition, not one
+    # |corpus|-sized array (guide §2.3/§2.5).
+    spans = lineage_checkpoint(spans, big=True)
+    per_span = spans.groupBy("span_h").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("solo_doc"),
+    )
+    contrib = spans.select(
+        "doc_id", F.lit(1).alias("spans_inc"), F.lit(0).alias("uniq_inc")
+    ).unionAll(
+        per_span.filter(F.col("n_docs") == 1).select(
+            F.col("solo_doc").alias("doc_id"),
+            F.lit(0).alias("spans_inc"),
+            F.lit(1).alias("uniq_inc"),
+        )
     )
     return (
-        marked
-        .groupBy("doc_id")
+        contrib.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias("n_shared"),
+            F.sum("spans_inc").cast("bigint").alias("n_spans"),
+            F.sum("uniq_inc").cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            (F.col("n_spans") - F.col("n_unique")).cast("bigint").alias("n_shared"),
             F.round(
-                F.sum((F.col("n_docs") >= 2).cast("int")).cast("double")
-                / F.count(F.lit(1)),
+                (F.col("n_spans") - F.col("n_unique")).cast("double")
+                / F.col("n_spans"),
                 6,
             ).alias("dup_ratio"),
         )

@@ -245,9 +245,11 @@ def test_shuffle_exchange_budgets(spark):
         "block_match_full": 2,
         "custom_source_scan": 2,
         "frequent_pairs": 3,
-        # round-15: posting-list DF rewrite — one span-table pass, join
-        # gone (was 5)
-        "span_dedup_ratio": 3,
+        # round-16: skew-safe decomposition (n_shared = n_spans −
+        # df==1 spans routed to their owner) over the checkpointed
+        # span table — two constant-buffer hash aggs, no posting
+        # lists, no join (was 3; r14: 5)
+        "span_dedup_ratio": 2,
         "hough_peak": 6,
         "temperature_sample": 7,
         "lm_bigram_score": 9,
