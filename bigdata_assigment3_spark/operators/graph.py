@@ -22,11 +22,35 @@ is one final correctly-rounded divide.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
 from ..session import lineage_checkpoint
 from ..sources import load_table
+
+
+@contextlib.contextmanager
+def _no_aqe(spark: SparkSession):
+    """Disable AQE around a lineage_checkpoint materialization.
+
+    Round-16 finding (round-15 verdict #3): under AQE the physical
+    plan handed to ``Dataset.localCheckpoint`` is an
+    AdaptiveSparkPlanExec whose outputPartitioning reads
+    UnknownPartitioning, so the checkpointed LogicalRDD LOSES the
+    explicit ``repartition(n, "v")`` partitioning and every downstream
+    join re-exchanges both inputs (measured: 3 exchanges per PageRank
+    iteration).  With AQE off for the checkpoint build, the
+    HashPartitioning survives into the LogicalRDD and the iteration
+    joins need no exchange at all.  Session-global conf pin, same
+    no-concurrent-planning invariant as streaming._state_partitions."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 OUT_K = 5          # out-links generated per document
 PR_ITERS = 5       # fixed PageRank iterations (unrolled in the oracle)
@@ -119,16 +143,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT), deg (hash agg), the edges x deg join, and the verts
     # DISTINCT from scratch — at 100 TB that is {PR_ITERS} extra
     # corpus-sized passes and ~4 extra exchanges per iteration doing
-    # work whose result never changes.  Both sides are explicitly
-    # hash-partitioned on the join key with the SAME partition count
-    # before the checkpoint (LogicalRDD preserves outputPartitioning,
-    # and an explicit repartition N is not AQE-coalesced), so each
-    # iteration's edges x rank join and the verts re-anchor join need
-    # NO exchange at all: the per-iteration plan is one shuffle (the
-    # inflow hash agg) — the textbook bulk-synchronous minimum.
+    # work whose result never changes.  Round 16: the round-15 claim
+    # that the checkpoint preserves the explicit repartition was
+    # FALSE under AQE (the dumped LogicalRDDs read UnknownPartitioning
+    # — verdict #3); every checkpoint here now runs inside _no_aqe so
+    # the HashPartitioning(v, n_part) genuinely survives, and the
+    # captured per-iteration plan (plans/r16/pagerank_iteration_*.txt)
+    # shows the edges x rank join and the verts left-join re-anchor
+    # with NO exchange: one shuffle per iteration (the map-side-
+    # combined inflow hash agg) — the textbook bulk-synchronous
+    # minimum.  The previous inflow.repartition(n_part, "v") is gone:
+    # with the agg planned non-adaptive its exchange is already
+    # exactly (v, n_part).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_deg = lineage_checkpoint(edges_deg.repartition(n_part, "v"), big=True)
-    verts = lineage_checkpoint(verts.repartition(n_part, "v"), big=True)
+    with _no_aqe(spark):
+        edges_deg = lineage_checkpoint(edges_deg.repartition(n_part, "v"), big=True)
+        verts = lineage_checkpoint(verts.repartition(n_part, "v"), big=True)
     rank = verts.select("v", F.lit(PR_SCALE).cast("bigint").alias("rank_i"))
     for _ in range(PR_ITERS):
         inflow = (
@@ -137,15 +167,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.sum("c").alias("inflow"))
         )
-        rank = verts.join(
-            inflow.repartition(n_part, "v"), "v", "left"
-        ).select(
+        rank = verts.join(inflow, "v", "left").select(
             "v",
             F.expr(
                 f"CAST(({15 * PR_SCALE} + 85 * COALESCE(inflow, 0)) div 100 AS BIGINT)"
             ).alias("rank_i"),
         )
-        rank = lineage_checkpoint(rank)
+        # checkpoint non-adaptive too: rank's left-join partitioning
+        # (v, n_part) must survive into the next iteration's join
+        with _no_aqe(spark):
+            rank = lineage_checkpoint(rank)
     return rank.select(
         "v",
         "rank_i",

@@ -552,3 +552,45 @@ def test_cbo_stats_flip_join_strategy(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pagerank_iteration_single_exchange(spark):
+    """Round-16 (round-15 verdict #3): the loop-invariant checkpoints
+    must genuinely preserve their HashPartitioning(v, n) so each
+    PageRank iteration plans exactly ONE shuffle (the inflow hash agg)
+    — under AQE the checkpointed LogicalRDD read UnknownPartitioning
+    and every iteration silently re-exchanged both join inputs (4
+    exchanges/iteration).  Builds one iteration the way q_pagerank
+    does and pins the exchange count and the preserved partitioning."""
+    from pyspark.sql import functions as F
+
+    from bigdata_assigment3_spark.operators.graph import PR_SCALE, _edges, _no_aqe
+    from bigdata_assigment3_spark.plans.explain import shuffle_exchanges
+    from bigdata_assigment3_spark.session import lineage_checkpoint
+
+    edges = _edges(spark, SF_ORACLE)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    edges_deg = edges.join(deg, "src").select(F.col("src").alias("v"), "dst", "deg")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _no_aqe(spark):
+        edges_deg = lineage_checkpoint(edges_deg.repartition(n_part, "v"), big=True)
+        verts = lineage_checkpoint(verts.repartition(n_part, "v"), big=True)
+    rank = verts.select("v", F.lit(PR_SCALE).cast("bigint").alias("rank_i"))
+    inflow = (
+        edges_deg.join(rank, "v")
+        .select(F.col("dst").alias("v"), F.expr("rank_i div deg").alias("c"))
+        .groupBy("v")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    rank1 = verts.join(inflow, "v", "left").select("v", "inflow")
+    assert shuffle_exchanges(rank1) == 1, formatted_plan(rank1)
+    # the checkpointed scans carry the explicit hash partitioning
+    plan = formatted_plan(rank1)
+    assert "UnknownPartitioning" not in plan, plan
+    # conf restored by the context manager
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
