@@ -2009,17 +2009,31 @@ def q_ann_band_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (x, y) -> x * y), 0L, (a, b) -> a + b)"
         )
         sig = sig + F.when(dot_b >= 0, F.lit(1 << b)).otherwise(0)
-    sigs = lineage_checkpoint(
-        nz.select("vec_id", sig.cast("bigint").alias("sig"))
-    )
 
-    # the exact top-k truth table is <= 10 probes x TOP_K rows at any
-    # SF (probe-bounded): materialize it once (it is consumed by the
-    # theory side AND the hit count) and broadcast it into every join
-    # so the corpus-sized signature table only ever STREAMS
-    truth = lineage_checkpoint(
-        q_ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
-    )
+    # The two materializations below — the SRP signature table and the
+    # exact top-k truth table (<= 10 probes x TOP_K rows at any SF,
+    # probe-bounded; consumed by the theory side AND the hit count,
+    # broadcast into every join so the corpus-sized signature table
+    # only ever STREAMS) — are INDEPENDENT eager jobs that round 15
+    # ran back-to-back at util 0.17: each job's straggler tail left
+    # the cores idle.  Submit both from a 2-thread pool (guide §2.6
+    # "overlap independent jobs") so the second job's tasks back-fill
+    # the first's tail; each checkpoint's CONTENT is unaffected by
+    # scheduling, so determinism and the oracle contract hold.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sigs = pool.submit(
+            lambda: lineage_checkpoint(
+                nz.select("vec_id", sig.cast("bigint").alias("sig"))
+            )
+        )
+        f_truth = pool.submit(
+            lambda: lineage_checkpoint(
+                q_ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+            )
+        )
+        sigs, truth = f_sigs.result(), f_truth.result()
     _TRUTH_BOUND = (
         "exact top-k truth table: <= PROBE_MAX_ID/QUERY_STRIDE * TOP_K "
         "= 50 rows at any SF (probe-set contract)"
