@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import REGISTRY, query
+from ..session import lineage_checkpoint
 from ..sources import load_table
 
 K = 16        # char-shingle length
@@ -1291,63 +1292,83 @@ def q_lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational audit over ONE signature build, so re-banding costs a
     regroup, never a re-hash of the corpus.
 
-    Band keys hash the row-slice through the shared 56-bit md5 (the
-    integer-polynomial key used by the 4x2 production banding caps at
-    two rows; md5 handles r up to 8 without overflow).  Shingles,
+    The sweep runs as ONE single-position bucket pass (the 8x1
+    banding is the superset of every config's candidates; banding
+    containment + the per-pair agreeing-position set decide all four
+    configs as pure expressions — see the inline comment).  Shingles,
     signatures, and the ground-truth pair table are the exact
     constructs behind ``dedup_minhash_lsh`` / ``dedup_jaccard_pairs``,
     so the audit can never drift from the index it tunes.
 
-    Scale: per config the only corpus-sized shuffle is the (band,
-    key) bucket groupBy — same class as the production banding; the
-    truth join is dup-rate-sized.  Monotonicity (wider bands => more
-    candidates, never fewer true hits) is test-pinned.
+    Scale: the only corpus-sized shuffles are the single (position,
+    value) bucket groupBy — same class as the production banding —
+    and the bounded-buffer pair agg (<= 8 ints per pair); the truth
+    join is dup-rate-sized and paid once.  Monotonicity (wider bands
+    => more candidates, never fewer true hits) is test-pinned.
     """
     sig = _signature_df(spark, sf_dir)
-    truth = (
+    # the ground-truth table has TWO consumers (the hit join and the
+    # n_true_total scalar) whose plans differ below their exchanges,
+    # so without a checkpoint the whole exact-Jaccard pipeline — a
+    # corpus shingle pass + the posting-list pair expansion — ran
+    # twice per call (round-16 stage profile: the 8 heaviest stages
+    # were two copies of that pipeline).  Materialize it once; the
+    # table is dup-rate-sized.
+    truth = lineage_checkpoint(
         _jaccard_pairs_df(spark, sf_dir)
         .filter(F.col("jaccard") >= JACC_T)
         .select("doc_a", "doc_b", F.lit(1).alias("hit"))
     )
     total = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true_total"))
-    # ONE tagged band table for all four configs: the per-config
-    # branches are pure projections over the cached signature table,
-    # so the whole sweep pays a single (config, band, key) bucket
-    # shuffle, a single pair-distinct, and a single truth join.
-    parts = []
-    for b, r in BAND_CONFIGS:
-        key_expr = md5_int56_spark(
-            f"array_join(transform(slice(mh, band*{r}+1, {r}),"
-            " x -> CAST(x AS STRING)), ',')"
-        )
-        parts.append(
-            sig.select(
-                "doc_id", "mh", F.explode(F.expr(f"sequence(0, {b - 1})")).alias("band")
-            ).select(
-                F.lit(b).cast("bigint").alias("bands"),
-                F.lit(r).cast("bigint").alias("rows_per_band"),
-                "doc_id",
-                "band",
-                F.expr(key_expr).alias("key"),
-            )
-        )
-    bk = parts[0]
-    for p_ in parts[1:]:
-        bk = bk.unionAll(p_)
+    # ONE single-position sweep for all four configs (round 16; was a
+    # 4-config union of 15 band rows/doc -> one bucket shuffle + one
+    # 4x pair-distinct + one 4x truth join, measured 8 heavy stages /
+    # ~35s task_time at sf0.1).  Banding containment does the rest:
+    # config (b, r) catches a pair iff some r-slice of the signatures
+    # agrees elementwise, so the per-POSITION collision buckets (the
+    # 8x1 banding — the superset of every config's candidates) plus
+    # the per-pair set of agreeing positions determine all four
+    # configs at once:
+    #   bucket shuffle: 8 narrow (band, key, doc_id) rows/doc (was 15
+    #     band-md5 rows/doc across the union);
+    #   pair agg: collect_set(band) per (doc_a, doc_b) — BOUNDED at 8
+    #     ints, so no unbounded buffers;
+    #   truth join: once over the distinct pair universe (was 4x).
+    # Per-config membership is a pure expression over the agreement
+    # set (exists a band whose r positions all agree) — matching the
+    # oracle's band-key md5 equality exactly, modulo 56-bit md5
+    # collisions (the same negligible-collision premise the md5 band
+    # keys themselves relied on).
+    bk = sig.select("doc_id", F.posexplode("mh").alias("band", "key"))
     buckets = (
-        bk.groupBy("bands", "rows_per_band", "band", "key")
+        bk.groupBy("band", "key")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
-    cand = (
-        buckets.select(
-            "bands", "rows_per_band", F.explode(F.expr(PAIR_EXPANSION_EXPR)).alias("p")
-        )
-        .select("bands", "rows_per_band", "p.doc_a", "p.doc_b")
-        .distinct()
+    pm = (
+        buckets.select("band", F.explode(F.expr(PAIR_EXPANSION_EXPR)).alias("p"))
+        .select("band", "p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_set("band").alias("eq_pos"))
     )
+    caught_cols = [
+        F.struct(
+            F.lit(b).cast("bigint").alias("bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            F.expr(
+                f"exists(sequence(0, {b - 1}), j -> forall("
+                f"sequence(j * {r}, j * {r} + {r - 1}),"
+                " i -> array_contains(eq_pos, i)))"
+            ).alias("caught"),
+        )
+        for b, r in BAND_CONFIGS
+    ]
     stats = (
-        cand.join(truth, ["doc_a", "doc_b"], "left")
+        pm.join(truth, ["doc_a", "doc_b"], "left")
+        .select(F.explode(F.array(*caught_cols)).alias("c"), "hit")
+        .filter(F.col("c.caught"))
+        .select(F.col("c.bands").alias("bands"),
+                F.col("c.rows_per_band").alias("rows_per_band"), "hit")
         .groupBy("bands", "rows_per_band")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
@@ -1356,7 +1377,7 @@ def q_lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # a zero-candidate config would drop out of the groupBy: re-anchor
     # on the literal config list so every row the oracle emits exists
-    cfgs = parts[0].sparkSession.createDataFrame(
+    cfgs = spark.createDataFrame(
         [(b, r) for b, r in BAND_CONFIGS], "bands long, rows_per_band long"
     )
     u = cfgs.join(stats, ["bands", "rows_per_band"], "left").select(
