@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..registry import REGISTRY, query
 from ..session import lineage_checkpoint
-from ..sources import load_table
+from ..sources import load_table, load_table_parallel
 
 K = 16        # char-shingle length
 STRIDE = 4
@@ -907,7 +907,7 @@ def _semantic_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             _SEM_ASSIGN_CACHE.pop(k).unpersist()
         else:
             del _SEM_ASSIGN_CACHE[k]  # dead session: blocks are already gone
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
     nz = (
         emb.select("vec_id", F.expr(_SEM_QUANT_SPARK).alias("e"))

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import md5_int56_duck, md5_int56_spark
 from ..plans.hints import bounded_broadcast
 from ..registry import query
-from ..sources import load_table
+from ..sources import load_table, load_table_parallel
 
 TOP_K = 5
 QUERY_STRIDE = 50
@@ -81,7 +81,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus side never shuffles — dot products are computed where
     the data lives; only the tiny (query, cand, score) triples move.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
     # norms are per-vector, not per-pair: compute them once on each
     # side before the join (halves the per-pair flops vs naive).
@@ -222,7 +222,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distance check.  The floor division is exact: the shift makes
     every dividend positive and is a multiple of the width.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
     tables = []
     for t in range(E2_TABLES):
@@ -285,7 +285,7 @@ _SPH_XP_SPARK = (
 def _sph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e, n2, xp): milli-int embedding, exact norm, and the
     positive fixed-point unit-sphere requant xp used for clustering."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     quant = (
         emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
         .withColumn("n2", F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)"))
@@ -321,7 +321,7 @@ def _hash_sample(spark: SparkSession, sf_dir: str, n: int) -> list[tuple[int, li
         for k in list(_SAMP_CACHE):
             if k[0] != key[0]:
                 del _SAMP_CACHE[k]  # dead session
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_table_parallel(spark, sf_dir, "embeddings")
         nz = F.expr(
             "exists(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) != 0)"
         )
@@ -868,7 +868,7 @@ def q_ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     an IEEE divide+sqrt, identical in every engine.  The corpus still
     never shuffles — only (query, cand, score) triples move into the
     per-query top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
     q_rows = quant.filter((F.col("vec_id") % QUERY_STRIDE == 0) & (F.col("vec_id") < PROBE_MAX_ID)).collect()
     q_ids = [int(r.vec_id) for r in q_rows]
@@ -1487,7 +1487,7 @@ def q_ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the literal-id contract so AQE broadcasts it
     unhinted.  Band width trades recall for candidate count exactly
     as in the MinHash banding above."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
     nz = (
         emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
@@ -1751,7 +1751,7 @@ def q_ann_pq_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the code table is the ~32x-compressed index you keep hot
     while the raw vectors stay cold — the standard IVF-PQ memory
     layout."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     quant = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))
     fe = quant.select(
         "vec_id", F.posexplode("e").alias("d", "val")
@@ -1995,7 +1995,7 @@ def q_ann_band_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..session import lineage_checkpoint
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     norm2 = F.expr("aggregate(transform(e, x -> x * x), 0L, (a, b) -> a + b)")
     nz = (
         emb.select("vec_id", F.expr(_QUANT_SPARK).alias("e"))

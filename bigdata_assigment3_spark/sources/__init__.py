@@ -1,1 +1,7 @@
-from .tables import TABLES, load_table, normalize_events_ts, register_views  # noqa: F401
+from .tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_table_parallel,
+    normalize_events_ts,
+    register_views,
+)

