@@ -133,6 +133,14 @@ def main() -> int:
         stop.set()
         watcher.join(timeout=5)
         peak["mb"] = max(peak["mb"], _dir_size_mb(spill_dir))
+        # close the connection BEFORE removing its temp dir: DuckDB's
+        # destructor aborts the whole process (SIGABRT after the
+        # result line) when its temp files vanish underneath it —
+        # round-16 capstone runs died rc=134 in teardown this way
+        try:
+            con.close()
+        except Exception:
+            pass
         shutil.rmtree(spill_dir, ignore_errors=True)
     out["spill_peak_mb"] = round(peak["mb"], 1)
     out["match"] = not problems
